@@ -1,0 +1,467 @@
+"""LakeTable — a bucketed copy-on-write Parquet table with atomic snapshot
+commits, per-file column stats, epoch-id fencing and additive schema
+evolution.
+
+This is the engine's Iceberg: the container ships no Iceberg jar, so the
+subset of Iceberg semantics the CDC engine needs is implemented on public
+Spark + filesystem primitives:
+
+- **Snapshot isolation / atomic commit** — each commit writes an immutable
+  ``meta/snap-<v>.json`` (file list + schema + manifest + properties), then
+  atomically flips ``meta/VERSION`` via ``os.replace``. A crash before the
+  flip leaves only unreachable orphan files; readers always see a complete
+  snapshot. This is the transactional boundary that replaces the reference's
+  per-batch PostgreSQL commit
+  (/root/reference/indexer/exporters/postgres_item_exporter.py:96-99).
+- **Bucketed layout** — rows hash into ``num_buckets`` storage buckets by
+  ``pmod(xxhash64(doc_id), B)`` (Iceberg's ``bucket(B, key)`` transform).
+  A MERGE only rewrites the buckets the update batch touches; at 100 TB the
+  bucket count scales (e.g. 4096) so a micro-batch rewrite stays bounded.
+- **Per-file stats** — min/max of the sequence column are read from Parquet
+  footers at commit time and stored in the snapshot, enabling stat-based
+  file skipping for rollback deletes (only files that can contain
+  ``seq >= rollback_to_seq`` are rewritten).
+- **Epoch fencing** — each commit carries the epoch manifest; committing an
+  epoch <= the already-committed epoch is a no-op, making driver retries
+  idempotent (analog of cursor-after-write ordering,
+  /root/reference/indexer/controller/stream_controller.py:101-103).
+- **Additive schema evolution** — the snapshot owns the schema; old data
+  files missing newly-added columns are read with the current schema and
+  yield NULLs (the Alembic-migration analog,
+  /root/reference/migrations/versions/20240708_*.py:23).
+
+Concurrency model: single writer (the reference serializes via a PG
+``fix_record`` row lock, /root/reference/indexer/controller/
+reorg_controller.py:38-48); a best-effort compare-and-swap on the version
+pointer turns racing writers into a loud ``ConcurrentCommitError`` instead of
+lost updates.
+
+The MERGE itself implements the upsert law of SURVEY.md §7: survivor per key
+= argmax over (seq, is_target) of target ∪ updates — i.e. last-writer-wins by
+sequence number with target-wins-on-tie, so replaying a batch is a no-op.
+Deletes become tombstone rows (``is_deleted=True`` keeping ``(doc_id, seq)``,
+the analog of the reference's ``reorg`` boolean column) so stale replays
+cannot resurrect deleted rows. Two physical strategies:
+
+- ``pandas``  (default) — ONE shuffle: repartition by storage bucket, then a
+  per-partition vectorized Arrow/pandas reduce (``mapInPandas`` with
+  streaming partial aggregation, no per-row Python). Output is already
+  partitioned by bucket for the write.
+- ``sql`` — ``groupBy(key).agg(max_by(...))``: all-JVM, whole-stage codegen,
+  map-side partial aggregation (skew-resistant); costs a second shuffle to
+  re-bucket for the write. Kept for benchmarking both paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pandas as pd
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hemera_indexer_spark.functions import bucket_col
+
+VERSION_FILE = "VERSION"
+
+
+class ConcurrentCommitError(RuntimeError):
+    pass
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, "meta")
+        self.data_dir = os.path.join(root, "data")
+        self._snapshot = None
+
+    # ------------------------------------------------------------ lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        num_buckets: int = 16,
+        key_col: str = "doc_id",
+        seq_col: str = "seq",
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, root)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        snap = {
+            "version": 0,
+            "parent": None,
+            "schema": json.loads(schema.json()),
+            "num_buckets": num_buckets,
+            "key_col": key_col,
+            "seq_col": seq_col,
+            "files": [],
+            "manifest": {"epoch_id": -1, "offsets": {}, "lineage": []},
+            "properties": properties or {},
+        }
+        t._write_snapshot(snap, expected_parent=None)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        t = cls(spark, root)
+        t.refresh()
+        return t
+
+    def refresh(self) -> dict:
+        with open(os.path.join(self.meta_dir, VERSION_FILE)) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(self.meta_dir, f"snap-{v:010d}.json")) as f:
+            self._snapshot = json.load(f)
+        return self._snapshot
+
+    @property
+    def snapshot(self) -> dict:
+        if self._snapshot is None:
+            self.refresh()
+        return self._snapshot
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.snapshot["schema"])
+
+    @property
+    def num_buckets(self) -> int:
+        return self.snapshot["num_buckets"]
+
+    @property
+    def key_col(self) -> str:
+        return self.snapshot["key_col"]
+
+    @property
+    def seq_col(self) -> str:
+        return self.snapshot["seq_col"]
+
+    def committed_epoch(self) -> int:
+        return self.snapshot["manifest"]["epoch_id"]
+
+    def committed_offsets(self) -> dict[int, int]:
+        return {int(k): v for k, v in self.snapshot["manifest"]["offsets"].items()}
+
+    # ------------------------------------------------------------ commit core
+    def _write_snapshot(self, snap: dict, expected_parent: int | None) -> None:
+        """Best-effort compare-and-swap on the version pointer: the snapshot
+        only lands if VERSION still equals the version this commit was based
+        on. Single-writer is the supported model (as in the reference's
+        fix_record lock); this check makes accidental racing writers fail
+        loudly instead of losing updates."""
+        vpath = os.path.join(self.meta_dir, VERSION_FILE)
+        if expected_parent is None:
+            if os.path.exists(vpath):
+                raise ConcurrentCommitError(f"table already exists at {self.root}")
+        else:
+            with open(vpath) as f:
+                cur = int(f.read().strip())
+            if cur != expected_parent:
+                raise ConcurrentCommitError(
+                    f"version moved to {cur}, expected {expected_parent}"
+                )
+        spath = os.path.join(self.meta_dir, f"snap-{snap['version']:010d}.json")
+        _atomic_write(spath, json.dumps(snap))
+        _atomic_write(vpath, str(snap["version"]))
+        self._snapshot = snap
+
+    def _file_stats(self, paths: list[str], bucket_of: dict[str, int]) -> list[dict]:
+        """Read rows + min/max(seq) from Parquet footers (no data scan)."""
+        out = []
+        for p in paths:
+            md = pq.read_metadata(p)
+            mn, mx, rows = None, None, md.num_rows
+            try:
+                names = md.schema.to_arrow_schema().names
+                idx = names.index(self.seq_col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+            except ValueError:
+                pass
+            out.append(
+                {
+                    "path": os.path.relpath(p, self.root),
+                    "bucket": bucket_of[p],
+                    "rows": rows,
+                    "min_seq": mn,
+                    "max_seq": mx,
+                }
+            )
+        return out
+
+    def _write_data(self, df: DataFrame, version: int) -> list[dict]:
+        """Write df (must carry ``_bucket``) partitioned by bucket; return
+        file stat entries.
+
+        The directory carries a per-attempt UUID so a commit attempt based on
+        a stale snapshot can never clobber files referenced by a committed
+        snapshot — the CAS in ``_write_snapshot`` then rejects the attempt and
+        the files are just orphans (Iceberg's unique-file-name rule)."""
+        out_dir = os.path.join(
+            self.data_dir, f"commit-{version:010d}-{uuid.uuid4().hex[:8]}"
+        )
+        df.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        entries: list[str] = []
+        bucket_of: dict[str, int] = {}
+        if os.path.isdir(out_dir):
+            for d in sorted(os.listdir(out_dir)):
+                if not d.startswith("_bucket="):
+                    continue
+                b = int(d.split("=")[1])
+                dd = os.path.join(out_dir, d)
+                for fn in sorted(os.listdir(dd)):
+                    if fn.endswith(".parquet"):
+                        p = os.path.join(dd, fn)
+                        entries.append(p)
+                        bucket_of[p] = b
+        return self._file_stats(entries, bucket_of)
+
+    # ------------------------------------------------------------ read path
+    def read(self, buckets: set[int] | None = None, seq_at_least: int | None = None) -> DataFrame:
+        """Scan the table (optionally restricted to buckets / to files whose
+        max(seq) >= seq_at_least via footer-stat pruning). Old files missing
+        evolved columns yield NULLs (schema-on-read)."""
+        files = self.snapshot["files"]
+        if buckets is not None:
+            files = [f for f in files if f["bucket"] in buckets]
+        if seq_at_least is not None:
+            files = [
+                f
+                for f in files
+                if f["max_seq"] is None or f["max_seq"] >= seq_at_least
+            ]
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        paths = [os.path.join(self.root, f["path"]) for f in files]
+        return self.spark.read.schema(self.schema).parquet(*paths)
+
+    def current_state(self) -> DataFrame:
+        """The user-visible table: live rows only."""
+        return self.read().where(~F.col("is_deleted")).drop("is_deleted")
+
+    def manifest_df(self) -> DataFrame:
+        from hemera_indexer_spark.schemas import MANIFEST_SCHEMA
+
+        rows = self.snapshot["manifest"]["lineage"]
+        return self.spark.createDataFrame(
+            [
+                (
+                    int(r["partition"]),
+                    int(r["offset"]),
+                    int(r["epoch_id"]),
+                    int(r["rows_applied"]),
+                    int(r["wall_ms"]),
+                )
+                for r in rows
+            ],
+            MANIFEST_SCHEMA,
+        )
+
+    # ------------------------------------------------------------ schema evo
+    def evolve_schema(self, new_fields: list[T.StructField]) -> None:
+        """Additive ALTER TABLE ADD COLUMN. Existing rows read as NULL."""
+        cur = self.schema
+        names = set(cur.fieldNames())
+        added = [f for f in new_fields if f.name not in names]
+        if not added:
+            return
+        snap = dict(self.snapshot)
+        new_schema = T.StructType(list(cur.fields) + [
+            T.StructField(f.name, f.dataType, True) for f in added
+        ])
+        snap = json.loads(json.dumps(snap))
+        snap["version"] = self.snapshot["version"] + 1
+        snap["parent"] = self.snapshot["version"]
+        snap["schema"] = json.loads(new_schema.json())
+        self._write_snapshot(snap, expected_parent=self.snapshot["version"])
+
+    # ------------------------------------------------------------ MERGE
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        epoch_id: int | None = None,
+        manifest: dict | None = None,
+        strategy: str = "pandas",
+    ) -> bool:
+        """LWW merge of an update batch into the table.
+
+        ``updates`` columns: the table payload columns plus ``op``
+        (insert|update|delete) and the seq column. Multiple rows per key are
+        fine — in-batch LWW compaction and the target-vs-update upsert law
+        are the same argmax, computed in one pass over target ∪ updates
+        (the pre-MERGE compaction the reference does by hand,
+        /root/reference/indexer/utils/collection_utils.py:8-19).
+
+        Returns False (no-op) if ``epoch_id`` is already committed (fencing).
+        """
+        base = self.snapshot
+        if epoch_id is not None and epoch_id <= base["manifest"]["epoch_id"]:
+            return False
+        version = base["version"] + 1
+        b = self.num_buckets
+        key, seqc = self.key_col, self.seq_col
+        schema = self.schema
+        state_cols = schema.fieldNames()
+        payload_cols = [c for c in state_cols if c not in (key, seqc, "is_deleted")]
+
+        # normalize updates into state-row shape
+        upd = updates.withColumn("is_deleted", F.col("op") == F.lit("delete"))
+        for c in payload_cols:
+            if c in updates.columns:
+                upd = upd.withColumn(
+                    c, F.when(F.col("is_deleted"), F.lit(None)).otherwise(F.col(c))
+                )
+            else:
+                upd = upd.withColumn(c, F.lit(None).cast(schema[c].dataType))
+        upd = upd.select(*state_cols).withColumn("_bucket", bucket_col(F.col(key), b))
+
+        touched = {r[0] for r in upd.select("_bucket").distinct().collect()}
+        if not touched:
+            return self._commit_files(base, version, [], set(), epoch_id, manifest)
+
+        target = self.read(buckets=touched).withColumn(
+            "_bucket", bucket_col(F.col(key), b)
+        )
+        merged = self._lww_reduce(
+            target.withColumn("_prio", F.lit(1)),
+            upd.withColumn("_prio", F.lit(0)),
+            state_cols,
+            strategy,
+        )
+        new_files = self._write_data(merged, version)
+        return self._commit_files(base, version, new_files, touched, epoch_id, manifest)
+
+    def _lww_reduce(
+        self,
+        target: DataFrame,
+        updates: DataFrame,
+        state_cols: list[str],
+        strategy: str,
+    ) -> DataFrame:
+        key, seqc = self.key_col, self.seq_col
+        cols = state_cols + ["_bucket"]
+        both = target.select(*cols, "_prio").unionByName(updates.select(*cols, "_prio"))
+        if strategy == "sql":
+            # all-JVM: partial max_by map-side, final per key; then re-bucket
+            agg = both.groupBy(key).agg(
+                F.max_by(
+                    F.struct(*[c for c in cols if c != key]),
+                    F.struct(F.col(seqc), F.col("_prio")),
+                ).alias("_row")
+            )
+            return agg.select(key, "_row.*")
+        # pandas: ONE shuffle on bucket; every key lives in exactly one
+        # bucket, so a per-partition reduce is a correct global reduce.
+        n_part = max(
+            int(self.spark.conf.get("spark.sql.shuffle.partitions")), 1
+        )
+        out_schema = both.drop("_prio").schema
+
+        def reduce_partition(it):
+            partials = []
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                # vectorized argmax per key by (seq, prio)
+                pdf = pdf.sort_values([key, seqc, "_prio"], kind="mergesort")
+                partials.append(pdf.drop_duplicates(subset=[key], keep="last"))
+            if not partials:
+                return
+            allp = pd.concat(partials, ignore_index=True)
+            allp = allp.sort_values([key, seqc, "_prio"], kind="mergesort")
+            allp = allp.drop_duplicates(subset=[key], keep="last")
+            yield allp.drop(columns=["_prio"])
+
+        return (
+            both.repartition(n_part, "_bucket")
+            .mapInPandas(reduce_partition, schema=out_schema)
+        )
+
+    # ------------------------------------------------------------ DELETE
+    def delete_where(
+        self,
+        condition: F.Column,
+        seq_at_least: int | None = None,
+        epoch_id: int | None = None,
+        manifest: dict | None = None,
+    ) -> bool:
+        """Physically remove rows matching ``condition`` (rollback/reorg
+        repair). Files whose footer max(seq) < seq_at_least are kept as-is
+        (stat-based pruning); only possibly-affected files are rewritten."""
+        base = self.snapshot
+        if epoch_id is not None and epoch_id <= base["manifest"]["epoch_id"]:
+            return False
+        version = base["version"] + 1
+        files = base["files"]
+        affected = [
+            f
+            for f in files
+            if seq_at_least is None
+            or f["max_seq"] is None
+            or f["max_seq"] >= seq_at_least
+        ]
+        if not affected:
+            return self._commit_files(base, version, [], set(), epoch_id, manifest)
+        buckets = {f["bucket"] for f in affected}
+        paths = [os.path.join(self.root, f["path"]) for f in affected]
+        df = (
+            self.spark.read.schema(self.schema)
+            .parquet(*paths)
+            .where(~condition)
+            .withColumn("_bucket", bucket_col(F.col(self.key_col), self.num_buckets))
+        )
+        new_files = self._write_data(df, version)
+        return self._commit_files(base, version, new_files, buckets, epoch_id, manifest)
+
+    # ------------------------------------------------------------ snapshot build
+    def _commit_files(
+        self,
+        base: dict,
+        version: int,
+        new_files: list[dict],
+        replaced_buckets: set[int],
+        epoch_id: int | None,
+        manifest: dict | None,
+    ) -> bool:
+        kept = [f for f in base["files"] if f["bucket"] not in replaced_buckets]
+        snap = {
+            "version": version,
+            "parent": base["version"],
+            "schema": base["schema"],
+            "num_buckets": base["num_buckets"],
+            "key_col": base["key_col"],
+            "seq_col": base["seq_col"],
+            "files": kept + new_files,
+            "manifest": manifest
+            if manifest is not None
+            else base["manifest"],
+            "properties": base["properties"],
+        }
+        if epoch_id is not None and manifest is None:
+            m = dict(base["manifest"])
+            m["epoch_id"] = epoch_id
+            snap["manifest"] = m
+        self._write_snapshot(snap, expected_parent=base["version"])
+        return True

@@ -1,0 +1,70 @@
+"""Declared schemas (never inferred) for the CDC engine.
+
+The in-flight/at-rest dual-layer schema system of the reference (dataclass
+annotations + SQLAlchemy models bridged by a converter,
+/root/reference/common/models/__init__.py:45-78) maps to explicit StructTypes
+here: CHANGE_EVENT is the in-flight record, SEQUENCES is the at-rest lake
+table, MANIFEST is the checkpoint/lineage record
+(/root/reference/indexer/utils/sync_recorder.py:41-67 extended to
+per-partition lineage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# The target state table (FIXTURES.md §1). `is_deleted` is the engine's
+# tombstone column — the analog of the reference's `reorg` boolean
+# (/root/reference/common/models/blocks.py:42): deletes keep (key, seq) so
+# replayed stale events lose the LWW race instead of resurrecting rows.
+SEQUENCES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("is_deleted", T.BooleanType(), False),
+    ]
+)
+
+# The change-event log record (FIXTURES.md §2); analog of one block-range
+# item batch in the reference's buffer keyed by domain type
+# (/root/reference/indexer/jobs/base_job.py:92-93).
+CHANGE_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("rollback_to_seq", T.LongType(), True),
+    ]
+)
+
+# Columns that may appear mid-stream (additive schema evolution, the Alembic
+# analog — /root/reference/migrations/versions/20240708_*.py:23). Anything in
+# an epoch file that is not in CHANGE_EVENT_SCHEMA and is listed here is
+# propagated to the state table via ALTER-ADD semantics.
+EVOLVABLE_EVENT_COLUMNS = {"rollback_to_seq"}  # always optional in files
+
+# Checkpoint manifest row (FIXTURES.md §3).
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("epoch_id", T.LongType(), False),
+        T.StructField("rows_applied", T.LongType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+    ]
+)
+
+OPS = ("insert", "update", "delete", "rollback")
+
+# Metadata/bookkeeping columns of the state table that are not part of the
+# user-facing payload. Everything else in SEQUENCES_SCHEMA (and any evolved
+# column) is payload and participates in LWW replacement.
+STATE_META_COLUMNS = ("doc_id", "seq", "is_deleted")

@@ -1,0 +1,134 @@
+"""End-to-end: replay the synthetic change log through the Spark engine and
+assert the final lake state row-for-row against the single-threaded oracle
+fold under token-array equality (the north-star correctness gate)."""
+
+import pytest
+
+from hemera_indexer_spark.lake import LakeTable
+from hemera_indexer_spark.oracle import expected_live_rows
+from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+from hemera_indexer_spark.streaming import StreamController
+
+
+def _assert_state_matches_oracle(table, log_dir, n_partitions):
+    expected = expected_live_rows(log_dir, n_partitions)
+    got = sorted(
+        (r.asDict(recursive=True) for r in table.current_state().collect()),
+        key=lambda d: d["doc_id"],
+    )
+    assert len(got) == len(expected), (len(got), len(expected))
+    for g, e in zip(got, expected):
+        assert g["doc_id"] == e["doc_id"]
+        assert g["seq"] == e["seq"], (g["doc_id"], g["seq"], e["seq"])
+        assert g["tokens"] == e["tokens"], g["doc_id"]  # token-array equality
+        assert g["n_tok"] == e["n_tok"]
+        assert g["source"] == e["source"]
+        if "lang" in e:
+            assert g.get("lang") == e["lang"], g["doc_id"]
+
+
+@pytest.mark.parametrize("strategy", ["pandas", "sql"])
+def test_full_replay_matches_oracle(spark, tiny_log, tmp_path, strategy):
+    table = LakeTable.create(
+        spark, str(tmp_path / f"lake_{strategy}"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    ctl = StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions,
+        merge_strategy=strategy,
+    )
+    stats = ctl.run()
+    assert len(stats.epochs) == tiny_log.spec.n_epochs
+    assert stats.total_events > 0
+    _assert_state_matches_oracle(table, tiny_log.out_dir, tiny_log.spec.n_partitions)
+
+    # manifest: per-partition lineage exists and offsets cover every partition
+    mdf = table.manifest_df()
+    rows = {r["partition"]: r for r in mdf.collect()}
+    assert set(rows) <= set(range(tiny_log.spec.n_partitions))
+    assert table.committed_epoch() == tiny_log.spec.n_epochs - 1
+    offs = table.committed_offsets()
+    assert all(v > 0 for v in offs.values())
+
+
+def test_replay_epoch_twice_is_noop(spark, tiny_log, tmp_path):
+    """Exactly-once: re-running an already-committed epoch changes nothing
+    (epoch fencing), and even a forced re-merge of the same batch is a no-op
+    (LWW target-wins-on-tie)."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    ctl = StreamController(spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions)
+    ctl.run(max_epochs=3)
+    v_before = table.snapshot["version"]
+    state_before = sorted(
+        (r.asDict(recursive=True) for r in table.current_state().collect()),
+        key=lambda d: d["doc_id"],
+    )
+
+    # fenced re-run: skipped entirely, no new snapshot
+    st = ctl.process_epoch(2)
+    assert st.skipped
+    assert table.snapshot["version"] == v_before
+
+    # continue to completion and verify convergence
+    ctl.run()
+    _assert_state_matches_oracle(table, tiny_log.out_dir, tiny_log.spec.n_partitions)
+    assert state_before  # sanity
+
+
+def test_resume_after_partial_run(spark, tiny_log, tmp_path):
+    """Kill/resume: run 4 epochs with one controller, resume with a fresh
+    controller+table handle (reads checkpoint manifest), converge to oracle."""
+    root = str(tmp_path / "lake")
+    table = LakeTable.create(spark, root, SEQUENCES_SCHEMA, num_buckets=8)
+    StreamController(spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions).run(
+        max_epochs=4
+    )
+    # fresh handles = process restart
+    table2 = LakeTable.load(spark, root)
+    assert table2.committed_epoch() == 3
+    StreamController(spark, table2, tiny_log.out_dir, tiny_log.spec.n_partitions).run()
+    _assert_state_matches_oracle(table2, tiny_log.out_dir, tiny_log.spec.n_partitions)
+
+
+def test_crash_between_data_write_and_commit(spark, tiny_log, tmp_path):
+    """Orphan data files from a crashed commit are invisible; resume
+    converges (the snapshot flip is the single atomic commit point)."""
+    import os
+
+    root = str(tmp_path / "lake")
+    table = LakeTable.create(spark, root, SEQUENCES_SCHEMA, num_buckets=8)
+    ctl = StreamController(spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions)
+    ctl.run(max_epochs=2)
+    v = table.snapshot["version"]
+
+    # simulate a crash: write data files for a bogus future commit, never
+    # flip VERSION
+    orphan = os.path.join(root, "data", f"commit-{v + 99:010d}")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "_bucket=0"), "w") as f:
+        f.write("junk")
+
+    table2 = LakeTable.load(spark, root)
+    assert table2.snapshot["version"] == v
+    StreamController(spark, table2, tiny_log.out_dir, tiny_log.spec.n_partitions).run()
+    _assert_state_matches_oracle(table2, tiny_log.out_dir, tiny_log.spec.n_partitions)
+
+
+def test_schema_evolution_mid_stream(spark, tiny_log, tmp_path):
+    """`lang` appears at epoch 5: rows last written before -> NULL, rows
+    written from epoch 5 on -> populated (additive ALTER semantics)."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    ctl = StreamController(spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions)
+    ctl.run(max_epochs=5)  # epochs 0..4, pre-evolution
+    assert "lang" not in table.schema.fieldNames()
+    ctl.run()
+    assert "lang" in table.schema.fieldNames()
+    state = table.current_state()
+    # some populated, some NULL
+    n_lang = state.where(state.lang.isNotNull()).count()
+    n_null = state.where(state.lang.isNull()).count()
+    assert n_lang > 0 and n_null > 0
+    _assert_state_matches_oracle(table, tiny_log.out_dir, tiny_log.spec.n_partitions)
