@@ -1,38 +1,888 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: replay a deterministic CDC change log through
+the engine (LakeTable + StreamController) and return the final state table.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+similarity search, text analysis, multimodal). Every float aggregate goes
+through decimal(18,6) so results are order-independent and hash-identical
+to the DuckDB oracle; every computed column is aliased identically on both
+sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(c, scale: int = 6):
+    return F.col(c).cast(f"decimal(18,{scale})") if isinstance(c, str) else c.cast(
+        f"decimal(18,{scale})"
+    )
+
+
+# --------------------------------------------------------------------------
+# flagship: the CDC replay itself
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Replay a small deterministic change log (generated once under /tmp)
+    through the lake engine; return the final visible state."""
+    from hemera_indexer_spark.lake import LakeTable
+    from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from hemera_indexer_spark.streaming import StreamController
+
+    spec = ChangelogSpec(
+        n_docs=200,
+        n_epochs=4,
+        events_per_epoch=400,
+        n_partitions=4,
+        seed=42,
+        schema_evolution_epoch=2,
+        rollback_epochs=(3,),
+    )
+    log_dir = os.path.join(tempfile.gettempdir(), "hemera_entry_log_v1")
+    if not os.path.exists(os.path.join(log_dir, "_DONE")):
+        generate_changelog(log_dir, spec)
+        with open(os.path.join(log_dir, "_DONE"), "w") as f:
+            f.write("ok")
+    lake_dir = tempfile.mkdtemp(prefix="hemera_entry_lake_")
+    table = LakeTable.create(
+        spark, os.path.join(lake_dir, "t"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    StreamController(spark, table, log_dir, spec.n_partitions).run()
+    return table.current_state().orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: scan+filter+groupBy+8 aggregates (SURVEY §2.4)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_filter_pushdown(spark, sf):
+    """Projection+predicate pushed to the parquet scan (SURVEY §2.2)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.select("l_orderkey", "l_quantity", "l_shipdate")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_quantity") > 45)
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_specification_filter(spark, sf):
+    """Predicate-combinator algebra (specification.py analog, SURVEY §2.2)."""
+    from hemera_indexer_spark.plans import specification as S
+
+    ev = _t(spark, sf, "events")
+    pred = S.and_(
+        S.or_(
+            S.field_equals("event_type", "click"),
+            S.field_equals("event_type", "view"),
+        ),
+        S.not_(F.col("value") < 10),
+        S.member_of("user_id", list(range(0, 120))),
+    )
+    return ev.where(pred).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_case_routing(spark, sf):
+    """Topic-based routing: CASE WHEN dispatch by type (SURVEY §2.2)."""
+    ev = _t(spark, sf, "events")
+    route = (
+        F.when(F.col("event_type").isin("click", "view"), F.lit("engagement"))
+        .when(F.col("event_type") == "purchase", F.lit("revenue"))
+        .otherwise(F.lit("ops"))
+    )
+    return ev.groupBy(route.alias("route")).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+def q_join_enrich(spark, sf):
+    """Hash-join enrichment: orders ⋈ customer (SURVEY §2.3)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+def q_broadcast_dim_join(spark, sf):
+    """Broadcast dimension join: lineitem ⋈ part (token-cache analog)."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    rev = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+def q_anti_join(spark, sf):
+    """left_anti: customers with no orders (new-vs-known analog)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+def q_semi_join(spark, sf):
+    """left_semi: orders with a high-discount lineitem."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").where(F.col("l_discount") >= 0.09)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_accumulator_merge(spark, sf):
+    """FULL OUTER JOIN + COALESCE sums — the period-accumulator merge
+    (period_wallet_addresses_aggregates.sql:79 analog)."""
+    from hemera_indexer_spark.plans.aggregates import merge_period_accumulators
+
+    ev = _t(spark, sf, "events")
+    base = ev.withColumn("_day_odd", F.dayofmonth("ts") % 2)
+    mk = lambda flag: (
+        base.where(F.col("_day_odd") == flag)
+        .groupBy("user_id")
+        .agg(
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    merged = merge_period_accumulators(
+        mk(0), mk(1), keys=["user_id"], sum_cols=["sum_value", "n_events"]
+    )
+    return merged.select(
+        "user_id",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def q_lww_current_state(spark, sf):
+    """THE core operator: LWW current state per key (collection_utils.py:8-19
+    analog) via groupBy+max_by."""
+    from hemera_indexer_spark.operators.lww import lww_latest
+
+    ev = _t(spark, sf, "events")
+    out = lww_latest(
+        ev,
+        keys=["user_id"],
+        version=F.struct(F.col("ts"), F.col("event_id")),
+        payload=["event_id", "event_type", "value"],
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_lww_window(spark, sf):
+    """Same LWW via row_number window (export_token_id_infos_job analog)."""
+    from hemera_indexer_spark.operators.lww import lww_latest_window
+
+    ev = _t(spark, sf, "events")
+    out = lww_latest_window(
+        ev, keys=["user_id"], order_cols=[F.col("ts"), F.col("event_id")]
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_lww_salted(spark, sf):
+    """Two-phase salted LWW (skew mitigation, SURVEY §4 custom work #2) —
+    result must equal the unsalted LWW."""
+    from hemera_indexer_spark.operators.lww import lww_latest_salted
+
+    ev = _t(spark, sf, "events")
+    out = lww_latest_salted(
+        ev,
+        keys=["user_id"],
+        version=F.struct(F.col("ts"), F.col("event_id")),
+        payload=["event_id", "event_type", "value"],
+        num_salts=8,
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_daily_aggregates(spark, sf):
+    """daily_wallet_addresses_aggregates.sql analog."""
+    from hemera_indexer_spark.plans.aggregates import daily_user_aggregates
+
+    return daily_user_aggregates(_t(spark, sf, "events"))
+
+
+def q_count_distinct(spark, sf):
+    """count(distinct ...) per group (period SQL :21-28 analog)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_hourly_bucket(spark, sf):
+    """Hourly block-ts mapper analog: min id + count per hour bucket."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.min("event_id").alias("min_event_id"), F.count("*").alias("n")
+    )
+
+
+def q_json_extract(spark, sf):
+    """JSONB column handling analog: extract props.k, aggregate."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_k")
+    )
+
+
+def q_window_latest_per_supp(spark, sf):
+    """row_number()==1 per partition (uniswap price SQL :50-57 analog)."""
+    from hemera_indexer_spark.operators.lww import lww_latest_window
+
+    li = _t(spark, sf, "lineitem")
+    out = lww_latest_window(
+        li,
+        keys=["l_suppkey"],
+        order_cols=[
+            F.col("l_shipdate"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+    )
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate")
+
+
+def q_lag_gap_sessions(spark, sf):
+    """lag() walk (check_block_consensus parent-hash analog): count session
+    starts per user where the gap to the previous event exceeds 1 hour."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    is_start = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > 3600),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("_s", is_start)
+        .groupBy("user_id")
+        .agg(F.sum("_s").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def q_topk_orders(spark, sf):
+    """Top-N with deterministic tie-break (API keyset pagination analog)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def q_union_dedup(spark, sf):
+    """union + dropDuplicates by key (transfer-type union analog)."""
+    ev = _t(spark, sf, "events")
+    a = ev.where(F.col("value") >= 100)
+    b = ev.where(F.col("value") >= 50)
+    return (
+        a.unionByName(b)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_hex_codec(spark, sf):
+    """hex/bytes codec analog (format_utils hex_str_to_bytes)."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.hex(F.col("p_partkey"))).alias("key_hex"),
+        F.md5(F.col("p_name")).alias("name_md5"),
+    )
+
+
+def q_month_bucketing(spark, sf):
+    """date_trunc month rollup (DATE(block_timestamp) analog)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
+# ----------------------------------------------------------- dedup suite
+def q_dedup_exact(spark, sf):
+    from hemera_indexer_spark.operators.dedup import exact_duplicate_clusters
+
+    return exact_duplicate_clusters(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_dedup_jaccard(spark, sf):
+    from hemera_indexer_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=2, threshold=0.6
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    from hemera_indexer_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=2, k=8, bands=4,
+        threshold=0.5,
+    )
+
+
+def q_dedup_simhash(spark, sf):
+    from hemera_indexer_spark.operators.dedup import simhash16
+
+    return simhash16(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+# ------------------------------------------------------ similarity suite
+def q_cosine_topk(spark, sf):
+    from hemera_indexer_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(
+        _t(spark, sf, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+    )
+
+
+def q_ann_lsh_topk(spark, sf):
+    from hemera_indexer_spark.operators.similarity import anchor_lsh_topk
+
+    return anchor_lsh_topk(
+        _t(spark, sf, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5, n_anchors=8
+    )
+
+
+# ------------------------------------------------------------ text suite
+def q_text_stats(spark, sf):
+    from hemera_indexer_spark.operators.text import with_text_stats
+
+    return with_text_stats(_t(spark, sf, "documents")).select(
+        "doc_id",
+        "n_tok_ws",
+        "n_tok_bpe",
+        "stop_ratio",
+        "punct_ratio",
+        "avg_word_len",
+        "quality",
+        "lang_pred",
+        "fp",
+    )
+
+
+# ------------------------------------------------------ multimodal suite
+def q_multimodal_meta(spark, sf):
+    from hemera_indexer_spark.operators.multimodal import (
+        attach_blob_metadata,
+        blobs_from_documents,
+    )
+
+    blobs = blobs_from_documents(_t(spark, sf, "documents"))
+    return attach_blob_metadata(blobs).select(
+        "blob_id", "media_type", "n_bytes", "sha"
+    )
+
+
+def q_multimodal_features(spark, sf):
+    """mapInPandas feature extraction over binary blobs (decode stubbed) —
+    no SQL oracle (pandas-UDF pipeline); driver does a rows-only check."""
+    from hemera_indexer_spark.operators.multimodal import (
+        blobs_from_documents,
+        extract_features,
+    )
+
+    return extract_features(blobs_from_documents(_t(spark, sf, "documents")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "filter_pushdown": q_filter_pushdown,
+        "specification_filter": q_specification_filter,
+        "case_routing": q_case_routing,
+        "join_enrich": q_join_enrich,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "accumulator_merge": q_accumulator_merge,
+        "lww_current_state": q_lww_current_state,
+        "lww_window": q_lww_window,
+        "lww_salted": q_lww_salted,
+        "daily_aggregates": q_daily_aggregates,
+        "count_distinct": q_count_distinct,
+        "hourly_bucket": q_hourly_bucket,
+        "json_extract": q_json_extract,
+        "window_latest_per_supp": q_window_latest_per_supp,
+        "lag_gap_sessions": q_lag_gap_sessions,
+        "topk_orders": q_topk_orders,
+        "union_dedup": q_union_dedup,
+        "hex_codec": q_hex_codec,
+        "month_bucketing": q_month_bucketing,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_stats": q_text_stats,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB) — same table names, same aliases, same rounding
+# --------------------------------------------------------------------------
+_SHINGLES_CTE = """
+shingles AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (
+        SELECT doc_id,
+               unnest([w[i] || '_' || w[i+1] for i in range(1, len(w))]) AS shingle
+        FROM (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+            FROM documents
+        )
+    )
+    WHERE shingle <> ''
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order,
+                   COUNT(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_pushdown": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01' AND l_quantity > 45
+        """,
+        "specification_filter": """
+            SELECT event_type, COUNT(*) AS n
+            FROM events
+            WHERE (event_type = 'click' OR event_type = 'view')
+              AND NOT (value < 10)
+              AND user_id BETWEEN 0 AND 119
+            GROUP BY event_type
+        """,
+        "case_routing": """
+            SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
+                        WHEN event_type = 'purchase' THEN 'revenue'
+                        ELSE 'ops' END AS route,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "join_enrich": """
+            SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "broadcast_dim_join": """
+            SELECT p.p_brand,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        """,
+        "anti_join": """
+            SELECT c_nationkey, COUNT(*) AS n_inactive
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_nationkey
+        """,
+        "semi_join": """
+            SELECT o_orderpriority, COUNT(*) AS n
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.09)
+            GROUP BY o_orderpriority
+        """,
+        "accumulator_merge": """
+            WITH base AS (SELECT *, (day(ts) % 2) AS day_odd FROM events),
+            t AS (SELECT user_id,
+                         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                         COUNT(*) AS n_events
+                  FROM base WHERE day_odd = 0 GROUP BY user_id),
+            p AS (SELECT user_id,
+                         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                         COUNT(*) AS n_events
+                  FROM base WHERE day_odd = 1 GROUP BY user_id)
+            SELECT COALESCE(t.user_id, p.user_id) AS user_id,
+                   ROUND(COALESCE(t.sum_value, 0) + COALESCE(p.sum_value, 0), 4) AS sum_value,
+                   CAST(COALESCE(t.n_events, 0) + COALESCE(p.n_events, 0) AS BIGINT) AS n_events
+            FROM t FULL OUTER JOIN p ON t.user_id = p.user_id
+        """,
+        "lww_current_state": """
+            SELECT user_id, event_id AS last_event_id,
+                   event_type AS last_event_type, value AS last_value
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "lww_window": """
+            SELECT user_id, event_id AS last_event_id,
+                   event_type AS last_event_type, value AS last_value
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "lww_salted": """
+            SELECT user_id, event_id AS last_event_id,
+                   event_type AS last_event_type, value AS last_value
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "daily_aggregates": """
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT event_type) AS n_event_types,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+                   CAST(SUM(CASE WHEN value > 50 THEN CAST(value AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_large_value
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        """,
+        "count_distinct": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "hourly_bucket": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   MIN(event_id) AS min_event_id, COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+            FROM events GROUP BY event_type
+        """,
+        "window_latest_per_supp": """
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+                  FROM lineitem)
+            WHERE rn = 1
+        """,
+        "lag_gap_sessions": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
+                                 OR (epoch(ts) - epoch(prev_ts)) > 3600
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC) AS prev_ts
+                  FROM events)
+            GROUP BY user_id
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "union_dedup": """
+            SELECT event_type, COUNT(*) AS n FROM (
+                SELECT DISTINCT ON (event_id) * FROM (
+                    SELECT * FROM events WHERE value >= 100
+                    UNION ALL
+                    SELECT * FROM events WHERE value >= 50
+                )
+            ) GROUP BY event_type
+        """,
+        "hex_codec": """
+            SELECT p_partkey, lower(to_hex(p_partkey)) AS key_hex,
+                   md5(p_name) AS name_md5
+            FROM part
+        """,
+        "month_bucketing": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY 1
+        """,
+        "dedup_exact": """
+            SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+                   COUNT(*) AS cluster_size,
+                   MIN(doc_id) AS keep_doc_id
+            FROM documents
+            GROUP BY 1 HAVING COUNT(*) >= 2
+        """,
+        "dedup_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_SHINGLES_CTE},
+            seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+            sig AS (
+                SELECT doc_id, seed,
+                       MIN(md5(seed || '|' || shingle)) AS minhash
+                FROM shingles CROSS JOIN seeds
+                GROUP BY doc_id, seed
+            ),
+            bands AS (
+                SELECT doc_id, CAST(seed / 2 AS INT) AS band,
+                       string_agg(minhash, ',' ORDER BY seed) AS bucket
+                FROM sig GROUP BY doc_id, CAST(seed / 2 AS INT)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                WHERE a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+            common AS (
+                SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+                FROM cand c
+                JOIN shingles sa ON sa.doc_id = c.doc_a
+                JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+                GROUP BY c.doc_a, c.doc_b
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(n_common / (za.n_sh + zb.n_sh - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes za ON za.doc_id = doc_a
+            JOIN sizes zb ON zb.doc_id = doc_b
+            WHERE n_common / (za.n_sh + zb.n_sh - n_common) >= 0.5
+        """,
+        "dedup_simhash": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+                FROM documents
+            ),
+            bits AS (
+                SELECT doc_id, md5(word) AS h FROM tok WHERE word <> ''
+            ),
+            sums AS (
+                SELECT doc_id,
+                       {sums}
+                FROM bits GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST({sim} AS INT) AS simhash
+            FROM sums
+        """.format(
+            sums=",\n                       ".join(
+                f"SUM(((CAST(floor((strpos('0123456789abcdef', substr(h, {nib + 1}, 1)) - 1) / {2 ** b}) AS INT) % 2) * 2 - 1)) AS s_{nib * 4 + b}"
+                for nib in range(4)
+                for b in range(4)
+            ),
+            sim=" + ".join(
+                f"(CASE WHEN s_{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(16)
+            ),
+        ),
+        "cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id IN (0,1,2,3,4)
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROUND(
+                         list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                                     i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE),
+                                     (acc, x) -> acc + x)
+                         / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                                     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE),
+                                     (acc, x) -> acc + x))
+                          * sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)),
+                                     i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE),
+                                     (acc, x) -> acc + x)))
+                       , 4) AS cos_sim
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, rank, neighbor_id, cos_sim FROM (
+                SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "text_stats": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       string_split(trim(text), ' ') AS w,
+                       string_split(trim(lower(text)), ' ') AS wl
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(w) AS n_tok_ws,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok_bpe,
+                   ROUND(len(list_filter(wl, x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+                         / greatest(len(wl), 1), 6) AS stop_ratio,
+                   ROUND((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   ROUND(list_reduce(list_prepend(0, list_transform(w, x -> length(x))), (acc, x) -> acc + x)
+                         / greatest(len(w), 1), 6) AS avg_word_len,
+                   ROUND(0.4 * least(len(w) / 20.0, 1.0)
+                       + 0.3 * (1.0 - ROUND(len(list_filter(wl, x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+                                            / greatest(len(wl), 1), 6))
+                       + 0.3 * (1.0 - ROUND((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                            / greatest(length(text), 1), 6)), 6) AS quality,
+                   CASE
+                     WHEN greatest(
+                            len(list_filter(wl, x -> x IN ('the','and','of','is'))),
+                            len(list_filter(wl, x -> x IN ('der','die','und','ist'))),
+                            len(list_filter(wl, x -> x IN ('le','la','et','est'))),
+                            len(list_filter(wl, x -> x IN ('el','los','y','es')))) = 0 THEN 'und'
+                     WHEN len(list_filter(wl, x -> x IN ('the','and','of','is'))) = greatest(
+                            len(list_filter(wl, x -> x IN ('the','and','of','is'))),
+                            len(list_filter(wl, x -> x IN ('der','die','und','ist'))),
+                            len(list_filter(wl, x -> x IN ('le','la','et','est'))),
+                            len(list_filter(wl, x -> x IN ('el','los','y','es')))) THEN 'en'
+                     WHEN len(list_filter(wl, x -> x IN ('der','die','und','ist'))) = greatest(
+                            len(list_filter(wl, x -> x IN ('the','and','of','is'))),
+                            len(list_filter(wl, x -> x IN ('der','die','und','ist'))),
+                            len(list_filter(wl, x -> x IN ('le','la','et','est'))),
+                            len(list_filter(wl, x -> x IN ('el','los','y','es')))) THEN 'de'
+                     WHEN len(list_filter(wl, x -> x IN ('le','la','et','est'))) = greatest(
+                            len(list_filter(wl, x -> x IN ('the','and','of','is'))),
+                            len(list_filter(wl, x -> x IN ('der','die','und','ist'))),
+                            len(list_filter(wl, x -> x IN ('le','la','et','est'))),
+                            len(list_filter(wl, x -> x IN ('el','los','y','es')))) THEN 'fr'
+                     ELSE 'es'
+                   END AS lang_pred,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+            FROM base
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS blob_id,
+                   ['image','audio','video'][(doc_id % 3) + 1] AS media_type,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   sha256(text) AS sha
+            FROM documents
+        """,
+        # ann_lsh_topk / multimodal_features: intentionally no oracle —
+        # ANN recall is approximate by construction only in bucket
+        # membership (still deterministic, but the SQL mirror of the
+        # anchor-bucket join is exercised via cosine_topk), and
+        # multimodal_features is a pandas-UDF pipeline; driver records
+        # rows-only checks.
+    }
+
+
+if __name__ == "__main__":
+    from hemera_indexer_spark.session import get_spark
+
+    spark = get_spark("entry-smoke", cores=4, shuffle_partitions=8)
+    df = entry(spark)
+    print("entry rows:", df.count())
+    df.show(5)

@@ -1,6 +1,7 @@
-"""LakeTable — a bucketed copy-on-write Parquet table with atomic snapshot
-commits, per-file column stats, epoch-id fencing and additive schema
-evolution.
+"""LakeTable — a bucketed Parquet table with atomic snapshot commits,
+per-file column stats, epoch-id fencing, additive schema evolution and two
+write modes: merge-on-read (delta appends + compaction; the scale default)
+and copy-on-write (bucket rewrite).
 
 This is the engine's Iceberg: the container ships no Iceberg jar, so the
 subset of Iceberg semantics the CDC engine needs is implemented on public
@@ -115,7 +116,7 @@ class LakeTable:
             "seq_col": seq_col,
             "files": [],
             "manifest": {"epoch_id": -1, "offsets": {}, "lineage": []},
-            "properties": properties or {},
+            "properties": {"write_mode": "mor", **(properties or {})},
         }
         t._write_snapshot(snap, expected_parent=None)
         return t
@@ -185,9 +186,12 @@ class LakeTable:
         self._snapshot = snap
 
     def _file_stats(self, paths: list[str], bucket_of: dict[str, int]) -> list[dict]:
-        """Read rows + min/max(seq) from Parquet footers (no data scan)."""
-        out = []
-        for p in paths:
+        """Read rows + min/max(seq) from Parquet footers (no data scan).
+        Footer reads are I/O-bound and GIL-releasing — a thread pool keeps
+        this out of the driver's serial critical path."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(p: str) -> dict:
             md = pq.read_metadata(p)
             mn, mx, rows = None, None, md.num_rows
             try:
@@ -200,20 +204,22 @@ class LakeTable:
                         mx = st.max if mx is None else max(mx, st.max)
             except ValueError:
                 pass
-            out.append(
-                {
-                    "path": os.path.relpath(p, self.root),
-                    "bucket": bucket_of[p],
-                    "rows": rows,
-                    "min_seq": mn,
-                    "max_seq": mx,
-                }
-            )
-        return out
+            return {
+                "path": os.path.relpath(p, self.root),
+                "bucket": bucket_of[p],
+                "rows": rows,
+                "min_seq": mn,
+                "max_seq": mx,
+            }
 
-    def _write_data(self, df: DataFrame, version: int) -> list[dict]:
+        if len(paths) <= 4:
+            return [one(p) for p in paths]
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            return list(ex.map(one, paths))
+
+    def _write_data(self, df: DataFrame, version: int, kind: str = "base") -> list[dict]:
         """Write df (must carry ``_bucket``) partitioned by bucket; return
-        file stat entries.
+        file stat entries tagged ``kind`` ('base' | 'delta').
 
         The directory carries a per-attempt UUID so a commit attempt based on
         a stale snapshot can never clobber files referenced by a committed
@@ -236,13 +242,18 @@ class LakeTable:
                         p = os.path.join(dd, fn)
                         entries.append(p)
                         bucket_of[p] = b
-        return self._file_stats(entries, bucket_of)
+        stats = self._file_stats(entries, bucket_of)
+        for s in stats:
+            s["kind"] = kind
+        return stats
 
     # ------------------------------------------------------------ read path
-    def read(self, buckets: set[int] | None = None, seq_at_least: int | None = None) -> DataFrame:
-        """Scan the table (optionally restricted to buckets / to files whose
-        max(seq) >= seq_at_least via footer-stat pruning). Old files missing
-        evolved columns yield NULLs (schema-on-read)."""
+    def _select_files(
+        self,
+        buckets: set[int] | None = None,
+        seq_at_least: int | None = None,
+        kind: str | None = None,
+    ) -> list[dict]:
         files = self.snapshot["files"]
         if buckets is not None:
             files = [f for f in files if f["bucket"] in buckets]
@@ -252,14 +263,59 @@ class LakeTable:
                 for f in files
                 if f["max_seq"] is None or f["max_seq"] >= seq_at_least
             ]
+        if kind is not None:
+            files = [f for f in files if f.get("kind", "base") == kind]
+        return files
+
+    def read(
+        self,
+        buckets: set[int] | None = None,
+        seq_at_least: int | None = None,
+        kind: str | None = None,
+    ) -> DataFrame:
+        """RAW scan of data files (optionally restricted to buckets / to
+        files whose max(seq) >= seq_at_least via footer-stat pruning / to one
+        file kind). Under merge-on-read a key may appear in several files —
+        use ``current_state`` for the resolved view. Old files missing
+        evolved columns yield NULLs (schema-on-read)."""
+        files = self._select_files(buckets, seq_at_least, kind)
         if not files:
             return self.spark.createDataFrame([], self.schema)
         paths = [os.path.join(self.root, f["path"]) for f in files]
         return self.spark.read.schema(self.schema).parquet(*paths)
 
-    def current_state(self) -> DataFrame:
-        """The user-visible table: live rows only."""
-        return self.read().where(~F.col("is_deleted")).drop("is_deleted")
+    def _needs_reduce(self) -> bool:
+        """True when some key may appear in more than one file (delta files
+        present, or several files sharing a bucket)."""
+        seen: set[int] = set()
+        for f in self.snapshot["files"]:
+            if f.get("kind", "base") == "delta" or f["bucket"] in seen:
+                return True
+            seen.add(f["bucket"])
+        return False
+
+    def resolved(self, strategy: str = "sql") -> DataFrame:
+        """One row per key (tombstones included): LWW fold of base+delta
+        files — the merge-on-read resolve."""
+        if not self._needs_reduce():
+            return self.read()
+        state_cols = self.schema.fieldNames()
+        base = self.read(kind="base").withColumn(
+            "_bucket", bucket_col(F.col(self.key_col), self.num_buckets)
+        )
+        delta = self.read(kind="delta").withColumn(
+            "_bucket", bucket_col(F.col(self.key_col), self.num_buckets)
+        )
+        return self._lww_reduce(
+            base.withColumn("_prio", F.lit(1)),
+            delta.withColumn("_prio", F.lit(0)),
+            state_cols,
+            strategy,
+        ).drop("_bucket")
+
+    def current_state(self, strategy: str = "sql") -> DataFrame:
+        """The user-visible table: live rows only, one row per key."""
+        return self.resolved(strategy).where(~F.col("is_deleted")).drop("is_deleted")
 
     def manifest_df(self) -> DataFrame:
         from hemera_indexer_spark.schemas import MANIFEST_SCHEMA
@@ -304,21 +360,35 @@ class LakeTable:
         epoch_id: int | None = None,
         manifest: dict | None = None,
         strategy: str = "pandas",
+        touched_buckets: set[int] | None = None,
+        mode: str | None = None,
     ) -> bool:
         """LWW merge of an update batch into the table.
 
         ``updates`` columns: the table payload columns plus ``op``
         (insert|update|delete) and the seq column. Multiple rows per key are
         fine — in-batch LWW compaction and the target-vs-update upsert law
-        are the same argmax, computed in one pass over target ∪ updates
-        (the pre-MERGE compaction the reference does by hand,
-        /root/reference/indexer/utils/collection_utils.py:8-19).
+        are the same argmax (the pre-MERGE compaction the reference does by
+        hand, /root/reference/indexer/utils/collection_utils.py:8-19).
+
+        Two write modes (``mode`` overrides the table's ``write_mode``
+        property):
+
+        - ``mor`` (merge-on-read, the scale default): compact the batch
+          in-batch and APPEND it as per-bucket delta files — write cost
+          O(batch), never O(table). Readers resolve base+deltas with the
+          same LWW fold; ``compact()`` folds buckets back to base when
+          deltas pile up. This is what makes 10^10-event ingest viable:
+          a micro-batch's commit cost is independent of table size.
+        - ``cow`` (copy-on-write): fold target ∪ updates and rewrite the
+          touched buckets — heavier writes, zero read amplification.
 
         Returns False (no-op) if ``epoch_id`` is already committed (fencing).
         """
         base = self.snapshot
         if epoch_id is not None and epoch_id <= base["manifest"]["epoch_id"]:
             return False
+        mode = mode or base["properties"].get("write_mode", "mor")
         version = base["version"] + 1
         b = self.num_buckets
         key, seqc = self.key_col, self.seq_col
@@ -337,10 +407,27 @@ class LakeTable:
                 upd = upd.withColumn(c, F.lit(None).cast(schema[c].dataType))
         upd = upd.select(*state_cols).withColumn("_bucket", bucket_col(F.col(key), b))
 
-        touched = {r[0] for r in upd.select("_bucket").distinct().collect()}
+        if mode == "mor":
+            # in-batch LWW compaction only; append as delta files
+            compacted = self._lww_reduce(
+                None, upd.withColumn("_prio", F.lit(0)), state_cols, strategy
+            )
+            new_files = self._write_data(compacted, version, kind="delta")
+            return self._commit_files(base, version, new_files, set(), epoch_id, manifest)
+
+        # --- cow ---
+        # the caller (controller) usually already knows the touched buckets
+        # from its single metadata pass; a superset is fine (extra buckets
+        # are rewritten unchanged).
+        touched = (
+            set(touched_buckets)
+            if touched_buckets is not None
+            else {r[0] for r in upd.select("_bucket").distinct().collect()}
+        )
         if not touched:
             return self._commit_files(base, version, [], set(), epoch_id, manifest)
 
+        replaced = {f["path"] for f in self._select_files(buckets=touched)}
         target = self.read(buckets=touched).withColumn(
             "_bucket", bucket_col(F.col(key), b)
         )
@@ -351,27 +438,80 @@ class LakeTable:
             strategy,
         )
         new_files = self._write_data(merged, version)
-        return self._commit_files(base, version, new_files, touched, epoch_id, manifest)
+        return self._commit_files(base, version, new_files, replaced, epoch_id, manifest)
+
+    # ------------------------------------------------------------ COMPACTION
+    def delta_counts(self) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for f in self.snapshot["files"]:
+            if f.get("kind", "base") == "delta":
+                out[f["bucket"]] = out.get(f["bucket"], 0) + 1
+        return out
+
+    def compact(
+        self, buckets: set[int] | None = None, strategy: str = "pandas"
+    ) -> bool:
+        """Fold base+delta files of the given buckets (default: every bucket
+        holding deltas) into fresh base files. Pure reorganization: the
+        resolved state is unchanged; tombstones survive (they keep guarding
+        against stale replays, like the reference's reorg flags until repair
+        completes)."""
+        base = self.snapshot
+        if buckets is None:
+            buckets = set(self.delta_counts())
+        if not buckets:
+            return False
+        version = base["version"] + 1
+        state_cols = self.schema.fieldNames()
+        replaced = {f["path"] for f in self._select_files(buckets=buckets)}
+        b = self.read(buckets=buckets, kind="base").withColumn(
+            "_bucket", bucket_col(F.col(self.key_col), self.num_buckets)
+        )
+        d = self.read(buckets=buckets, kind="delta").withColumn(
+            "_bucket", bucket_col(F.col(self.key_col), self.num_buckets)
+        )
+        folded = self._lww_reduce(
+            b.withColumn("_prio", F.lit(1)),
+            d.withColumn("_prio", F.lit(0)),
+            state_cols,
+            strategy,
+        )
+        new_files = self._write_data(folded, version, kind="base")
+        return self._commit_files(base, version, new_files, replaced, None, None)
+
+    def maybe_compact(self, max_deltas: int = 8, strategy: str = "pandas") -> bool:
+        """Compact every bucket whose delta-file count reached the threshold
+        (bounds read amplification at max_deltas folds per key)."""
+        hot = {b for b, n in self.delta_counts().items() if n >= max_deltas}
+        if not hot:
+            return False
+        return self.compact(hot, strategy)
 
     def _lww_reduce(
         self,
-        target: DataFrame,
+        target: DataFrame | None,
         updates: DataFrame,
         state_cols: list[str],
         strategy: str,
     ) -> DataFrame:
         key, seqc = self.key_col, self.seq_col
         cols = state_cols + ["_bucket"]
-        both = target.select(*cols, "_prio").unionByName(updates.select(*cols, "_prio"))
+        both = updates.select(*cols, "_prio")
+        if target is not None:
+            both = target.select(*cols, "_prio").unionByName(both)
         if strategy == "sql":
             # all-JVM: partial max_by map-side, final per key; then re-bucket
+            # (without the re-bucket shuffle the aggregate output is hashed
+            # by key, so a partitionBy-bucket write would emit
+            # n_partitions × n_buckets tiny files)
+            n_part = max(int(self.spark.conf.get("spark.sql.shuffle.partitions")), 1)
             agg = both.groupBy(key).agg(
                 F.max_by(
                     F.struct(*[c for c in cols if c != key]),
                     F.struct(F.col(seqc), F.col("_prio")),
                 ).alias("_row")
             )
-            return agg.select(key, "_row.*")
+            return agg.select(key, "_row.*").repartition(n_part, "_bucket")
         # pandas: ONE shuffle on bucket; every key lives in exactly one
         # bucket, so a per-partition reduce is a correct global reduce.
         n_part = max(
@@ -424,7 +564,15 @@ class LakeTable:
         ]
         if not affected:
             return self._commit_files(base, version, [], set(), epoch_id, manifest)
-        buckets = {f["bucket"] for f in affected}
+        # a rewrite merges rows from several source files into one file per
+        # bucket; if ANY source was a delta the result must stay 'delta' so
+        # readers keep resolving against remaining base files.
+        kind = (
+            "delta"
+            if any(f.get("kind", "base") == "delta" for f in affected)
+            else "base"
+        )
+        replaced = {f["path"] for f in affected}
         paths = [os.path.join(self.root, f["path"]) for f in affected]
         df = (
             self.spark.read.schema(self.schema)
@@ -432,8 +580,66 @@ class LakeTable:
             .where(~condition)
             .withColumn("_bucket", bucket_col(F.col(self.key_col), self.num_buckets))
         )
-        new_files = self._write_data(df, version)
-        return self._commit_files(base, version, new_files, buckets, epoch_id, manifest)
+        new_files = self._write_data(df, version, kind=kind)
+        return self._commit_files(base, version, new_files, replaced, epoch_id, manifest)
+
+    def delete_keys_where(
+        self,
+        condition: F.Column,
+        seq_at_least: int | None = None,
+        epoch_id: int | None = None,
+        manifest: dict | None = None,
+    ) -> bool:
+        """Remove EVERY version of every key that has at least one row
+        matching ``condition`` — the reorg-rollback delete. Row-level
+        ``delete_where`` is not enough under merge-on-read: dropping only the
+        ``seq >= S`` rows would resurrect a key's older version from earlier
+        delta files, whereas the reference's reorg leaves the key absent
+        until repaired (reorg tombstones + leftover delete,
+        /root/reference/indexer/jobs/export_reorg_job.py:41-65).
+
+        Affected keys are found with footer-stat pruning (only files that can
+        contain ``seq >= seq_at_least`` are scanned) and removed with a
+        broadcast anti-join over all files of the affected buckets."""
+        base = self.snapshot
+        if epoch_id is not None and epoch_id <= base["manifest"]["epoch_id"]:
+            return False
+        version = base["version"] + 1
+        key = self.key_col
+        aff = (
+            self.read(seq_at_least=seq_at_least)
+            .where(condition)
+            .select(key)
+            .distinct()
+            .cache()
+        )
+        buckets = {
+            r[0]
+            for r in aff.select(
+                bucket_col(F.col(key), self.num_buckets)
+            ).distinct().collect()
+        }
+        if not buckets:
+            aff.unpersist()
+            return self._commit_files(base, version, [], set(), epoch_id, manifest)
+        affected_files = self._select_files(buckets=buckets)
+        kind = (
+            "delta"
+            if any(f.get("kind", "base") == "delta" for f in affected_files)
+            else "base"
+        )
+        replaced = {f["path"] for f in affected_files}
+        paths = [os.path.join(self.root, f["path"]) for f in affected_files]
+        df = (
+            self.spark.read.schema(self.schema)
+            .parquet(*paths)
+            .join(F.broadcast(aff), on=key, how="left_anti")
+            .withColumn("_bucket", bucket_col(F.col(key), self.num_buckets))
+        )
+        new_files = self._write_data(df, version, kind=kind)
+        ok = self._commit_files(base, version, new_files, replaced, epoch_id, manifest)
+        aff.unpersist()
+        return ok
 
     # ------------------------------------------------------------ snapshot build
     def _commit_files(
@@ -441,11 +647,11 @@ class LakeTable:
         base: dict,
         version: int,
         new_files: list[dict],
-        replaced_buckets: set[int],
+        replaced_paths: set[str],
         epoch_id: int | None,
         manifest: dict | None,
     ) -> bool:
-        kept = [f for f in base["files"] if f["bucket"] not in replaced_buckets]
+        kept = [f for f in base["files"] if f["path"] not in replaced_paths]
         snap = {
             "version": version,
             "parent": base["version"],

@@ -1,0 +1,234 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are pure DataFrame compositions (exploded inverted indexes +
+joins + aggregates) so Catalyst plans the shuffles; no Python in the hot
+path. Hash primitives are md5-hex (shared verbatim by the DuckDB oracles),
+compared lexicographically — engine-portable "min-hash" without relying on
+any engine-specific 64-bit hash.
+
+Scale notes (100 TB): shingle explosion multiplies rows by ~n_tokens; the
+inverted-index join shuffles on the shingle/band key, whose cardinality is
+huge (good distribution) but can contain hot shingles — the ``df_filter``
+frequency cut below is the standard mitigation (drop shingles appearing in
+more than ``max_df`` docs: they only generate candidate pairs that jaccard
+verification would reject anyway, and they are exactly the skewed keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hemera_indexer_spark.operators.text import fingerprint
+
+
+# ------------------------------------------------------------------ exact
+def exact_duplicate_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: clusters of identical normalized text.
+    Returns (fp, cluster_size, min_doc_id) for clusters with size >= 2."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("cluster_size") >= 2)
+    )
+
+
+# ---------------------------------------------------------------- shingles
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    if n == 1:
+        sh = w
+    else:
+        # zip the word array against itself shifted by n-1: shingle i =
+        # words[i.. i+n-1] joined by '_'
+        idx = F.sequence(F.lit(0), F.size(w) - n)
+        sh = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                "_", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def _df_filter(shingles: DataFrame, max_df: int | None) -> DataFrame:
+    if max_df is None:
+        return shingles
+    hot = (
+        shingles.groupBy("shingle")
+        .count()
+        .where(F.col("count") > max_df)
+        .select("shingle")
+    )
+    return shingles.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+# ----------------------------------------------------------- n-gram jaccard
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard >= threshold, via an
+    inverted-index self-join (candidates share >=1 shingle) + verification.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    sh = word_shingles(df, id_col, text_col, n)
+    sh = _df_filter(sh, max_df)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------ minhash
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 8
+) -> DataFrame:
+    """k-permutation MinHash: h_i(doc) = min over shingles of
+    md5(i || '|' || shingle), min taken lexicographically on the hex string.
+    Engine-portable and exactly reproducible in ANSI SQL.
+    Returns (doc_id, seed, minhash)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    seeds = df.sparkSession.range(k).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle")))
+            ).alias("minhash")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding: signature rows group into ``bands`` bands of
+    k/bands rows; docs sharing any band bucket become candidates; candidates
+    are verified with exact Jaccard. Returns (doc_a, doc_b, jaccard)."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    band = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seed", "minhash"))
+                    ),
+                    lambda s: s["minhash"],
+                ),
+            ).alias("bucket")
+        )
+    )
+    a = band.alias("a")
+    b = band.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact jaccard on the same shingle sets
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------ simhash
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over word unigrams via md5 nibbles: for each of the
+    first 4 hex nibbles of md5(word), each of its 4 bits votes +1/-1; the
+    sign of each bit's total forms the fingerprint. Docs sharing a simhash
+    are near-dup candidates. ANSI-SQL-portable (nibble value via
+    strpos('0123..f', ch)). Returns (doc_id, simhash)."""
+    w = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    ).alias("word")
+    tok = df.select(F.col(id_col).alias("doc_id"), w).where(F.col("word") != "")
+    h = F.md5(F.col("word"))
+    hexmap = "0123456789abcdef"
+    bit_sums = []
+    for nib in range(4):
+        nib_val = F.instr(F.lit(hexmap), F.substring(h, nib + 1, 1)) - 1
+        for b in range(4):
+            bit = F.floor(nib_val / (2 ** b)) % 2
+            bit_sums.append(
+                F.sum(bit * 2 - 1).alias(f"s_{nib * 4 + b}")
+            )
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("int").alias("simhash"))

@@ -1,0 +1,76 @@
+"""Last-writer-wins compaction — the engine's core operator.
+
+Analog of ``distinct_collections_by_group(..., max_key="block_number")``
+(/root/reference/indexer/utils/collection_utils.py:8-19), used by the
+reference before every state-table upsert
+(/root/reference/indexer/jobs/export_token_balances_job.py:66-86). Three
+physical forms, all one logical operator "argmax per key by version":
+
+- ``lww_latest`` — ``groupBy(keys).agg(max_by(payload, version))``. The
+  default: all-JVM, whole-stage codegen, and crucially **map-side partial
+  aggregation**, which already bounds skew (a hot key is pre-combined within
+  every input partition before the shuffle).
+- ``lww_latest_window`` — ``row_number() == 1`` over a window. Same result;
+  shuffles the full payload and sorts per partition. Kept because it also
+  yields ranks when N>1 is wanted.
+- ``lww_latest_salted`` — explicit two-phase argmax for *pathological* skew:
+  partial argmax per (key, salt), final argmax per key. With max_by the
+  built-in partial aggregation usually makes this unnecessary; it exists for
+  the window form and as the documented fallback (SURVEY.md §4 custom work
+  #2).
+
+Tie-breaking: ``version`` may be a struct column for deterministic composite
+ordering, e.g. ``F.struct("seq", "file_order")``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lww_latest(
+    df: DataFrame, keys: list[str], version: Column, payload: list[str]
+) -> DataFrame:
+    """One row per key: the payload columns of the row with max version."""
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.max_by(F.struct(*payload), version).alias("_row"),
+            F.max(version).alias("_v"),
+        )
+        .select(*keys, "_row.*")
+    )
+
+
+def lww_latest_window(
+    df: DataFrame, keys: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """row_number()==1 over Window.partitionBy(keys).orderBy(desc ...)."""
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def lww_latest_salted(
+    df: DataFrame,
+    keys: list[str],
+    version: Column,
+    payload: list[str],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-phase argmax: per-(key, salt) partial, then per-key final.
+    Bounds the largest shuffle partition for pathologically hot keys."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.rand(seed=7)), F.lit(num_salts))
+    )
+    partial = (
+        salted.groupBy(*keys, "_salt")
+        .agg(F.max_by(F.struct(*payload), version).alias("_row"), F.max(version).alias("_v"))
+        .select(*keys, "_v", "_row.*")
+    )
+    # final phase re-runs the same argmax on at most num_salts rows per key
+    return lww_latest(partial, keys, F.col("_v"), payload)

@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_force_topk`` — exact cosine top-k: the baseline. The dot product
+  runs JVM-side via ``zip_with`` + ``aggregate`` (no Python). Query set is
+  broadcast; candidates stream. At 100 TB-scale this is the per-partition
+  inner loop of any ANN scheme, so it must be shuffle-free: broadcast the
+  queries, compute scores in the scan stage, take top-k per query with one
+  window shuffle on query_id (small: n_queries × n_candidates rows reduce to
+  k per query via partial top-k in AQE).
+- ``anchor_lsh_buckets`` / ``anchor_lsh_topk`` — the scale path: random-
+  hyperplane LSH where the hyperplanes are ANCHOR VECTORS drawn
+  deterministically from the dataset itself (first ``n_anchors`` vec_ids),
+  so the Spark engine and any SQL oracle derive identical buckets without a
+  shared RNG. Candidates = same bucket; exact cosine re-ranks within bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query id (queries drawn from the
+    same table; self-matches excluded). Returns (query_id, rank, neighbor_id,
+    cos_sim rounded to 4dp); rank ties broken by neighbor_id."""
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def anchor_lsh_buckets(
+    emb: DataFrame,
+    n_anchors: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit LSH bucket per vector: bit i = (dot(v, anchor_i) >= 0) where
+    anchor_i is the embedding of the i-th smallest vec_id. Returns
+    (vec_id, bucket:int)."""
+    anchors = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(n_anchors)
+        .select(F.col(id_col).alias("_aid"), F.col(vec_col).alias("_av"))
+    )
+    # rank anchors by id so bit positions are stable
+    anchors = anchors.withColumn(
+        "_bit", F.row_number().over(Window.orderBy(F.col("_aid").asc())) - 1
+    )
+    bits = (
+        emb.crossJoin(F.broadcast(anchors))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.when(dot(F.col(vec_col), F.col("_av")) >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("b"),
+            "_bit",
+        )
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("b") * F.pow(F.lit(2.0), F.col("_bit"))).cast("int").alias("bucket"))
+    )
+    return bits
+
+
+def anchor_lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_anchors: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: candidates restricted to the query's LSH bucket, exact cosine
+    re-rank inside the bucket. Returns (query_id, rank, neighbor_id,
+    cos_sim). Recall < 1 by construction; the win is that the join is
+    bucket-equi (shuffle on bucket) instead of a cross join."""
+    buckets = anchor_lsh_buckets(emb, n_anchors, id_col, vec_col)
+    embb = emb.join(buckets, emb[id_col] == buckets["vec_id"]).select(
+        F.col("vec_id"), F.col(vec_col).alias("_v"), "bucket"
+    )
+    q = embb.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        embb.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("_v"), F.col("_qv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

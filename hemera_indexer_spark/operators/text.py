@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines, all JVM-side
+(built-in pyspark.sql.functions; no Python in the hot path):
+
+- tokenization + token counting (whitespace and a BPE-ish regex),
+- quality scoring (length / stopword / punctuation ratios),
+- language ID (marker-word n-gram heuristic),
+- document fingerprinting (normalized-text hash).
+
+Each builder returns Columns so it fuses into whole-stage codegen with
+whatever scan/filter surrounds it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: runs of lowercase alphanumerics (text is lowercased
+# first). Deliberately simple so the DuckDB oracle can share it verbatim.
+BPE_TOKEN_RE = "[a-z0-9]+"
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+    "es": ("el", "los", "y", "es"),
+}
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(text), "\\s+")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish regex token count."""
+    return F.regexp_count(F.lower(text), F.lit(BPE_TOKEN_RE))
+
+
+def stopword_ratio(text: Column) -> Column:
+    w = words(F.lower(text))
+    stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return F.round(stop / F.greatest(F.size(w), F.lit(1)), 6)
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    return F.round(n_punct / F.greatest(F.length(text), F.lit(1)), 6)
+
+
+def avg_word_len(text: Column) -> Column:
+    w = words(text)
+    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.round(total / F.greatest(F.size(w), F.lit(1)), 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality: long enough, not stopword-/punct-degenerate.
+    The exact formula is arbitrary; it is pinned so the oracle can mirror it."""
+    n = token_count_ws(text)
+    length_term = F.least(n / F.lit(20.0), F.lit(1.0))
+    stop_term = F.lit(1.0) - stopword_ratio(text)
+    punct_term = F.lit(1.0) - punct_ratio(text)
+    return F.round(
+        F.lit(0.4) * length_term + F.lit(0.3) * stop_term + F.lit(0.3) * punct_term,
+        6,
+    )
+
+
+def lang_marker_score(text: Column, lang: str) -> Column:
+    w = words(F.lower(text))
+    return F.size(F.filter(w, lambda x: x.isin(*LANG_MARKERS[lang])))
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language heuristic: argmax of marker counts with a
+    deterministic tie order (en > de > fr > es), 'und' (undetermined) when
+    no marker hits."""
+    scores = [(lang, lang_marker_score(text, lang)) for lang in LANG_MARKERS]
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    expr = F.lit("und")
+    # first language (in declaration order) achieving the max wins
+    for lang, s in reversed(scores):
+        expr = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text —
+    the cheap canonical-form hash used for exact-dup detection."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), "\\s+", " "))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count_ws(t).alias("n_tok_ws"),
+        token_count_bpe(t).alias("n_tok_bpe"),
+        stopword_ratio(t).alias("stop_ratio"),
+        punct_ratio(t).alias("punct_ratio"),
+        avg_word_len(t).alias("avg_word_len"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
+    )

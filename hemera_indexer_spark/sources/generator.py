@@ -83,6 +83,90 @@ def _event_arrow_schema(with_lang: bool) -> pa.schema:
     return pa.schema(fields)
 
 
+def generate_changelog_fast(out_dir: str, spec: ChangelogSpec) -> GeneratedLog:
+    """Vectorized generator for bench-scale logs (10M+ events): builds each
+    epoch column-wise in numpy / Arrow (ragged tokens via ListArray offsets),
+    no per-event Python. Same schema and layout as ``generate_changelog``;
+    duplicates/rollbacks are omitted (throughput benches measure the merge
+    path — correctness of those paths is covered by the slow generator's
+    oracle tests)."""
+    rng = np.random.default_rng(spec.seed)
+    n_hot = max(1, int(spec.n_docs * spec.hot_fraction))
+    next_seq = 1
+    result = GeneratedLog(out_dir=out_dir, spec=spec, total_events=0)
+
+    for epoch in range(spec.n_epochs):
+        with_lang = (
+            spec.schema_evolution_epoch is not None
+            and epoch >= spec.schema_evolution_epoch
+        )
+        n = spec.events_per_epoch
+        seq = np.arange(next_seq, next_seq + n, dtype=np.int64)
+        next_seq += n
+        is_hot = rng.random(n) < spec.hot_share
+        ids = np.where(
+            is_hot,
+            rng.integers(0, n_hot, n),
+            rng.integers(0, spec.n_docs, n),
+        )
+        doc_ids = np.array([f"doc_{i:08d}" for i in ids])
+        partition = (ids % spec.n_partitions).astype(np.int32)
+        draw = rng.random(n)
+        is_delete = draw >= (spec.p_insert + spec.p_update)
+        op = np.where(
+            draw < spec.p_insert, "insert", np.where(is_delete, "delete", "update")
+        )
+        tok_lens = rng.integers(1, spec.max_tokens + 1, n).astype(np.int32)
+        tok_lens[is_delete] = 0
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(tok_lens, out=offsets[1:])
+        values = rng.integers(0, spec.vocab, int(offsets[-1])).astype(np.int32)
+        tokens = pa.ListArray.from_arrays(
+            offsets, pa.array(values), mask=pa.array(is_delete)
+        )
+        n_tok = pa.array(
+            np.where(is_delete, 0, tok_lens), mask=is_delete, type=pa.int32()
+        )
+        src = pa.array(
+            np.array(SOURCES)[rng.integers(0, len(SOURCES), n)],
+            mask=is_delete,
+            type=pa.string(),
+        )
+        cols = {
+            "seq": pa.array(seq),
+            "epoch": pa.array(np.full(n, epoch, dtype=np.int64)),
+            "partition": pa.array(partition),
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "op": pa.array(op, type=pa.string()),
+            "tokens": tokens,
+            "n_tok": n_tok,
+            "source": src,
+            "rollback_to_seq": pa.nulls(n, pa.int64()),
+        }
+        if with_lang:
+            lang_null = (rng.random(n) < 0.2) | is_delete
+            cols["lang"] = pa.array(
+                np.array(spec.langs)[rng.integers(0, len(spec.langs), n)],
+                mask=lang_null,
+                type=pa.string(),
+            )
+        table = pa.Table.from_pydict(cols, schema=_event_arrow_schema(with_lang))
+        # shuffled delivery order
+        table = table.take(pa.array(rng.permutation(n)))
+        part_col = table.column("partition").to_numpy()
+        for p in range(spec.n_partitions):
+            sub = table.filter(pa.array(part_col == p))
+            if sub.num_rows == 0:
+                continue
+            path = os.path.join(out_dir, f"epoch={epoch:05d}", f"partition={p:03d}")
+            os.makedirs(path, exist_ok=True)
+            fpath = os.path.join(path, "events.parquet")
+            pq.write_table(sub, fpath, row_group_size=50_000)
+            result.files.append(fpath)
+        result.total_events += n
+    return result
+
+
 def generate_changelog(out_dir: str, spec: ChangelogSpec) -> GeneratedLog:
     rng = np.random.default_rng(spec.seed)
     n_hot = max(1, int(spec.n_docs * spec.hot_fraction))
@@ -190,7 +274,7 @@ def generate_changelog(out_dir: str, spec: ChangelogSpec) -> GeneratedLog:
             )
             os.makedirs(path, exist_ok=True)
             fpath = os.path.join(path, "events.parquet")
-            pq.write_table(table, fpath)
+            pq.write_table(table, fpath, row_group_size=50_000)
             result.files.append(fpath)
         result.total_events += len(epoch_events)
         prev_epoch_events = fresh

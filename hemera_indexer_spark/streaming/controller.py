@@ -88,12 +88,16 @@ class StreamController:
         log_dir: str,
         n_partitions: int,
         merge_strategy: str = "pandas",
+        compact_max_deltas: int = 8,
     ):
         self.spark = spark
         self.table = table
         self.log_dir = log_dir
         self.n_partitions = n_partitions
         self.merge_strategy = merge_strategy
+        # merge-on-read: fold a bucket back to base once this many delta
+        # files accumulate (bounds read amplification)
+        self.compact_max_deltas = compact_max_deltas
 
     # ------------------------------------------------------------- discovery
     def available_epochs(self) -> list[int]:
@@ -107,22 +111,79 @@ class StreamController:
         pat = os.path.join(self.log_dir, f"epoch={epoch:05d}", "partition=*", "*.parquet")
         return sorted(glob.glob(pat))
 
-    # ------------------------------------------------------- schema evolution
+    # ------------------------------------------------------- epoch metadata
     def _epoch_event_schema(self, files: list[str]) -> T.StructType:
         """Union of the declared event schema and any evolved columns found
         in the epoch's file footers."""
+        return self._epoch_meta(files)["schema"]
+
+    def _epoch_meta(self, files: list[str]) -> dict:
+        """ONE threaded pass over the epoch files' Parquet footers yields
+        everything the driver needs to plan the batch — no Spark job:
+
+        - the evolved event schema (footer schemas),
+        - per-partition lineage: row counts + max(seq) (footer column stats;
+          the partition id comes from the directory name),
+        - whether any rollback event can exist (``rollback_to_seq`` is
+          non-null exactly on rollback events, so a file whose footer says
+          null_count == num_rows provably has none).
+
+        Falls back to a Spark scan only for the rare epochs that do contain
+        rollbacks (handled by the caller)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         base = CHANGE_EVENT_SCHEMA
         known = set(base.fieldNames())
+
+        def one(f: str) -> dict:
+            md = pq.read_metadata(f)
+            sch = md.schema.to_arrow_schema()
+            extra = {
+                n: _spark_type(sch.field(n).type)
+                for n in sch.names
+                if n not in known
+            }
+            names = sch.names
+            seq_i = names.index("seq")
+            rb_i = names.index("rollback_to_seq")
+            mx, rb_nulls = None, 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(seq_i).statistics
+                if st is not None and st.has_min_max:
+                    mx = st.max if mx is None else max(mx, st.max)
+                rst = md.row_group(rg).column(rb_i).statistics
+                rb_nulls += rst.null_count if rst is not None else 0
+            part = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+            return {
+                "partition": part,
+                "rows": md.num_rows,
+                "max_seq": mx,
+                "maybe_rollback": rb_nulls < md.num_rows,
+                "extra": extra,
+            }
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            infos = list(ex.map(one, files))
         extra: dict[str, T.DataType] = {}
-        for f in files:
-            sch = pq.read_schema(f)
-            for name in sch.names:
-                if name not in known and name not in extra:
-                    extra[name] = _spark_type(sch.field(name).type)
+        per_part: dict[int, dict] = {}
+        maybe_rollback = False
+        for i in infos:
+            extra.update(i["extra"])
+            p = per_part.setdefault(
+                i["partition"], {"partition": i["partition"], "cnt": 0, "mx": None}
+            )
+            p["cnt"] += i["rows"]
+            if i["max_seq"] is not None:
+                p["mx"] = i["max_seq"] if p["mx"] is None else max(p["mx"], i["max_seq"])
+            maybe_rollback = maybe_rollback or i["maybe_rollback"]
         fields = list(base.fields) + [
             T.StructField(n, t, True) for n, t in sorted(extra.items())
         ]
-        return T.StructType(fields)
+        return {
+            "schema": T.StructType(fields),
+            "lineage": list(per_part.values()),
+            "maybe_rollback": maybe_rollback,
+        }
 
     # ------------------------------------------------------------------- run
     def run(self, max_epochs: int | None = None) -> RunStats:
@@ -140,7 +201,8 @@ class StreamController:
         if epoch <= self.table.committed_epoch():
             return EpochStats(epoch, 0, 0, 0, skipped=True)
         files = self._epoch_files(epoch)
-        ev_schema = self._epoch_event_schema(files)
+        meta = self._epoch_meta(files)
+        ev_schema = meta["schema"]
 
         # additive evolution of the state table: any event column that is not
         # engine bookkeeping and not yet in the table becomes a new payload
@@ -157,22 +219,20 @@ class StreamController:
 
         df = self.spark.read.schema(ev_schema).parquet(*files)
 
-        # rollback events are rare and tiny — collect them to the driver to
-        # plan segmentation (the reference spawns a whole reorg subprocess
-        # here; we just split the batch).
-        rollbacks = sorted(
-            df.where(F.col("op") == "rollback")
-            .select("seq", "partition", "rollback_to_seq")
-            .collect(),
-            key=lambda r: r["seq"],
-        )
-
-        # lineage: per-partition applied counts + new offsets (one cheap agg)
-        lineage_rows = (
-            df.groupBy("partition")
-            .agg(F.max("seq").alias("mx"), F.count("*").alias("cnt"))
-            .collect()
-        )
+        # rollback events are rare and tiny; the footer pass proves their
+        # absence for most epochs (rollback_to_seq all-null), so this scan —
+        # pushed down to parquet row-group stats — only runs when one may
+        # exist (the reference spawns a whole reorg subprocess here; we just
+        # split the batch).
+        rollbacks = []
+        if meta["maybe_rollback"]:
+            rollbacks = sorted(
+                df.where(F.col("rollback_to_seq").isNotNull())
+                .select("seq", "partition", "rollback_to_seq")
+                .collect(),
+                key=lambda r: r["seq"],
+            )
+        lineage_rows = meta["lineage"]
         n_events = sum(r["cnt"] for r in lineage_rows)
 
         updates = df.where(F.col("op") != "rollback")
@@ -194,9 +254,12 @@ class StreamController:
                     strategy=self.merge_strategy,
                 )
             else:
-                self.table.merge_upsert(seg, strategy=self.merge_strategy)
+                self.table.merge_upsert(
+                    seg,
+                    strategy=self.merge_strategy,
+                )
                 rb = rollbacks[i]
-                self.table.delete_where(
+                self.table.delete_keys_where(
                     (
                         log_partition_col(F.col("doc_id"), self.n_partitions)
                         == F.lit(rb["partition"])
@@ -205,6 +268,9 @@ class StreamController:
                     seq_at_least=rb["rollback_to_seq"],
                 )
                 lo = rb_seq
+        self.table.maybe_compact(
+            max_deltas=self.compact_max_deltas, strategy=self.merge_strategy
+        )
         wall = int((time.monotonic() - t0) * 1000)
         return EpochStats(epoch, n_events, len(rollbacks), wall)
 

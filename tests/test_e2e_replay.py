@@ -27,14 +27,21 @@ def _assert_state_matches_oracle(table, log_dir, n_partitions):
             assert g.get("lang") == e["lang"], g["doc_id"]
 
 
-@pytest.mark.parametrize("strategy", ["pandas", "sql"])
-def test_full_replay_matches_oracle(spark, tiny_log, tmp_path, strategy):
+@pytest.mark.parametrize(
+    "strategy,mode",
+    [("pandas", "mor"), ("sql", "mor"), ("pandas", "cow"), ("sql", "cow")],
+)
+def test_full_replay_matches_oracle(spark, tiny_log, tmp_path, strategy, mode):
     table = LakeTable.create(
-        spark, str(tmp_path / f"lake_{strategy}"), SEQUENCES_SCHEMA, num_buckets=8
+        spark,
+        str(tmp_path / f"lake_{strategy}_{mode}"),
+        SEQUENCES_SCHEMA,
+        num_buckets=8,
+        properties={"write_mode": mode},
     )
     ctl = StreamController(
         spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions,
-        merge_strategy=strategy,
+        merge_strategy=strategy, compact_max_deltas=3,
     )
     stats = ctl.run()
     assert len(stats.epochs) == tiny_log.spec.n_epochs
@@ -131,4 +138,32 @@ def test_schema_evolution_mid_stream(spark, tiny_log, tmp_path):
     n_lang = state.where(state.lang.isNotNull()).count()
     n_null = state.where(state.lang.isNull()).count()
     assert n_lang > 0 and n_null > 0
+    _assert_state_matches_oracle(table, tiny_log.out_dir, tiny_log.spec.n_partitions)
+
+
+def test_mor_compaction_preserves_state(spark, tiny_log, tmp_path):
+    """Merge-on-read: deltas accumulate; compaction folds them to base
+    without changing the resolved state."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8,
+        properties={"write_mode": "mor"},
+    )
+    # huge threshold -> no auto-compaction during the run
+    ctl = StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions,
+        compact_max_deltas=10_000,
+    )
+    ctl.run()
+    assert table.delta_counts(), "expected uncompacted delta files"
+    before = sorted(
+        (r.asDict(recursive=True) for r in table.current_state().collect()),
+        key=lambda d: d["doc_id"],
+    )
+    assert table.compact() is True
+    assert not table.delta_counts()
+    after = sorted(
+        (r.asDict(recursive=True) for r in table.current_state().collect()),
+        key=lambda d: d["doc_id"],
+    )
+    assert before == after
     _assert_state_matches_oracle(table, tiny_log.out_dir, tiny_log.spec.n_partitions)
