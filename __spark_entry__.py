@@ -384,7 +384,9 @@ def q_hex_codec(spark, sf):
 def q_month_bucketing(spark, sf):
     """date_trunc month rollup (DATE(block_timestamp) analog)."""
     o = _t(spark, sf, "orders")
-    return o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+    return o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
         F.count("*").alias("n_orders"),
         F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
     )

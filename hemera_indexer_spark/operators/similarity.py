@@ -116,8 +116,10 @@ def anchor_lsh_topk(
     cos_sim). Recall < 1 by construction; the win is that the join is
     bucket-equi (shuffle on bucket) instead of a cross join."""
     buckets = anchor_lsh_buckets(emb, n_anchors, id_col, vec_col)
-    embb = emb.join(buckets, emb[id_col] == buckets["vec_id"]).select(
-        F.col("vec_id"), F.col(vec_col).alias("_v"), "bucket"
+    embb = (
+        emb.select(F.col(id_col).alias("_eid"), F.col(vec_col).alias("_v"))
+        .join(buckets, F.col("_eid") == F.col("vec_id"))
+        .select("vec_id", "_v", "bucket")
     )
     q = embb.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
