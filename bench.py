@@ -96,7 +96,7 @@ def run_cdc(spark, n_events: int, strategy: str) -> dict:
 
     log_dir, total = _ensure_log(n_events)
     _warmup(spark)
-    lake_dir = tempfile.mkdtemp(prefix="hemera_bench_lake_")
+    lake_dir = tempfile.mkdtemp(prefix="hemera_bench_lake_", dir=os.environ.get("BENCH_LAKE_DIR"))
     try:
         # buckets ≫ cores so the per-bucket reduce/write stage load-balances
         # at every parallelism level (at 100 TB this would be in the
@@ -150,7 +150,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=CPUS)
     ap.add_argument("--events", type=int, default=int(os.environ.get("BENCH_EVENTS", "2000000")))
-    ap.add_argument("--strategy", default="pandas", choices=["pandas", "sql"])
+    ap.add_argument("--strategy", default="pandas", choices=["pandas", "sql", "arrow"])
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     args = ap.parse_args()

@@ -512,12 +512,56 @@ class LakeTable:
                 ).alias("_row")
             )
             return agg.select(key, "_row.*").repartition(n_part, "_bucket")
-        # pandas: ONE shuffle on bucket; every key lives in exactly one
-        # bucket, so a per-partition reduce is a correct global reduce.
+        # arrow / pandas: ONE shuffle on bucket; every key lives in exactly
+        # one bucket, so a per-partition reduce is a correct global reduce.
         n_part = max(
             int(self.spark.conf.get("spark.sql.shuffle.partitions")), 1
         )
         out_schema = both.drop("_prio").schema
+
+        if strategy == "arrow":
+            # mapInArrow: the argmax runs entirely in Arrow C kernels —
+            # sort_indices on (key, seq, prio) + last-of-group boundary mask
+            # + take. The token arrays are never materialized as Python
+            # objects (they ride along in the take), which is the point:
+            # payload size stops mattering to the reduce.
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            def reduce_arrow(it):
+                batches = list(it)
+                if not batches:
+                    return
+                t = pa.Table.from_batches(batches)
+                n = t.num_rows
+                if n == 0:
+                    return
+                idx = pc.sort_indices(
+                    t,
+                    sort_keys=[
+                        (key, "ascending"),
+                        (seqc, "ascending"),
+                        ("_prio", "ascending"),
+                    ],
+                )
+                # keep the LAST row of each key group (max seq, then prio)
+                k = pc.take(t.column(key), idx).combine_chunks()
+                if n == 1:
+                    mask = pa.array([True])
+                else:
+                    is_last = pc.not_equal(k.slice(0, n - 1), k.slice(1))
+                    mask = pa.concat_arrays(
+                        [is_last.cast(pa.bool_()), pa.array([True])]
+                    )
+                keep = pc.filter(idx, mask)
+                out = t.take(keep).drop_columns(["_prio"])
+                for b in out.to_batches(max_chunksize=65536):
+                    yield b
+
+            return (
+                both.repartition(n_part, "_bucket")
+                .mapInArrow(reduce_arrow, schema=out_schema)
+            )
 
         def reduce_partition(it):
             partials = []

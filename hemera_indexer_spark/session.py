@@ -60,6 +60,11 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # On a real cluster shuffle I/O scales with executor count (each node
+        # brings its own disks); in single-box local mode a tmpfs scratch dir
+        # ($SPARK_LOCAL_DIR) is the honest proxy for that when measuring
+        # core-scaling. Defaults to the system temp dir.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIR", "/tmp"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
