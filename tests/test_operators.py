@@ -202,3 +202,24 @@ def test_json_range_sink(spark, tmp_path):
     write_range_files(df, out, seqs_per_file=50, fmt="json")
     back = spark.read.json(f"{out}/range_id=*")
     assert back.count() == 100
+
+
+def test_binary_decode_roundtrip(spark):
+    from hemera_indexer_spark.operators.decode import decode_records, encode_records
+
+    df = spark.range(1, 501).select(
+        F.col("id").alias("seq"),
+        F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.col("id") * 7)), 40, "0")).alias(
+            "address"
+        ),
+        (F.col("id") * 1_000_003).alias("amount"),
+    )
+    packed = encode_records(df, "seq", "address", "amount")
+    decoded = decode_records(packed)
+    got = {r["seq"]: r for r in decoded.collect()}
+    exp = {r["seq"]: r for r in df.collect()}
+    assert len(got) == 500
+    for s, e in exp.items():
+        g = got[s]
+        assert g["address"] == e["address"]
+        assert int(g["amount"]) == e["amount"]
