@@ -160,7 +160,7 @@ def main() -> None:
 
     from hemera_indexer_spark.session import get_spark
 
-    spark = get_spark("bench", cores=args.cores, shuffle_partitions=max(args.cores, 8))
+    spark = get_spark("bench", cores=args.cores, shuffle_partitions=max(2 * args.cores, 16))
     cdc = run_cdc(spark, args.events, args.strategy)
     queries = {} if args.cdc_only else run_queries(spark, SF_DIR)
     line = {

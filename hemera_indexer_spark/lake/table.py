@@ -284,34 +284,44 @@ class LakeTable:
         paths = [os.path.join(self.root, f["path"]) for f in files]
         return self.spark.read.schema(self.schema).parquet(*paths)
 
-    def _needs_reduce(self) -> bool:
-        """True when some key may appear in more than one file (delta files
-        present, or several files sharing a bucket)."""
+    def _dirty_buckets(self) -> set[int]:
+        """Buckets where a key may appear in more than one file (a delta
+        file, or several files of any kind)."""
         seen: set[int] = set()
+        dirty: set[int] = set()
         for f in self.snapshot["files"]:
-            if f.get("kind", "base") == "delta" or f["bucket"] in seen:
-                return True
-            seen.add(f["bucket"])
-        return False
+            b = f["bucket"]
+            if f.get("kind", "base") == "delta" or b in seen:
+                dirty.add(b)
+            seen.add(b)
+        return dirty
 
     def resolved(self, strategy: str = "sql") -> DataFrame:
         """One row per key (tombstones included): LWW fold of base+delta
-        files — the merge-on-read resolve."""
-        if not self._needs_reduce():
+        files — the merge-on-read resolve. Only DIRTY buckets (those holding
+        deltas / several files) pay the fold; clean buckets stream straight
+        from their single base file — at scale most buckets are clean most
+        of the time."""
+        dirty = self._dirty_buckets()
+        if not dirty:
             return self.read()
         state_cols = self.schema.fieldNames()
-        base = self.read(kind="base").withColumn(
+        base = self.read(buckets=dirty, kind="base").withColumn(
             "_bucket", bucket_col(F.col(self.key_col), self.num_buckets)
         )
-        delta = self.read(kind="delta").withColumn(
+        delta = self.read(buckets=dirty, kind="delta").withColumn(
             "_bucket", bucket_col(F.col(self.key_col), self.num_buckets)
         )
-        return self._lww_reduce(
+        folded = self._lww_reduce(
             base.withColumn("_prio", F.lit(1)),
             delta.withColumn("_prio", F.lit(0)),
             state_cols,
             strategy,
         ).drop("_bucket")
+        clean = {f["bucket"] for f in self.snapshot["files"]} - dirty
+        if not clean:
+            return folded
+        return self.read(buckets=clean).unionByName(folded)
 
     def current_state(self, strategy: str = "sql") -> DataFrame:
         """The user-visible table: live rows only, one row per key."""
@@ -558,9 +568,8 @@ class LakeTable:
                 for b in out.to_batches(max_chunksize=65536):
                     yield b
 
-            return (
-                both.repartition(n_part, "_bucket")
-                .mapInArrow(reduce_arrow, schema=out_schema)
+            return both.repartition(F.col("_bucket")).mapInArrow(
+                reduce_arrow, schema=out_schema
             )
 
         def reduce_partition(it):
@@ -578,9 +587,8 @@ class LakeTable:
             allp = allp.drop_duplicates(subset=[key], keep="last")
             yield allp.drop(columns=["_prio"])
 
-        return (
-            both.repartition(n_part, "_bucket")
-            .mapInPandas(reduce_partition, schema=out_schema)
+        return both.repartition(F.col("_bucket")).mapInPandas(
+            reduce_partition, schema=out_schema
         )
 
     # ------------------------------------------------------------ DELETE
