@@ -150,7 +150,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=CPUS)
     ap.add_argument("--events", type=int, default=int(os.environ.get("BENCH_EVENTS", "2000000")))
-    ap.add_argument("--strategy", default="pandas", choices=["pandas", "sql", "arrow"])
+    ap.add_argument("--strategy", default="arrow", choices=["arrow", "pandas", "sql"])
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     args = ap.parse_args()

@@ -42,15 +42,21 @@ The MERGE itself implements the upsert law of SURVEY.md §7: survivor per key
 sequence number with target-wins-on-tie, so replaying a batch is a no-op.
 Deletes become tombstone rows (``is_deleted=True`` keeping ``(doc_id, seq)``,
 the analog of the reference's ``reorg`` boolean column) so stale replays
-cannot resurrect deleted rows. Two physical strategies:
+cannot resurrect deleted rows. Three physical strategies for the same
+logical argmax (ONE shuffle on the storage bucket for arrow/pandas — every
+key lives in exactly one bucket, so a per-partition reduce is a correct
+global reduce, and the output lands pre-clustered for the partitioned
+write):
 
-- ``pandas``  (default) — ONE shuffle: repartition by storage bucket, then a
-  per-partition vectorized Arrow/pandas reduce (``mapInPandas`` with
-  streaming partial aggregation, no per-row Python). Output is already
-  partitioned by bucket for the write.
-- ``sql`` — ``groupBy(key).agg(max_by(...))``: all-JVM, whole-stage codegen,
-  map-side partial aggregation (skew-resistant); costs a second shuffle to
-  re-bucket for the write. Kept for benchmarking both paths.
+- ``arrow`` (default) — ``mapInArrow``: sort_indices + boundary-mask + take
+  entirely in Arrow C kernels; the token payload never materializes as
+  Python objects, so payload width stops mattering to the reduce.
+- ``pandas`` — ``mapInPandas`` streaming partial reduce (same shape, pandas
+  semantics; kept for comparison and as the reference implementation of the
+  pattern).
+- ``sql`` — ``groupBy(key).agg(max_by(...))``: all-JVM whole-stage codegen
+  with map-side partial aggregation (skew-resistant); pays a second shuffle
+  to re-bucket for the write.
 """
 
 from __future__ import annotations
@@ -369,7 +375,7 @@ class LakeTable:
         updates: DataFrame,
         epoch_id: int | None = None,
         manifest: dict | None = None,
-        strategy: str = "pandas",
+        strategy: str = "arrow",
         touched_buckets: set[int] | None = None,
         mode: str | None = None,
     ) -> bool:
@@ -459,7 +465,7 @@ class LakeTable:
         return out
 
     def compact(
-        self, buckets: set[int] | None = None, strategy: str = "pandas"
+        self, buckets: set[int] | None = None, strategy: str = "arrow"
     ) -> bool:
         """Fold base+delta files of the given buckets (default: every bucket
         holding deltas) into fresh base files. Pure reorganization: the
@@ -489,7 +495,7 @@ class LakeTable:
         new_files = self._write_data(folded, version, kind="base")
         return self._commit_files(base, version, new_files, replaced, None, None)
 
-    def maybe_compact(self, max_deltas: int = 8, strategy: str = "pandas") -> bool:
+    def maybe_compact(self, max_deltas: int = 8, strategy: str = "arrow") -> bool:
         """Compact every bucket whose delta-file count reached the threshold
         (bounds read amplification at max_deltas folds per key)."""
         hot = {b for b, n in self.delta_counts().items() if n >= max_deltas}

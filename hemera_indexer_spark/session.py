@@ -51,8 +51,16 @@ def get_spark(
         # when partitions ≪ cores (files are written with 50k-row groups)
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+            os.environ.get(
+                "SPARK_MAX_PARTITION_BYTES",
+                # scan splits must outnumber cores even for modest inputs:
+                # scale split size inversely with parallelism
+                str(max(128 // n, 8) * 1024 * 1024),
+            ),
         )
+        # less aggressive AQE post-shuffle coalescing: target partition
+        # sizes small enough that reduce-stage task count tracks cores
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         # fewer, larger Arrow batches through the pandas-UDF reduce
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",

@@ -87,7 +87,7 @@ class StreamController:
         table: LakeTable,
         log_dir: str,
         n_partitions: int,
-        merge_strategy: str = "pandas",
+        merge_strategy: str = "arrow",
         compact_max_deltas: int = 8,
     ):
         self.spark = spark

@@ -29,7 +29,14 @@ def _assert_state_matches_oracle(table, log_dir, n_partitions):
 
 @pytest.mark.parametrize(
     "strategy,mode",
-    [("pandas", "mor"), ("sql", "mor"), ("pandas", "cow"), ("sql", "cow")],
+    [
+        ("arrow", "mor"),
+        ("pandas", "mor"),
+        ("sql", "mor"),
+        ("arrow", "cow"),
+        ("pandas", "cow"),
+        ("sql", "cow"),
+    ],
 )
 def test_full_replay_matches_oracle(spark, tiny_log, tmp_path, strategy, mode):
     table = LakeTable.create(
