@@ -174,3 +174,34 @@ def test_mor_compaction_preserves_state(spark, tiny_log, tmp_path):
     )
     assert before == after
     _assert_state_matches_oracle(table, tiny_log.out_dir, tiny_log.spec.n_partitions)
+
+
+def test_multi_tenant_column(spark, tmp_path):
+    """Multi-tenant sink analog (the reference's address exporter appends a
+    chain_id column): a tenant literal becomes an evolved payload column;
+    rows from different tenants coexist keyed by tenant-scoped doc_ids."""
+    import pyspark.sql.functions as F
+
+    from hemera_indexer_spark.schemas import CHANGE_EVENT_SCHEMA
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    table.evolve_schema(
+        [__import__("pyspark.sql.types", fromlist=["T"]).StructField(
+            "chain_id", __import__("pyspark.sql.types", fromlist=["T"]).LongType(), True
+        )]
+    )
+    base = spark.createDataFrame(
+        [(1, "doc_1_00000001", "insert", [1, 2], 2, "web"),
+         (2, "doc_2_00000001", "insert", [3], 1, "web")],
+        "seq long, doc_id string, op string, tokens array<int>, n_tok int, source string",
+    )
+    for chain in (1, 2):
+        upd = base.where(F.col("doc_id").startswith(f"doc_{chain}")).withColumn(
+            "chain_id", F.lit(chain).cast("long")
+        )
+        table.merge_upsert(upd)
+    rows = {r["doc_id"]: r for r in table.current_state().collect()}
+    assert rows["doc_1_00000001"]["chain_id"] == 1
+    assert rows["doc_2_00000001"]["chain_id"] == 2
