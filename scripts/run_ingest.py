@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""CLI entry point for the CDC ingest engine — the spark-submit surface.
+
+Cluster:
+    python scripts/make_pyfiles.py          # builds dist/hemera_indexer_spark.zip
+    spark-submit --py-files dist/hemera_indexer_spark.zip \
+        scripts/run_ingest.py --log-dir /data/changelog --table-root /lake/sequences \
+        --partitions 64 --num-buckets 4096
+
+Local (no spark-submit needed):
+    python scripts/run_ingest.py --log-dir ... --table-root ... --cores 32
+
+Resumes from the table's checkpoint manifest automatically; prints
+per-partition lineage and throughput on completion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-dir", required=True)
+    ap.add_argument("--table-root", required=True)
+    ap.add_argument("--partitions", type=int, required=True, help="change-log partitions")
+    ap.add_argument("--num-buckets", type=int, default=128)
+    ap.add_argument("--cores", type=int, default=None, help="local-mode parallelism")
+    ap.add_argument("--strategy", default="arrow", choices=["arrow", "pandas", "sql"])
+    ap.add_argument("--mode", default="mor", choices=["mor", "cow"])
+    ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument("--compact-max-deltas", type=int, default=8)
+    ap.add_argument("--streaming", action="store_true",
+                    help="drive with Structured Streaming (availableNow) instead of the batch loop")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:  # under spark-submit the session config is external
+        spark = active
+    else:
+        from hemera_indexer_spark.session import get_spark
+
+        spark = get_spark("hemera-ingest", cores=args.cores)
+
+    from hemera_indexer_spark.lake import LakeTable
+    from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+
+    if os.path.exists(os.path.join(args.table_root, "meta", "VERSION")):
+        table = LakeTable.load(spark, args.table_root)
+    else:
+        table = LakeTable.create(
+            spark,
+            args.table_root,
+            SEQUENCES_SCHEMA,
+            num_buckets=args.num_buckets,
+            properties={"write_mode": args.mode},
+        )
+
+    t0 = time.monotonic()
+    if args.streaming:
+        from hemera_indexer_spark.streaming.structured import StructuredIngest
+
+        q = StructuredIngest(
+            spark, table, args.log_dir, args.partitions,
+            checkpoint_dir=os.path.join(args.table_root, "_stream_ckpt"),
+            merge_strategy=args.strategy,
+            compact_max_deltas=args.compact_max_deltas,
+        ).start(available_now=True)
+        q.awaitTermination()
+        events = None
+    else:
+        from hemera_indexer_spark.streaming import StreamController
+
+        stats = StreamController(
+            spark, table, args.log_dir, args.partitions,
+            merge_strategy=args.strategy,
+            compact_max_deltas=args.compact_max_deltas,
+        ).run(max_epochs=args.max_epochs)
+        events = stats.total_events
+    wall = time.monotonic() - t0
+
+    table.refresh()
+    out = {
+        "committed_epoch": table.committed_epoch(),
+        "offsets": table.committed_offsets(),
+        "wall_sec": round(wall, 2),
+        "lineage": table.snapshot["manifest"]["lineage"],
+    }
+    if events:
+        out["events"] = events
+        out["events_per_sec"] = round(events / wall, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
