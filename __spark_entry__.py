@@ -393,6 +393,32 @@ def q_month_bucketing(spark, sf):
 
 
 # ----------------------------------------------------------- dedup suite
+def q_word_freq_explode(spark, sf):
+    """explode + groupBy aggregate (ERC1155 in-log batch-sum analog,
+    token_transfer.py:221-224): word frequencies over documents."""
+    d = _t(spark, sf, "documents")
+    w = F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("word")
+    return (
+        d.select(w)
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_prefix_match(spark, sf):
+    """Calldata-prefix predicate analog (specification.py:85-92):
+    startswith filter + grouped counts."""
+    from hemera_indexer_spark.plans.specification import prefix_match
+
+    ev = _t(spark, sf, "events")
+    return (
+        ev.where(prefix_match("props", '{"k": 1'))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_dedup_exact(spark, sf):
     from hemera_indexer_spark.operators.dedup import exact_duplicate_clusters
 
@@ -504,6 +530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_dedup": q_union_dedup,
         "hex_codec": q_hex_codec,
         "month_bucketing": q_month_bucketing,
+        "word_freq_explode": q_word_freq_explode,
+        "prefix_match": q_prefix_match,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -705,6 +733,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
             FROM orders GROUP BY 1
+        """,
+        "word_freq_explode": """
+            SELECT word, COUNT(*) AS n FROM (
+                SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+                FROM documents
+            ) WHERE word <> '' GROUP BY word
+        """,
+        "prefix_match": """
+            SELECT event_type, COUNT(*) AS n
+            FROM events
+            WHERE props LIKE '{"k": 1%'
+            GROUP BY event_type
         """,
         "dedup_exact": """
             SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
