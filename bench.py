@@ -195,8 +195,15 @@ def run_scaling(args) -> None:
                 "--cdc-only",
             ]
             out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
-            last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            r = json.loads(last)
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                print(
+                    f"# subprocess cores={cores} produced no result; stderr tail:\n"
+                    + "\n".join(out.stderr.splitlines()[-15:]),
+                    file=sys.stderr,
+                )
+                continue
+            r = json.loads(lines[-1])
             if cores not in results or r["events_per_sec"] > results[cores]["events_per_sec"]:
                 results[cores] = r
     lo, hi = results[n_lo], results[n_hi]
