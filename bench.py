@@ -149,6 +149,10 @@ def run_queries(spark, sf_dir: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument("--executors", type=int, default=None,
+                    help="use local-cluster[N, exec-cores, exec-mem]: N real executor JVMs")
+    ap.add_argument("--exec-cores", type=int, default=7)
+    ap.add_argument("--exec-mem-mb", type=int, default=6144)
     ap.add_argument("--events", type=int, default=int(os.environ.get("BENCH_EVENTS", "2000000")))
     ap.add_argument("--strategy", default="arrow", choices=["arrow", "pandas", "sql"])
     ap.add_argument("--cdc-only", action="store_true")
@@ -160,7 +164,15 @@ def main() -> None:
 
     from hemera_indexer_spark.session import get_spark
 
-    spark = get_spark("bench", cores=args.cores, shuffle_partitions=max(2 * args.cores, 16))
+    if args.executors:
+        total = args.executors * args.exec_cores
+        spark = get_spark(
+            "bench",
+            shuffle_partitions=max(2 * total, 16),
+            executors=(args.executors, args.exec_cores, args.exec_mem_mb),
+        )
+    else:
+        spark = get_spark("bench", cores=args.cores, shuffle_partitions=max(2 * args.cores, 16))
     cdc = run_cdc(spark, args.events, args.strategy)
     queries = {} if args.cdc_only else run_queries(spark, SF_DIR)
     line = {
@@ -172,6 +184,7 @@ def main() -> None:
         "final_rows": cdc["final_rows"],
         "strategy": args.strategy,
         "cores": args.cores,
+        "executors": args.executors,
         "queries": queries,
         "sf": _sf_of(SF_DIR),
     }
@@ -179,8 +192,16 @@ def main() -> None:
 
 
 def run_scaling(args) -> None:
-    """Same job, same input, two parallelism levels → efficiency report."""
-    n_lo = int(os.environ.get("BENCH_SCALE_N", "8"))
+    """Same job, same input, two cluster sizes → efficiency report.
+
+    Two emulations of "N vs 4N executors" on one box:
+    - BENCH_SCALE_EXECUTORS=1: local-cluster[1|4, exec-cores, mem] — REAL
+      separate executor JVMs (own memory pools, Python workers, shuffle
+      endpoints); the faithful cluster-size proxy.
+    - default: local[N] vs local[4N] thread parallelism.
+    """
+    exec_mode = os.environ.get("BENCH_SCALE_EXECUTORS") == "1"
+    n_lo = int(os.environ.get("BENCH_SCALE_N", "1" if exec_mode else "8"))
     n_reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
     n_hi = 4 * n_lo
     results = {}
@@ -189,11 +210,20 @@ def run_scaling(args) -> None:
     # the job's scaling behavior, not the neighbors'.
     for rep in range(n_reps):
         for cores in (n_lo, n_hi):
-            cmd = [
-                sys.executable, __file__, "--cores", str(cores),
-                "--events", str(args.events), "--strategy", args.strategy,
-                "--cdc-only",
-            ]
+            if exec_mode:
+                cmd = [
+                    sys.executable, __file__, "--executors", str(cores),
+                    "--exec-cores", str(args.exec_cores),
+                    "--exec-mem-mb", str(args.exec_mem_mb),
+                    "--events", str(args.events), "--strategy", args.strategy,
+                    "--cdc-only",
+                ]
+            else:
+                cmd = [
+                    sys.executable, __file__, "--cores", str(cores),
+                    "--events", str(args.events), "--strategy", args.strategy,
+                    "--cdc-only",
+                ]
             out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
             lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
             if not lines:
@@ -208,13 +238,19 @@ def run_scaling(args) -> None:
                 results[cores] = r
     lo, hi = results[n_lo], results[n_hi]
     eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (n_hi / n_lo)
+    if exec_mode:
+        label_lo = f"{n_lo} executor(s) x {args.exec_cores} cores (local-cluster)"
+        label_hi = f"{n_hi} executor(s) x {args.exec_cores} cores (local-cluster)"
+    else:
+        label_lo, label_hi = f"local[{n_lo}]", f"local[{n_hi}]"
     report = {
-        "n_cores": n_lo,
-        "4n_cores": n_hi,
+        "n": n_lo,
+        "4n": n_hi,
+        "unit": "executors" if exec_mode else "cores",
         "events": args.events,
         "strategy": args.strategy,
-        f"events_per_sec_local[{n_lo}]": lo["events_per_sec"],
-        f"events_per_sec_local[{n_hi}]": hi["events_per_sec"],
+        f"events_per_sec[{label_lo}]": lo["events_per_sec"],
+        f"events_per_sec[{label_hi}]": hi["events_per_sec"],
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(report))
@@ -222,11 +258,10 @@ def run_scaling(args) -> None:
         f.write(
             f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
             f"Same CDC replay job, same input ({args.events} events, strategy="
-            f"{args.strategy}), two parallelism levels (the sandbox stand-in "
-            f"for N vs 4N executors):\n\n"
-            f"| parallelism | events/sec |\n|---|---|\n"
-            f"| local[{n_lo}] | {lo['events_per_sec']} |\n"
-            f"| local[{n_hi}] | {hi['events_per_sec']} |\n\n"
+            f"{args.strategy}), two cluster sizes:\n\n"
+            f"| cluster size | events/sec |\n|---|---|\n"
+            f"| {label_lo} | {lo['events_per_sec']} |\n"
+            f"| {label_hi} | {hi['events_per_sec']} |\n\n"
             f"Scaling efficiency (speedup / 4): **{eff:.3f}**\n"
         )
 

@@ -18,14 +18,24 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    executors: tuple[int, int, int] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     cores: parallelism for local mode; defaults to $SPARK_GRAFT_CPUS or '*'.
     shuffle_partitions: defaults to max(cores, 32) — match cores locally, NOT
     the 200 default (wrong at both ends; see SURVEY.md §4).
+    executors: (num_executors, cores_each, memory_mb) → use Spark's
+    ``local-cluster`` master: N REAL executor JVMs with their own memory
+    pools, Python workers and BlockManager shuffle endpoints — the faithful
+    in-sandbox emulation of an N-executor cluster (``local[N]`` threads
+    share one JVM and conflate executor scaling with thread scaling).
     """
-    if cores is None:
+    if executors is not None:
+        n_exec, cores_each, mem_mb = executors
+        master = f"local-cluster[{n_exec},{cores_each},{mem_mb}]"
+        n = n_exec * cores_each
+    elif cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"
         n = int(env) if env else (os.cpu_count() or 8)
@@ -75,6 +85,12 @@ def get_spark(
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIR", "/tmp"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if executors is not None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder.config("spark.executor.memory", f"{executors[2]}m")
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
