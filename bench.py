@@ -153,7 +153,7 @@ def main() -> None:
                     help="use local-cluster[N, exec-cores, exec-mem]: N real executor JVMs")
     ap.add_argument("--exec-cores", type=int, default=7)
     ap.add_argument("--exec-mem-mb", type=int, default=6144)
-    ap.add_argument("--events", type=int, default=int(os.environ.get("BENCH_EVENTS", "2000000")))
+    ap.add_argument("--events", type=int, default=int(os.environ.get("BENCH_EVENTS", "8000000")))
     ap.add_argument("--strategy", default="arrow", choices=["arrow", "pandas", "sql"])
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
