@@ -426,10 +426,17 @@ def q_dedup_exact(spark, sf):
 
 
 def q_dedup_jaccard(spark, sf):
+    """Exact n-gram Jaccard with the document-frequency skew guard applied:
+    shingles appearing in more than max(5, 1% of docs) documents are the hot
+    join keys that make the inverted-index self-join quadratic, and the
+    pairs they generate fail verification anyway. The oracle applies the
+    identical cut."""
     from hemera_indexer_spark.operators.dedup import jaccard_pairs
 
+    docs = _t(spark, sf, "documents")
+    max_df = max(5, docs.count() // 100)
     return jaccard_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text", n=2, threshold=0.6
+        docs, "doc_id", "text", n=2, threshold=0.6, max_df=max_df
     )
 
 
@@ -496,8 +503,9 @@ def q_multimodal_meta(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    """mapInPandas feature extraction over binary blobs (decode stubbed) —
-    no SQL oracle (pandas-UDF pipeline); driver does a rows-only check."""
+    """mapInPandas feature extraction over binary blobs (decode stubbed to a
+    deterministic sha256-derived vector); the stub math is exact-integer
+    based so the DuckDB oracle hash-matches."""
     from hemera_indexer_spark.operators.multimodal import (
         blobs_from_documents,
         extract_features,
@@ -669,7 +677,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    COUNT(DISTINCT event_type) AS n_event_types,
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
-                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
                    CAST(SUM(CASE WHEN value > 50 THEN CAST(value AS DECIMAL(18,6))
                                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_large_value
             FROM events GROUP BY user_id, CAST(ts AS DATE)
@@ -686,7 +694,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
             FROM events GROUP BY event_type
         """,
@@ -755,10 +763,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard": f"""
             WITH {_SHINGLES_CTE},
-            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+            hot AS (
+                SELECT shingle FROM shingles GROUP BY shingle
+                HAVING COUNT(*) > (SELECT GREATEST(5, COUNT(*) // 100) FROM documents)
+            ),
+            sh AS (
+                SELECT s.doc_id, s.shingle FROM shingles s
+                ANTI JOIN hot h USING (shingle)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
             common AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-                FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
                 WHERE a.doc_id < b.doc_id
                 GROUP BY 1, 2
             )
@@ -912,12 +928,88 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha
             FROM documents
         """,
-        # ann_lsh_topk / multimodal_features: intentionally no oracle —
-        # ANN recall is approximate by construction only in bucket
-        # membership (still deterministic, but the SQL mirror of the
-        # anchor-bucket join is exercised via cosine_topk), and
-        # multimodal_features is a pandas-UDF pipeline; driver records
-        # rows-only checks.
+        # ANN: anchor buckets are sign bits of sequential-double dot
+        # products (deterministic), re-rank is the cosine_topk formula
+        # restricted to the query's bucket — fully SQL-expressible.
+        "ann_lsh_topk": """
+            WITH anchors AS (
+                SELECT vec_id AS aid, embedding AS av,
+                       row_number() OVER (ORDER BY vec_id ASC) - 1 AS bit
+                FROM (SELECT * FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+            ),
+            dots AS (
+                SELECT e.vec_id, a.bit,
+                       list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                                   i -> e.embedding[i]::DOUBLE * a.av[i]::DOUBLE),
+                                   (acc, x) -> acc + x) AS d
+                FROM embeddings e CROSS JOIN anchors a
+            ),
+            buckets AS (
+                SELECT vec_id,
+                       CAST(SUM(CASE WHEN d >= 0 THEN power(2.0, bit) ELSE 0 END) AS INT) AS bucket
+                FROM dots GROUP BY vec_id
+            ),
+            emb AS (
+                SELECT e.vec_id, e.embedding, b.bucket
+                FROM embeddings e JOIN buckets b USING (vec_id)
+            ),
+            q AS (
+                SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+                FROM emb WHERE vec_id IN (0,1,2,3,4)
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROUND(
+                         list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                                     i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE),
+                                     (acc, x) -> acc + x)
+                         / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                                     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE),
+                                     (acc, x) -> acc + x))
+                          * sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)),
+                                     i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE),
+                                     (acc, x) -> acc + x)))
+                       , 4) AS cos_sim
+                FROM emb e JOIN q ON e.bucket = q.qbucket
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, rank, neighbor_id, cos_sim FROM (
+                SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        # multimodal features: the stub decode derives 32 values h_i/255
+        # from sha256(content); mean/std come from exact integer sums, so
+        # the formula is the same fixed sequence of IEEE double ops on both
+        # engines (see operators/multimodal.py::extract_features).
+        "multimodal_features": """
+            WITH blobs AS (
+                SELECT doc_id AS blob_id,
+                       ['image','audio','video'][(doc_id % 3) + 1] AS media_type,
+                       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                       sha256(text) AS sha
+                FROM documents
+            ),
+            b AS (
+                SELECT blob_id, media_type, n_bytes,
+                       list_transform(generate_series(0, 31), i ->
+                           (strpos('0123456789abcdef', substr(sha, 2*i + 1, 1)) - 1) * 16
+                         + (strpos('0123456789abcdef', substr(sha, 2*i + 2, 1)) - 1)) AS bytes
+                FROM blobs
+            ),
+            s AS (
+                SELECT blob_id, media_type, n_bytes,
+                       list_reduce(bytes, (acc, x) -> acc + x) AS sh,
+                       list_reduce(list_transform(bytes, x -> x * x), (acc, x) -> acc + x) AS sh2
+                FROM b
+            )
+            SELECT blob_id, media_type, n_bytes,
+                   sh / 8160.0 AS feat_mean,
+                   sqrt(sh2 / 32.0 - (sh / 32.0) * (sh / 32.0)) / 255.0 AS feat_std,
+                   32 AS feat_dim
+            FROM s
+        """,
     }
 
 

@@ -177,11 +177,23 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
-    # verify candidates with exact jaccard on the same shingle sets
+    # verify candidates with exact jaccard on the same shingle sets.
+    # sizes use the FULL shingle sets (the jaccard denominator), but the
+    # common-shingle join only needs shingles of docs that appear in some
+    # candidate pair — after LSH that set is tiny relative to the corpus, so
+    # the semi-join prunes the two big verification shuffles down to the
+    # candidates (the 100 TB-critical cut: without it the verification
+    # re-shuffles the whole shingle table twice).
     sh = word_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])

@@ -63,9 +63,15 @@ def lww_latest_salted(
     num_salts: int = 16,
 ) -> DataFrame:
     """Two-phase argmax: per-(key, salt) partial, then per-key final.
-    Bounds the largest shuffle partition for pathologically hot keys."""
+    Bounds the largest shuffle partition for pathologically hot keys.
+
+    The salt is derived from the row's version column (deterministic row
+    content), NOT from rand(): rand() is seeded per-partition, so a task
+    retry or a partition-count change would re-deal salts and make runs
+    non-reproducible at the plan level. A hot key's rows carry distinct
+    versions, so hashing the version still spreads them across salts."""
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.rand(seed=7)), F.lit(num_salts))
+        "_salt", F.pmod(F.xxhash64(version), F.lit(num_salts))
     )
     partial = (
         salted.groupBy(*keys, "_salt")

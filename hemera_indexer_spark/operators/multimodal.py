@@ -71,10 +71,28 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     (stubbed), emit summary features. Blob column is dropped on output so
     downstream stages shuffle no binary payload."""
 
+    import math
+
+    def summarize(content: bytes | None, media_type: str) -> tuple[float, float, int]:
+        # mean/std of the 32 stub feature values (sha256 bytes / 255.0),
+        # computed from EXACT integer sums so the result is a fixed sequence
+        # of IEEE double ops — bit-identical to any engine evaluating the
+        # same formula (this is what lets the DuckDB oracle hash-match):
+        #   mean = (sum_h / 32) / 255 = sum_h / 8160
+        #   std  = sqrt(sum_h2/32 - (sum_h/32)^2) / 255   (population std)
+        vec = decode_blob(content, media_type)  # h_i / 255.0, h_i in 0..255
+        ints = np.rint(vec * 255.0).astype(np.int64)
+        sh = int(ints.sum())
+        sh2 = int((ints * ints).sum())
+        mean = sh / 8160.0
+        m32 = sh / 32.0
+        std = math.sqrt(sh2 / 32.0 - m32 * m32) / 255.0
+        return mean, std, len(vec)
+
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                decode_blob(c, m)
+                summarize(c, m)
                 for c, m in zip(pdf["content"], pdf["media_type"])
             ]
             yield pd.DataFrame(
@@ -82,9 +100,9 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                     "blob_id": pdf["blob_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
-                    "feat_mean": [float(f.mean()) for f in feats],
-                    "feat_std": [float(f.std()) for f in feats],
-                    "feat_dim": [len(f) for f in feats],
+                    "feat_mean": [f[0] for f in feats],
+                    "feat_std": [f[1] for f in feats],
+                    "feat_dim": [f[2] for f in feats],
                 }
             )
 

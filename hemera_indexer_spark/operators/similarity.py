@@ -21,6 +21,12 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
+    # cast to array<double> first: float32 elements would otherwise multiply
+    # in single precision before the double accumulate, drifting ~1e-7 from
+    # any double-based oracle (and flipping near-zero LSH sign bits). With
+    # the cast the fold is bit-identical to a sequential double reduce.
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -30,7 +36,7 @@ def dot(a: Column, b: Column) -> Column:
 
 def norm(a: Column) -> Column:
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(a.cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
 
 
@@ -79,14 +85,26 @@ def anchor_lsh_buckets(
     """Sign-bit LSH bucket per vector: bit i = (dot(v, anchor_i) >= 0) where
     anchor_i is the embedding of the i-th smallest vec_id. Returns
     (vec_id, bucket:int)."""
-    anchors = (
+    # anchors are <= n_anchors rows by construction: collect them (a
+    # metadata-bounded driver fetch — the same thing broadcasting a
+    # hyperplane matrix does in any ANN build) and re-broadcast with stable
+    # bit positions, instead of ranking via an unpartitioned window.
+    rows = (
         emb.orderBy(F.col(id_col).asc())
         .limit(n_anchors)
         .select(F.col(id_col).alias("_aid"), F.col(vec_col).alias("_av"))
+        .collect()
     )
-    # rank anchors by id so bit positions are stable
-    anchors = anchors.withColumn(
-        "_bit", F.row_number().over(Window.orderBy(F.col("_aid").asc())) - 1
+    from pyspark.sql import types as T
+
+    anchors = emb.sparkSession.createDataFrame(
+        [(i, r["_av"]) for i, r in enumerate(rows)],
+        T.StructType(
+            [
+                T.StructField("_bit", T.IntegerType(), False),
+                T.StructField("_av", emb.schema[vec_col].dataType, False),
+            ]
+        ),
     )
     bits = (
         emb.crossJoin(F.broadcast(anchors))
