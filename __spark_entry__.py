@@ -392,6 +392,61 @@ def q_month_bucketing(spark, sf):
     )
 
 
+def q_fww_first_state(spark, sf):
+    """Insert-if-absent per-key law (fact tables / ON CONFLICT DO NOTHING,
+    postgres_item_exporter.py:126-130 analog): the FIRST writer wins —
+    min_by per key, the dual of the LWW state law."""
+    from hemera_indexer_spark.operators.lww import lww_latest
+
+    ev = _t(spark, sf, "events")
+    # first-writer-wins = LWW under a negated version
+    out = lww_latest(
+        ev,
+        keys=["user_id"],
+        version=F.struct((-F.unix_timestamp("ts")).alias("nts"),
+                         (-F.col("event_id")).alias("nid")),
+        payload=["event_id", "event_type", "value"],
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("first_event_id"),
+        F.col("event_type").alias("first_event_type"),
+        F.col("value").alias("first_value"),
+    )
+
+
+def q_dag_daily_routes(spark, sf):
+    """Two-job DAG chain (the job_scheduler.py:117-150 extension surface):
+    enrich -> aggregate, resolved and ordered by the JobGraph; the whole
+    chain collapses into one Catalyst plan."""
+    from hemera_indexer_spark.plans.dag import JobGraph
+
+    graph = JobGraph()
+
+    @graph.register("enriched", inputs=["events"])
+    def enriched(spark_, ins):
+        return ins["events"].withColumn(
+            "route",
+            F.when(F.col("event_type").isin("click", "view"), F.lit("engagement"))
+            .when(F.col("event_type") == "purchase", F.lit("revenue"))
+            .otherwise(F.lit("ops")),
+        )
+
+    @graph.register("daily_routes", inputs=["enriched"])
+    def daily_routes(spark_, ins):
+        return ins["enriched"].groupBy(
+            F.col("ts").cast("date").alias("day"), "route"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+
+    out = graph.run(
+        spark, {"events": _t(spark, sf, "events")}, targets=["daily_routes"]
+    )
+    return out["daily_routes"]
+
+
 # ----------------------------------------------------------- dedup suite
 def q_word_freq_explode(spark, sf):
     """explode + groupBy aggregate (ERC1155 in-log batch-sum analog,
@@ -538,6 +593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_dedup": q_union_dedup,
         "hex_codec": q_hex_codec,
         "month_bucketing": q_month_bucketing,
+        "fww_first_state": q_fww_first_state,
+        "dag_daily_routes": q_dag_daily_routes,
         "word_freq_explode": q_word_freq_explode,
         "prefix_match": q_prefix_match,
         "dedup_exact": q_dedup_exact,
@@ -741,6 +798,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
             FROM orders GROUP BY 1
+        """,
+        "fww_first_state": """
+            SELECT user_id, event_id AS first_event_id,
+                   event_type AS first_event_type, value AS first_value
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "dag_daily_routes": """
+            SELECT CAST(ts AS DATE) AS day,
+                   CASE WHEN event_type IN ('click','view') THEN 'engagement'
+                        WHEN event_type = 'purchase' THEN 'revenue'
+                        ELSE 'ops' END AS route,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "word_freq_explode": """
             SELECT word, COUNT(*) AS n FROM (

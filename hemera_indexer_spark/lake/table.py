@@ -308,6 +308,10 @@ class LakeTable:
         deltas / several files) pay the fold; clean buckets stream straight
         from their single base file — at scale most buckets are clean most
         of the time."""
+        if self.is_fact_table:
+            # facts are append-only: every row is its own version; folding
+            # would collapse a key's history.
+            return self.read()
         dirty = self._dirty_buckets()
         if not dirty:
             return self.read()
@@ -330,8 +334,13 @@ class LakeTable:
         return self.read(buckets=clean).unionByName(folded)
 
     def current_state(self, strategy: str = "sql") -> DataFrame:
-        """The user-visible table: live rows only, one row per key."""
-        return self.resolved(strategy).where(~F.col("is_deleted")).drop("is_deleted")
+        """The user-visible table: live rows only, one row per key (state
+        tables) / every inserted row (fact tables, which have no
+        tombstones)."""
+        out = self.resolved(strategy)
+        if "is_deleted" in out.columns:
+            out = out.where(~F.col("is_deleted")).drop("is_deleted")
+        return out
 
     def manifest_df(self) -> DataFrame:
         from hemera_indexer_spark.schemas import MANIFEST_SCHEMA
@@ -378,6 +387,7 @@ class LakeTable:
         strategy: str = "arrow",
         touched_buckets: set[int] | None = None,
         mode: str | None = None,
+        properties_update: dict | None = None,
     ) -> bool:
         """LWW merge of an update batch into the table.
 
@@ -429,7 +439,10 @@ class LakeTable:
                 None, upd.withColumn("_prio", F.lit(0)), state_cols, strategy
             )
             new_files = self._write_data(compacted, version, kind="delta")
-            return self._commit_files(base, version, new_files, set(), epoch_id, manifest)
+            return self._commit_files(
+                base, version, new_files, set(), epoch_id, manifest,
+                properties_update,
+            )
 
         # --- cow ---
         # the caller (controller) usually already knows the touched buckets
@@ -441,7 +454,9 @@ class LakeTable:
             else {r[0] for r in upd.select("_bucket").distinct().collect()}
         )
         if not touched:
-            return self._commit_files(base, version, [], set(), epoch_id, manifest)
+            return self._commit_files(
+                base, version, [], set(), epoch_id, manifest, properties_update
+            )
 
         replaced = {f["path"] for f in self._select_files(buckets=touched)}
         target = self.read(buckets=touched).withColumn(
@@ -454,7 +469,69 @@ class LakeTable:
             strategy,
         )
         new_files = self._write_data(merged, version)
-        return self._commit_files(base, version, new_files, replaced, epoch_id, manifest)
+        return self._commit_files(
+            base, version, new_files, replaced, epoch_id, manifest,
+            properties_update,
+        )
+
+    # ------------------------------------------------------------ FACTS
+    def insert_if_absent(
+        self,
+        updates: DataFrame,
+        epoch_id: int | None = None,
+        manifest: dict | None = None,
+        min_seq: int | None = None,
+        properties_update: dict | None = None,
+    ) -> bool:
+        """Append-only fact-table insert: the ``ON CONFLICT DO NOTHING``
+        analog (/root/reference/indexer/exporters/postgres_item_exporter.py:
+        126-130), used by the reference for history/fact tables such as
+        ``logs`` and ``token_transfers`` alongside the conditionally-upserted
+        state tables.
+
+        Uniqueness key is ``(key_col, seq_col)``. Redelivered rows (crash
+        replay, at-least-once sources) are dropped in two steps:
+
+        1. in-batch ``dropDuplicates`` on the key;
+        2. anti-join against EXISTING rows — pruned by footer stats to files
+           whose ``max_seq >= min_seq(batch)``, so for the normal
+           monotonically-increasing-seq ingest the anti-join reads only the
+           most recent files, never the table (O(overlap), not O(history)).
+
+        Rows land as immutable base files; fact tables are never LWW-folded
+        or compacted (``table_type='fact'`` guards ``resolved``/``compact``).
+
+        ``epoch_id`` fencing and atomic snapshot commit are shared with
+        ``merge_upsert``.
+        """
+        base = self.snapshot
+        if epoch_id is not None and epoch_id <= base["manifest"]["epoch_id"]:
+            return False
+        version = base["version"] + 1
+        key, seqc = self.key_col, self.seq_col
+        schema = self.schema
+        state_cols = schema.fieldNames()
+        upd = updates
+        for c in state_cols:
+            if c not in updates.columns:
+                upd = upd.withColumn(c, F.lit(None).cast(schema[c].dataType))
+        upd = upd.select(*state_cols).dropDuplicates([key, seqc])
+        if min_seq is None and base["files"]:
+            r = upd.agg(F.min(seqc)).collect()[0][0]
+            min_seq = int(r) if r is not None else None
+        existing = self.read(seq_at_least=min_seq).select(key, seqc)
+        fresh = upd.join(existing, [key, seqc], "left_anti").withColumn(
+            "_bucket", bucket_col(F.col(key), self.num_buckets)
+        )
+        new_files = self._write_data(fresh, version, kind="base")
+        return self._commit_files(
+            base, version, new_files, set(), epoch_id, manifest,
+            properties_update,
+        )
+
+    @property
+    def is_fact_table(self) -> bool:
+        return self.snapshot["properties"].get("table_type") == "fact"
 
     # ------------------------------------------------------------ COMPACTION
     def delta_counts(self) -> dict[int, int]:
@@ -473,6 +550,8 @@ class LakeTable:
         against stale replays, like the reference's reorg flags until repair
         completes)."""
         base = self.snapshot
+        if self.is_fact_table:
+            return False
         if buckets is None:
             buckets = set(self.delta_counts())
         if not buckets:
@@ -708,6 +787,7 @@ class LakeTable:
         replaced_paths: set[str],
         epoch_id: int | None,
         manifest: dict | None,
+        properties_update: dict | None = None,
     ) -> bool:
         kept = [f for f in base["files"] if f["path"] not in replaced_paths]
         snap = {
@@ -721,7 +801,11 @@ class LakeTable:
             "manifest": manifest
             if manifest is not None
             else base["manifest"],
-            "properties": base["properties"],
+            "properties": (
+                {**base["properties"], **properties_update}
+                if properties_update
+                else base["properties"]
+            ),
         }
         if epoch_id is not None and manifest is None:
             m = dict(base["manifest"])
@@ -729,3 +813,68 @@ class LakeTable:
             snap["manifest"] = m
         self._write_snapshot(snap, expected_parent=base["version"])
         return True
+
+    # ------------------------------------------------------------ MAINTENANCE
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Drop snapshot metadata older than the newest ``keep_last``
+        versions (Iceberg's ``expireSnapshots`` analog). Without this the
+        one-json-per-commit metadata grows unboundedly at the 10^10-event
+        design point (thousands of epochs x compactions). The current
+        snapshot is always retained. Returns the number removed."""
+        cur = self.snapshot["version"]
+        cutoff = cur - max(keep_last, 1) + 1
+        removed = 0
+        for fn in os.listdir(self.meta_dir):
+            if not (fn.startswith("snap-") and fn.endswith(".json")):
+                continue
+            v = int(fn[5:-5])
+            if v < cutoff and v != cur:
+                os.remove(os.path.join(self.meta_dir, fn))
+                removed += 1
+        return removed
+
+    def vacuum_orphans(self, grace_seconds: float = 0.0) -> int:
+        """Delete data files reachable from NO retained snapshot — the
+        leftovers of crashed / CAS-rejected commit attempts and of snapshots
+        removed by ``expire_snapshots`` (Iceberg's ``deleteOrphanFiles``).
+
+        Safe under the single-writer model: every live commit's files are
+        referenced by its snapshot before this walks the data dir, and
+        ``grace_seconds`` additionally protects files newer than the given
+        age (pass >0 when a writer may be mid-commit). Returns the number of
+        files removed."""
+        referenced: set[str] = set()
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("snap-") and fn.endswith(".json"):
+                with open(os.path.join(self.meta_dir, fn)) as f:
+                    for entry in json.load(f)["files"]:
+                        referenced.add(os.path.normpath(entry["path"]))
+        now = time.time()
+        removed = 0
+        for dirpath, _dirnames, filenames in os.walk(self.data_dir, topdown=False):
+            for fn in filenames:
+                p = os.path.join(dirpath, fn)
+                rel = os.path.normpath(os.path.relpath(p, self.root))
+                if rel in referenced:
+                    continue
+                if not fn.endswith(".parquet") and any(
+                    os.path.normpath(
+                        os.path.relpath(os.path.join(dirpath, o), self.root)
+                    )
+                    in referenced
+                    for o in filenames
+                    if o != fn
+                ):
+                    # sidecar (_SUCCESS etc.) in a directory that still holds
+                    # referenced files: keep it
+                    continue
+                if grace_seconds and now - os.path.getmtime(p) < grace_seconds:
+                    continue
+                os.remove(p)
+                removed += 1
+            try:
+                os.removedirs(dirpath)  # prunes now-empty commit dirs
+            except OSError:
+                pass
+        os.makedirs(self.data_dir, exist_ok=True)
+        return removed

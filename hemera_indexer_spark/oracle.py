@@ -100,6 +100,41 @@ def fold(rows: list[dict], n_partitions: int) -> dict[str, OracleRow]:
     return state
 
 
+def fold_facts(rows: list[dict], n_partitions: int) -> dict[tuple, dict]:
+    """Ground truth for the append-only event-history fact table: every
+    delivered event keyed by (doc_id, seq) — first delivery wins (insert-if-
+    absent), duplicates are no-ops — minus events invalidated by a rollback
+    (and re-added if re-delivered afterwards). Mirrors the reference's
+    ON CONFLICT DO NOTHING fact sink + reorg leftover delete
+    (/root/reference/indexer/exporters/postgres_item_exporter.py:126-130,
+    /root/reference/indexer/jobs/export_reorg_job.py:41-65)."""
+    facts: dict[tuple, dict] = {}
+    epochs = sorted({r["epoch"] for r in rows})
+    for ep in epochs:
+        batch = sorted(
+            (r for r in rows if r["epoch"] == ep), key=lambda r: r["seq"]
+        )
+        for r in batch:
+            if r["op"] == "rollback":
+                s, p = r["rollback_to_seq"], r["partition"]
+                dead = [
+                    k
+                    for k in facts
+                    if k[1] >= s and log_partition_py(k[0], n_partitions) == p
+                ]
+                for k in dead:
+                    del facts[k]
+                continue
+            facts.setdefault((r["doc_id"], r["seq"]), r)
+    return facts
+
+
+def expected_fact_rows(log_dir: str, n_partitions: int) -> list[dict]:
+    """Final fact-table content sorted by (doc_id, seq)."""
+    facts = fold_facts(read_log_rows(log_dir), n_partitions)
+    return [facts[k] for k in sorted(facts)]
+
+
 def expected_live_rows(log_dir: str, n_partitions: int) -> list[dict]:
     """Final visible table state as list of dicts sorted by doc_id."""
     state = fold(read_log_rows(log_dir), n_partitions)

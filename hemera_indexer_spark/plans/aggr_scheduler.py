@@ -38,7 +38,6 @@ class AggrScheduler:
         self.spark = spark
         self.root = root
         self.daily_dir = os.path.join(root, "daily")
-        self.period_dir = os.path.join(root, "period")
         self.ckpt = os.path.join(root, "_period_ckpt.json")
 
     # ------------------------------------------------------ disorder phase
@@ -60,38 +59,62 @@ class AggrScheduler:
         return self.spark.read.parquet(self.daily_dir)
 
     # --------------------------------------------------------- order phase
-    def _last_folded(self) -> str | None:
+    def _ckpt_state(self) -> dict | None:
         if os.path.exists(self.ckpt):
             with open(self.ckpt) as f:
-                return json.load(f)["last_day"]
+                return json.load(f)
         return None
+
+    def _period_path(self) -> str | None:
+        st = self._ckpt_state()
+        return os.path.join(self.root, st["dir"]) if st else None
 
     def run_period(self) -> DataFrame:
         """Sequential day-by-day fold of daily aggregates into the running
-        period accumulator, resuming after the last checkpointed day."""
+        period accumulator, resuming after the last checkpointed day.
+
+        Crash safety: each fold writes a NEW versioned accumulator directory,
+        then atomically replaces the checkpoint file, which records BOTH the
+        folded day and the directory holding its result — one os.replace is
+        the commit point for data and cursor together. A crash before the
+        checkpoint leaves the old (day, dir) pair intact (the re-fold just
+        re-stages an orphan dir); a crash after it is already committed. The
+        superseded directory is deleted only after the checkpoint lands, and
+        stale/orphan version dirs are swept lazily on the next fold."""
+        import shutil
+
         daily = self.daily().withColumn("day", F.col("day").cast("string"))
         days = sorted(r["day"] for r in daily.select("day").distinct().collect())
-        last = self._last_folded()
+        st = self._ckpt_state()
+        last = st["last_day"] if st else None
         todo = [d for d in days if last is None or d > last]
+        cur_dir = self._period_path()
+        version = st["version"] if st else -1
         for d in todo:
             today = daily.where(F.col("day") == d)
-            if os.path.exists(os.path.join(self.period_dir, "_SUCCESS")):
-                period = self.spark.read.parquet(self.period_dir)
+            if cur_dir is not None:
+                period = self.spark.read.parquet(cur_dir)
                 merged = merge_period_accumulators(
                     today, period, keys=["user_id"], sum_cols=SUM_COLS
                 )
             else:
                 merged = today.select(["user_id"] + SUM_COLS)
-            # write-then-swap: the fold reads its own output, so stage the
-            # new period table before replacing (delete+insert pattern of
-            # period_*.sql:1-4)
-            staged = self.period_dir + ".staging"
-            merged.write.mode("overwrite").parquet(staged)
-            import shutil
-
-            if os.path.exists(self.period_dir):
-                shutil.rmtree(self.period_dir)
-            os.replace(staged, self.period_dir)
-            with open(self.ckpt, "w") as f:
-                json.dump({"last_day": d}, f)
-        return self.spark.read.parquet(self.period_dir)
+            version += 1
+            rel = f"period.v{version:06d}"
+            new_dir = os.path.join(self.root, rel)
+            merged.write.mode("overwrite").parquet(new_dir)
+            tmp = self.ckpt + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"last_day": d, "dir": rel, "version": version}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.ckpt)  # <- the atomic commit point
+            if cur_dir is not None:
+                shutil.rmtree(cur_dir, ignore_errors=True)
+            cur_dir = new_dir
+        # lazy sweep of orphan version dirs from crashed folds
+        keep = os.path.basename(cur_dir) if cur_dir else None
+        for entry in os.listdir(self.root):
+            if entry.startswith("period.v") and entry != keep:
+                shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+        return self.spark.read.parquet(cur_dir)

@@ -45,11 +45,23 @@ CHANGE_EVENT_SCHEMA = T.StructType(
     ]
 )
 
-# Columns that may appear mid-stream (additive schema evolution, the Alembic
-# analog — /root/reference/migrations/versions/20240708_*.py:23). Anything in
-# an epoch file that is not in CHANGE_EVENT_SCHEMA and is listed here is
-# propagated to the state table via ALTER-ADD semantics.
-EVOLVABLE_EVENT_COLUMNS = {"rollback_to_seq"}  # always optional in files
+# Append-only event-history fact table (the reference's history/fact pair:
+# `token_balances` history next to `current_token_balances` state,
+# /root/reference/indexer/jobs/export_token_balances_job.py:66-86; inserted
+# with ON CONFLICT DO NOTHING,
+# /root/reference/indexer/exporters/postgres_item_exporter.py:126-130).
+# Uniqueness key is (doc_id, seq); `op` is kept so the history also records
+# deletes. Created with properties={"table_type": "fact"}.
+FACTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
 
 # Checkpoint manifest row (FIXTURES.md §3).
 MANIFEST_SCHEMA = T.StructType(

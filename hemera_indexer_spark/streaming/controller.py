@@ -10,12 +10,36 @@ does not exist at all. Re-running an epoch after any crash is additionally a
 no-op because the MERGE is LWW with target-wins-on-tie (idempotent) and the
 final commit is epoch-fenced.
 
+**Catch-up batching** (the reference's ``block_batch_size``,
+/root/reference/indexer/controller/stream_controller.py:158-161): when the
+controller is behind, consecutive epochs are merged in ONE commit, dividing
+the per-commit serial cost (Catalyst planning, stage barriers, snapshot
+write) by the group size — the dominant scaling lever on many-core runs.
+Grouping is only seq-order-equivalent when the group provably contains no
+rollback event: the log may re-deliver old events (original seq) in later
+epochs, and the oracle applies epochs in order, so a duplicate delivered
+AFTER a rollback epoch must not be folded into the same merge as the
+rollback (it would be wiped instead of re-applied). The Parquet-footer pass
+proves rollback absence per epoch (``rollback_to_seq`` null counts), so the
+grouping rule is: batch maximal rollback-free runs of epochs (capped at
+``max_batch_epochs``); any epoch that may contain a rollback runs alone
+under full segmentation. Footer metadata for upcoming epochs is prefetched
+on a background thread while the current group's merge runs on the cluster.
+
 Reorg-rollback (/root/reference/indexer/controller/reorg_controller.py:28-93):
 a ``rollback`` event with ``rollback_to_seq=S`` on log partition ``p``
 invalidates every state row on ``p`` with ``seq >= S``; corrected events that
 follow re-insert repaired rows. The epoch's events are segmented at rollback
 sequence numbers (comparison is on ``seq``, never file order, so shuffled
-delivery is harmless) and applied segment → rollback → segment.
+delivery is harmless) and applied segment → rollback → segment. When the log
+carries a per-partition hash chain, divergences are *detected* too
+(streaming/consensus.py, the check_block_consensus_job analog) and become
+synthetic rollbacks.
+
+Retry taxonomy (/root/reference/indexer/controller/stream_controller.py:
+123-148): transient I/O / RPC-transport failures retry the epoch group with
+backoff (safe: partial commits are fenced and the merge is idempotent);
+deterministic errors (bad schema, logic) crash immediately.
 
 Additive schema evolution: new columns appearing in epoch files (detected
 from Parquet footers, no data scan) are ALTER-ADDed to the table before the
@@ -27,6 +51,7 @@ from __future__ import annotations
 import glob
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -38,6 +63,9 @@ from pyspark.sql import types as T
 from hemera_indexer_spark.functions import log_partition_col
 from hemera_indexer_spark.lake import LakeTable
 from hemera_indexer_spark.schemas import CHANGE_EVENT_SCHEMA
+from hemera_indexer_spark.streaming import consensus  # noqa: submodule import
+# (safe under partial package init: Python >=3.5 falls back to sys.modules
+# for submodule-from-package imports during circular initialization)
 
 _ARROW_TO_SPARK = {
     pa.string(): T.StringType(),
@@ -48,6 +76,25 @@ _ARROW_TO_SPARK = {
     pa.float32(): T.FloatType(),
     pa.bool_(): T.BooleanType(),
 }
+
+# Transient failure classes worth retrying (I/O hiccups, executor loss,
+# transport resets). Py4J surfaces JVM-side transient errors with these
+# markers in the message; deterministic analysis/logic errors never match.
+_RETRIABLE_TYPES = (IOError, OSError, TimeoutError, ConnectionError)
+_RETRIABLE_MARKERS = (
+    "Py4JNetworkError",
+    "Connection reset",
+    "ExecutorLostFailure",
+    "FetchFailed",
+    "Unable to acquire",
+)
+
+
+def is_retriable(exc: BaseException) -> bool:
+    if isinstance(exc, _RETRIABLE_TYPES):
+        return True
+    msg = f"{type(exc).__name__}: {exc}"
+    return any(m in msg for m in _RETRIABLE_MARKERS)
 
 
 def _spark_type(at: pa.DataType) -> T.DataType:
@@ -65,6 +112,7 @@ class EpochStats:
     rollbacks: int
     wall_ms: int
     skipped: bool = False
+    retries: int = 0
 
 
 @dataclass
@@ -89,6 +137,10 @@ class StreamController:
         n_partitions: int,
         merge_strategy: str = "arrow",
         compact_max_deltas: int = 8,
+        max_batch_epochs: int = 8,
+        fact_table: LakeTable | None = None,
+        max_retries: int = 2,
+        retry_backoff_s: float = 0.5,
     ):
         self.spark = spark
         self.table = table
@@ -98,6 +150,13 @@ class StreamController:
         # merge-on-read: fold a bucket back to base once this many delta
         # files accumulate (bounds read amplification)
         self.compact_max_deltas = compact_max_deltas
+        # catch-up batching cap: how many backlogged rollback-free epochs may
+        # share one merge+commit
+        self.max_batch_epochs = max(1, max_batch_epochs)
+        # optional append-only history table fed by the same segments
+        self.fact_table = fact_table
+        self.max_retries = max_retries
+        self.retry_backoff_s = retry_backoff_s
 
     # ------------------------------------------------------------- discovery
     def available_epochs(self) -> list[int]:
@@ -122,16 +181,15 @@ class StreamController:
         everything the driver needs to plan the batch — no Spark job:
 
         - the evolved event schema (footer schemas),
-        - per-partition lineage: row counts + max(seq) (footer column stats;
-          the partition id comes from the directory name),
+        - per-partition lineage: row counts + min/max(seq) (footer column
+          stats; the partition id comes from the directory name),
         - whether any rollback event can exist (``rollback_to_seq`` is
           non-null exactly on rollback events, so a file whose footer says
-          null_count == num_rows provably has none).
+          null_count == num_rows provably has none; a footer with missing
+          stats conservatively counts as 'maybe').
 
         Falls back to a Spark scan only for the rare epochs that do contain
         rollbacks (handled by the caller)."""
-        from concurrent.futures import ThreadPoolExecutor
-
         base = CHANGE_EVENT_SCHEMA
         known = set(base.fieldNames())
 
@@ -146,20 +204,27 @@ class StreamController:
             names = sch.names
             seq_i = names.index("seq")
             rb_i = names.index("rollback_to_seq")
-            mx, rb_nulls = None, 0
+            mn, mx, rb_nulls, rb_unknown = None, None, 0, False
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(seq_i).statistics
                 if st is not None and st.has_min_max:
                     mx = st.max if mx is None else max(mx, st.max)
+                    mn = st.min if mn is None else min(mn, st.min)
                 rst = md.row_group(rg).column(rb_i).statistics
-                rb_nulls += rst.null_count if rst is not None else 0
+                nc = rst.null_count if rst is not None else None
+                if nc is None:
+                    rb_unknown = True  # missing stat: assume rollback possible
+                else:
+                    rb_nulls += nc
             part = int(os.path.basename(os.path.dirname(f)).split("=")[1])
             return {
                 "partition": part,
                 "rows": md.num_rows,
+                "min_seq": mn,
                 "max_seq": mx,
-                "maybe_rollback": rb_nulls < md.num_rows,
+                "maybe_rollback": rb_unknown or rb_nulls < md.num_rows,
                 "extra": extra,
+                "has_hash_chain": consensus.has_hash_chain(names),
             }
 
         with ThreadPoolExecutor(max_workers=8) as ex:
@@ -167,15 +232,20 @@ class StreamController:
         extra: dict[str, T.DataType] = {}
         per_part: dict[int, dict] = {}
         maybe_rollback = False
+        has_hash_chain = bool(infos)
         for i in infos:
             extra.update(i["extra"])
             p = per_part.setdefault(
-                i["partition"], {"partition": i["partition"], "cnt": 0, "mx": None}
+                i["partition"],
+                {"partition": i["partition"], "cnt": 0, "mx": None, "mn": None},
             )
             p["cnt"] += i["rows"]
             if i["max_seq"] is not None:
                 p["mx"] = i["max_seq"] if p["mx"] is None else max(p["mx"], i["max_seq"])
+            if i["min_seq"] is not None:
+                p["mn"] = i["min_seq"] if p["mn"] is None else min(p["mn"], i["min_seq"])
             maybe_rollback = maybe_rollback or i["maybe_rollback"]
+            has_hash_chain = has_hash_chain and i["has_hash_chain"]
         fields = list(base.fields) + [
             T.StructField(n, t, True) for n, t in sorted(extra.items())
         ]
@@ -183,6 +253,7 @@ class StreamController:
             "schema": T.StructType(fields),
             "lineage": list(per_part.values()),
             "maybe_rollback": maybe_rollback,
+            "has_hash_chain": has_hash_chain,
         }
 
     # ------------------------------------------------------------------- run
@@ -192,22 +263,103 @@ class StreamController:
         todo = [e for e in self.available_epochs() if e > done]
         if max_epochs is not None:
             todo = todo[:max_epochs]
-        for e in todo:
-            stats.epochs.append(self.process_epoch(e))
+        if not todo:
+            return stats
+
+        # prefetch footer metadata for upcoming epochs on background threads
+        # while the cluster is busy with the current group's merge
+        prefetch = ThreadPoolExecutor(max_workers=2)
+        window = 2 * self.max_batch_epochs
+        futures = {
+            e: prefetch.submit(self._epoch_meta, self._epoch_files(e))
+            for e in todo[:window]
+        }
+        try:
+            i = 0
+            while i < len(todo):
+                # top up the prefetch window
+                for e in todo[i : i + window]:
+                    if e not in futures:
+                        futures[e] = prefetch.submit(
+                            self._epoch_meta, self._epoch_files(e)
+                        )
+                # greedy group: maximal run of rollback-free epochs (capped);
+                # a rollback-suspect epoch always runs alone.
+                group, metas = [], []
+                while i < len(todo) and len(group) < self.max_batch_epochs:
+                    e = todo[i]
+                    meta = futures.pop(e).result()
+                    if meta["maybe_rollback"] and group:
+                        futures[e] = prefetch.submit(lambda m=meta: m)
+                        break
+                    group.append(e)
+                    metas.append(meta)
+                    i += 1
+                    if meta["maybe_rollback"]:
+                        break
+                stats.epochs.extend(self._process_group(group, metas))
+        finally:
+            prefetch.shutdown(wait=False)
         return stats
 
     def process_epoch(self, epoch: int) -> EpochStats:
-        t0 = time.monotonic()
+        """Single-epoch entry point (kept for fenced re-runs and tests);
+        ``run`` prefers grouped processing."""
         if epoch <= self.table.committed_epoch():
             return EpochStats(epoch, 0, 0, 0, skipped=True)
-        files = self._epoch_files(epoch)
-        meta = self._epoch_meta(files)
-        ev_schema = meta["schema"]
+        meta = self._epoch_meta(self._epoch_files(epoch))
+        return self._process_group([epoch], [meta])[0]
+
+    # ------------------------------------------------------------ internals
+    def _process_group(self, group: list[int], metas: list[dict]) -> list[EpochStats]:
+        """Merge a batch of consecutive epochs (one commit), with bounded
+        retries for transient failures. Safe to retry: every commit inside is
+        either fenced by epoch id or an idempotent LWW re-merge."""
+        attempt = 0
+        while True:
+            try:
+                out = self._process_group_once(group, metas)
+                for s in out:
+                    s.retries = attempt
+                return out
+            except Exception as exc:
+                if attempt >= self.max_retries or not is_retriable(exc):
+                    raise
+                attempt += 1
+                time.sleep(self.retry_backoff_s * attempt)
+                self.table.refresh()  # partial commits may have landed
+
+    def _process_group_once(
+        self, group: list[int], metas: list[dict]
+    ) -> list[EpochStats]:
+        t0 = time.monotonic()
+        last_epoch = group[-1]
+        if last_epoch <= self.table.committed_epoch():
+            return [EpochStats(e, 0, 0, 0, skipped=True) for e in group]
+        files = [f for e in group for f in self._epoch_files(e)]
+
+        # union schema + merged lineage across the group
+        extra_fields: dict[str, T.StructField] = {}
+        base_names = set(CHANGE_EVENT_SCHEMA.fieldNames())
+        for m in metas:
+            for fld in m["schema"].fields:
+                if fld.name not in base_names:
+                    extra_fields[fld.name] = fld
+        ev_schema = T.StructType(
+            list(CHANGE_EVENT_SCHEMA.fields)
+            + [extra_fields[n] for n in sorted(extra_fields)]
+        )
+        maybe_rollback = any(m["maybe_rollback"] for m in metas)
+        has_hash_chain = all(m["has_hash_chain"] for m in metas) and bool(metas)
 
         # additive evolution of the state table: any event column that is not
         # engine bookkeeping and not yet in the table becomes a new payload
         # column.
-        bookkeeping = {"seq", "epoch", "partition", "op", "rollback_to_seq"}
+        bookkeeping = {
+            "seq", "epoch", "partition", "op", "rollback_to_seq",
+            # chain-consensus columns are log bookkeeping, not payload
+            consensus.HASH_COL, consensus.PARENT_COL,
+        }
         state_names = set(self.table.schema.fieldNames())
         new_cols = [
             f
@@ -216,6 +368,8 @@ class StreamController:
         ]
         if new_cols:
             self.table.evolve_schema(new_cols)
+            if self.fact_table is not None:
+                self.fact_table.evolve_schema(new_cols)
 
         df = self.spark.read.schema(ev_schema).parquet(*files)
 
@@ -224,68 +378,138 @@ class StreamController:
         # pushed down to parquet row-group stats — only runs when one may
         # exist (the reference spawns a whole reorg subprocess here; we just
         # split the batch).
-        rollbacks = []
-        if meta["maybe_rollback"]:
-            rollbacks = sorted(
-                df.where(F.col("rollback_to_seq").isNotNull())
+        rollbacks: list[dict] = []
+        if maybe_rollback:
+            rollbacks = [
+                {
+                    "seq": r["seq"],
+                    "partition": r["partition"],
+                    "rollback_to_seq": r["rollback_to_seq"],
+                    "inclusive_lo": False,
+                }
+                for r in df.where(F.col("rollback_to_seq").isNotNull())
                 .select("seq", "partition", "rollback_to_seq")
-                .collect(),
-                key=lambda r: r["seq"],
-            )
-        lineage_rows = meta["lineage"]
+                .collect()
+            ]
+        if has_hash_chain:
+            rollbacks.extend(consensus.detect_divergence(df))
+        rollbacks.sort(key=lambda r: r["seq"])
+
+        lineage_rows = self._merged_lineage(metas)
         n_events = sum(r["cnt"] for r in lineage_rows)
 
         updates = df.where(F.col("op") != "rollback")
-        bounds = [r["seq"] for r in rollbacks] + [None]
-        lo = None
-        for i, rb_seq in enumerate(bounds):
+        min_seq = min(
+            (r["mn"] for r in lineage_rows if r["mn"] is not None), default=None
+        )
+        lo: dict | None = None
+        for idx in range(len(rollbacks) + 1):
+            rb = rollbacks[idx] if idx < len(rollbacks) else None
             seg = updates
             if lo is not None:
-                seg = seg.where(F.col("seq") > lo)
-            if rb_seq is not None:
-                seg = seg.where(F.col("seq") < rb_seq)
-            is_last = rb_seq is None
+                seg = (
+                    seg.where(F.col("seq") >= lo["seq"])
+                    if lo["inclusive_lo"]
+                    else seg.where(F.col("seq") > lo["seq"])
+                )
+            if rb is not None:
+                seg = seg.where(F.col("seq") < rb["seq"])
+            is_last = rb is None
             if is_last:
-                manifest = self._build_manifest(epoch, lineage_rows, t0)
+                manifest = self._build_manifest(last_epoch, lineage_rows, t0, df)
+                if self.fact_table is not None:
+                    self.fact_table.insert_if_absent(
+                        seg,
+                        epoch_id=last_epoch,
+                        manifest=manifest,
+                        min_seq=min_seq,
+                    )
                 self.table.merge_upsert(
                     seg,
-                    epoch_id=epoch,
+                    epoch_id=last_epoch,
                     manifest=manifest,
                     strategy=self.merge_strategy,
                 )
             else:
-                self.table.merge_upsert(
-                    seg,
-                    strategy=self.merge_strategy,
-                )
-                rb = rollbacks[i]
+                if self.fact_table is not None:
+                    self.fact_table.insert_if_absent(seg, min_seq=min_seq)
+                self.table.merge_upsert(seg, strategy=self.merge_strategy)
+                cond = (
+                    log_partition_col(F.col("doc_id"), self.n_partitions)
+                    == F.lit(rb["partition"])
+                ) & (F.col("seq") >= F.lit(rb["rollback_to_seq"]))
                 self.table.delete_keys_where(
-                    (
-                        log_partition_col(F.col("doc_id"), self.n_partitions)
-                        == F.lit(rb["partition"])
-                    )
-                    & (F.col("seq") >= F.lit(rb["rollback_to_seq"])),
-                    seq_at_least=rb["rollback_to_seq"],
+                    cond, seq_at_least=rb["rollback_to_seq"]
                 )
-                lo = rb_seq
+                if self.fact_table is not None:
+                    # facts are append-only history: a plain row-level delete
+                    # suffices (nothing to resurrect)
+                    self.fact_table.delete_where(
+                        cond, seq_at_least=rb["rollback_to_seq"]
+                    )
+                lo = rb
         self.table.maybe_compact(
             max_deltas=self.compact_max_deltas, strategy=self.merge_strategy
         )
         wall = int((time.monotonic() - t0) * 1000)
-        return EpochStats(epoch, n_events, len(rollbacks), wall)
 
-    def _build_manifest(self, epoch: int, lineage_rows, t0: float) -> dict:
+        # per-epoch stats: events from the per-epoch footer metas; the wall
+        # time of the group commit is split evenly (it is one shared action)
+        per_epoch_events = [sum(r["cnt"] for r in m["lineage"]) for m in metas]
+        n_rb = len(rollbacks)
+        return [
+            EpochStats(
+                e,
+                per_epoch_events[j],
+                n_rb if j == len(group) - 1 else 0,
+                max(wall // len(group), 1),
+            )
+            for j, e in enumerate(group)
+        ]
+
+    @staticmethod
+    def _merged_lineage(metas: list[dict]) -> list[dict]:
+        per_part: dict[int, dict] = {}
+        for m in metas:
+            for r in m["lineage"]:
+                p = per_part.setdefault(
+                    r["partition"],
+                    {"partition": r["partition"], "cnt": 0, "mx": None, "mn": None},
+                )
+                p["cnt"] += r["cnt"]
+                if r["mx"] is not None:
+                    p["mx"] = r["mx"] if p["mx"] is None else max(p["mx"], r["mx"])
+                if r.get("mn") is not None:
+                    p["mn"] = r["mn"] if p["mn"] is None else min(p["mn"], r["mn"])
+        return list(per_part.values())
+
+    def _build_manifest(self, epoch: int, lineage_rows, t0: float, df=None) -> dict:
         prev = self.table.committed_offsets()
         offsets = dict(prev)
         wall = int((time.monotonic() - t0) * 1000)
+        # footer stats can be missing (writer without column stats): fall
+        # back to ONE Spark aggregate for exactly the partitions that need it
+        need_scan = [r["partition"] for r in lineage_rows if r["mx"] is None and r["cnt"]]
+        if need_scan and df is not None:
+            scanned = {
+                row["partition"]: row["mx"]
+                for row in df.where(F.col("partition").isin(need_scan))
+                .groupBy("partition")
+                .agg(F.max("seq").alias("mx"))
+                .collect()
+            }
+            for r in lineage_rows:
+                if r["mx"] is None and r["partition"] in scanned:
+                    r["mx"] = scanned[r["partition"]]
         lineage = []
         for r in lineage_rows:
             p = int(r["partition"])
-            offsets[p] = max(offsets.get(p, -1), int(r["mx"]))
+            if r["mx"] is not None:
+                offsets[p] = max(offsets.get(p, -1), int(r["mx"]))
             lineage.append(
                 {
                     "partition": p,
-                    "offset": offsets[p],
+                    "offset": offsets.get(p, -1),
                     "epoch_id": epoch,
                     "rows_applied": int(r["cnt"]),
                     "wall_ms": wall,

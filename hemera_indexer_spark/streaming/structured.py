@@ -59,10 +59,25 @@ class StructuredIngest:
         self.compact_max_deltas = compact_max_deltas
 
     # -------------------------------------------------------------- sink
+    @property
+    def _fence_key(self) -> str:
+        # Namespaced per checkpoint location: streaming batch_ids are a
+        # DIFFERENT counter from batch-controller epoch ids (they restart at
+        # 0 for every new checkpoint dir, over different file groupings), so
+        # they must never be fenced against the epoch manifest — that would
+        # silently skip micro-batches on any table that already ingested
+        # batch epochs. A fresh checkpoint dir gets a fresh fence; replayed
+        # overlap is absorbed by the idempotent LWW merge.
+        return f"stream_hwm:{os.path.normpath(self.checkpoint_dir)}"
+
+    def stream_hwm(self) -> int:
+        return int(self.table.snapshot["properties"].get(self._fence_key, -1))
+
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch handler: segment at rollbacks, LWW-merge, fence by
-        batch_id (replayed batches after a crash are no-ops)."""
-        if batch_id <= self.table.committed_epoch():
+        """foreachBatch handler: segment at rollbacks, LWW-merge, fence by a
+        per-checkpoint stream high-water mark committed atomically with the
+        batch's final merge (replayed batches after a crash are no-ops)."""
+        if batch_id <= self.stream_hwm():
             return
         rollbacks = sorted(
             batch_df.where(F.col("rollback_to_seq").isNotNull())
@@ -81,7 +96,9 @@ class StructuredIngest:
                 seg = seg.where(F.col("seq") < rb_seq)
             if rb_seq is None:
                 self.table.merge_upsert(
-                    seg, epoch_id=batch_id, strategy=self.merge_strategy
+                    seg,
+                    strategy=self.merge_strategy,
+                    properties_update={self._fence_key: batch_id},
                 )
             else:
                 self.table.merge_upsert(seg, strategy=self.merge_strategy)

@@ -53,4 +53,4 @@ def test_daily_rerun_idempotent_and_period_resume(spark, tmp_path):
     sched2 = AggrScheduler(spark, str(tmp_path / "aggr"))
     period2 = sched2.run_period().collect()
     assert sorted(map(tuple, period1)) == sorted(map(tuple, period2))
-    assert sched2._last_folded() == days[-1]
+    assert sched2._ckpt_state()["last_day"] == days[-1]

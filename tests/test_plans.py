@@ -77,7 +77,9 @@ def test_lake_scan_prunes_by_footer_stats(spark, tmp_path):
     log = str(tmp_path / "log")
     generate_changelog(log, spec)
     t = LakeTable.create(spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4)
-    StreamController(spark, t, log, 2).run()
+    # one commit per epoch (no catch-up grouping) so files have distinct
+    # seq ranges for the pruning assertion
+    StreamController(spark, t, log, 2, max_batch_epochs=1).run()
     assert len(t._select_files(seq_at_least=10 ** 12)) == 0
     some = t._select_files(seq_at_least=150)
     assert 0 < len(some) < len(t.snapshot["files"])
