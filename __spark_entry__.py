@@ -510,6 +510,28 @@ def q_dedup_simhash(spark, sf):
     return simhash16(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_dedup_clusters_cc(spark, sf):
+    """Cluster resolution: near-dup PAIRS (jaccard) -> connected components
+    -> keep/drop sets (min-label propagation; the oracle mirrors it with a
+    recursive transitive-closure CTE)."""
+    from hemera_indexer_spark.operators.dedup import dedup_keep_drop, jaccard_pairs
+
+    docs = _t(spark, sf, "documents")
+    max_df = max(5, docs.count() // 100)
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.6, max_df=max_df)
+    return dedup_keep_drop(pairs)
+
+
+def q_dedup_embedding(spark, sf):
+    """Embedding-space near-dup (SemDeDup shape): LSH-bucketed candidate
+    pairs, exact cosine filter."""
+    from hemera_indexer_spark.operators.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.2, n_anchors=4
+    )
+
+
 # ------------------------------------------------------ similarity suite
 def q_cosine_topk(spark, sf):
     from hemera_indexer_spark.operators.similarity import brute_force_topk
@@ -601,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters_cc": q_dedup_clusters_cc,
+        "dedup_embedding": q_dedup_embedding,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_stats": q_text_stats,
@@ -626,6 +650,36 @@ shingles AS (
     )
     WHERE shingle <> ''
 )
+"""
+
+
+# jaccard pairs with the max_df hot-shingle cut (mirrors
+# operators/dedup.py::jaccard_pairs with max_df = max(5, 1% of docs));
+# expects `shingles` from _SHINGLES_CTE in scope, yields `jscored`.
+_JACCARD_SCORED_CTES = """
+            hot AS (
+                SELECT shingle FROM shingles GROUP BY shingle
+                HAVING COUNT(*) > (SELECT GREATEST(5, COUNT(*) // 100) FROM documents)
+            ),
+            sh AS (
+                SELECT s.doc_id, s.shingle FROM shingles s
+                ANTI JOIN hot h USING (shingle)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            jscored AS (
+                SELECT doc_a, doc_b,
+                       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+                FROM common
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+            )
 """
 
 
@@ -837,27 +891,66 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard": f"""
             WITH {_SHINGLES_CTE},
-            hot AS (
-                SELECT shingle FROM shingles GROUP BY shingle
-                HAVING COUNT(*) > (SELECT GREATEST(5, COUNT(*) // 100) FROM documents)
+            {_JACCARD_SCORED_CTES}
+            SELECT doc_a, doc_b, jaccard FROM jscored
+        """,
+        # pairs -> connected components -> keep/drop: transitive closure by
+        # recursive CTE mirrors the engine's min-label propagation loop.
+        "dedup_clusters_cc": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            {_JACCARD_SCORED_CTES},
+            cedges AS (
+                SELECT doc_a AS a, doc_b AS b FROM jscored
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM jscored
             ),
-            sh AS (
-                SELECT s.doc_id, s.shingle FROM shingles s
-                ANTI JOIN hot h USING (shingle)
-            ),
-            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-            common AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-                FROM sh a JOIN sh b ON a.shingle = b.shingle
-                WHERE a.doc_id < b.doc_id
-                GROUP BY 1, 2
+            reach(a, b) AS (
+                SELECT a, b FROM cedges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a
             )
-            SELECT doc_a, doc_b,
-                   ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-            FROM common
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+            SELECT node AS doc_id, cluster_id, node = cluster_id AS keep FROM (
+                SELECT a AS node, LEAST(a, MIN(b)) AS cluster_id
+                FROM reach GROUP BY a
+            )
+        """,
+        "dedup_embedding": """
+            WITH anchors AS (
+                SELECT vec_id AS aid, embedding AS av,
+                       row_number() OVER (ORDER BY vec_id ASC) - 1 AS bit
+                FROM (SELECT * FROM embeddings ORDER BY vec_id ASC LIMIT 4)
+            ),
+            dots AS (
+                SELECT e.vec_id, a.bit,
+                       list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                                   i -> e.embedding[i]::DOUBLE * a.av[i]::DOUBLE),
+                                   (acc, x) -> acc + x) AS d
+                FROM embeddings e CROSS JOIN anchors a
+            ),
+            buckets AS (
+                SELECT vec_id,
+                       CAST(SUM(CASE WHEN d >= 0 THEN power(2.0, bit) ELSE 0 END) AS INT) AS bucket
+                FROM dots GROUP BY vec_id
+            ),
+            emb AS (
+                SELECT e.vec_id, e.embedding, b.bucket
+                FROM embeddings e JOIN buckets b USING (vec_id)
+            )
+            SELECT vec_a, vec_b, cos_sim FROM (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       ROUND(
+                         list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                                     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+                                     (acc, x) -> acc + x)
+                         / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                                     i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE),
+                                     (acc, x) -> acc + x))
+                          * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
+                                     i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+                                     (acc, x) -> acc + x)))
+                       , 4) AS cos_sim
+                FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.2
         """,
         "dedup_minhash_lsh": f"""
             WITH {_SHINGLES_CTE},

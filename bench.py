@@ -75,9 +75,12 @@ def _ensure_log(n_events: int) -> tuple[str, int]:
     return log_dir, total
 
 
-def _warmup(spark) -> None:
-    """JIT/Arrow/Python-worker warmup outside the timed region: first use of
-    the pandas-UDF path pays ~15s of worker spawn + codegen on a cold JVM."""
+def _warmup(spark, strategy: str = "jvm") -> None:
+    """Steady-state warmup outside the timed region: JIT/codegen for the
+    scan/shuffle/window/write path, Python workers, and the output
+    committer all pay one-time costs on a cold JVM (~3-6s). The headline
+    measures sustained replay throughput, so a small untimed replay through
+    a throwaway table brings the JVM to steady state first."""
     import pandas as pd  # noqa: F401
 
     df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS k")
@@ -88,6 +91,25 @@ def _warmup(spark) -> None:
 
     df.mapInPandas(_id, schema="id long, k long").groupBy("k").count().collect()
 
+    from hemera_indexer_spark.lake import LakeTable
+    from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+    from hemera_indexer_spark.streaming import StreamController
+
+    log_dir, _ = _ensure_log(100_000)
+    lake_dir = tempfile.mkdtemp(prefix="hemera_warmup_lake_",
+                                dir=os.environ.get("BENCH_LAKE_DIR"))
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(lake_dir, "t"), SEQUENCES_SCHEMA,
+            num_buckets=int(os.environ.get("BENCH_BUCKETS", "128")),
+        )
+        StreamController(
+            spark, t, log_dir, _bench_spec(100_000).n_partitions,
+            merge_strategy=strategy,
+        ).run()
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
 
 def run_cdc(spark, n_events: int, strategy: str) -> dict:
     from hemera_indexer_spark.lake import LakeTable
@@ -95,7 +117,7 @@ def run_cdc(spark, n_events: int, strategy: str) -> dict:
     from hemera_indexer_spark.streaming import StreamController
 
     log_dir, total = _ensure_log(n_events)
-    _warmup(spark)
+    _warmup(spark, strategy)
     lake_dir = tempfile.mkdtemp(prefix="hemera_bench_lake_", dir=os.environ.get("BENCH_LAKE_DIR"))
     try:
         # buckets ≫ cores so the per-bucket reduce/write stage load-balances
@@ -154,7 +176,7 @@ def main() -> None:
     ap.add_argument("--exec-cores", type=int, default=7)
     ap.add_argument("--exec-mem-mb", type=int, default=6144)
     ap.add_argument("--events", type=int, default=int(os.environ.get("BENCH_EVENTS", "8000000")))
-    ap.add_argument("--strategy", default="arrow", choices=["arrow", "pandas", "sql"])
+    ap.add_argument("--strategy", default="jvm", choices=["jvm", "arrow", "pandas", "sql"])
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     args = ap.parse_args()

@@ -42,21 +42,26 @@ The MERGE itself implements the upsert law of SURVEY.md §7: survivor per key
 sequence number with target-wins-on-tie, so replaying a batch is a no-op.
 Deletes become tombstone rows (``is_deleted=True`` keeping ``(doc_id, seq)``,
 the analog of the reference's ``reorg`` boolean column) so stale replays
-cannot resurrect deleted rows. Three physical strategies for the same
-logical argmax (ONE shuffle on the storage bucket for arrow/pandas — every
-key lives in exactly one bucket, so a per-partition reduce is a correct
-global reduce, and the output lands pre-clustered for the partitioned
-write):
+cannot resurrect deleted rows. Four physical strategies for the same
+logical argmax (ONE shuffle on the storage bucket for jvm/arrow/pandas —
+every key lives in exactly one bucket, so a per-partition reduce is a
+correct global reduce, and the output lands pre-clustered for the
+partitioned write):
 
-- ``arrow`` (default) — ``mapInArrow``: sort_indices + boundary-mask + take
-  entirely in Arrow C kernels; the token payload never materializes as
-  Python objects, so payload width stops mattering to the reduce.
+- ``jvm`` (default) — repartition on the bucket, then ``lead(key)`` over a
+  window partitioned by the SAME bucket column: Catalyst adds no second
+  exchange, just one Tungsten sort per partition; last row of each key
+  group survives. All-JVM — the token payload never crosses the Python
+  boundary at all, which measured ~2x faster than the Arrow round-trip at
+  16 cores and scales with cores instead of with IPC bandwidth.
+- ``arrow`` — ``mapInArrow``: sort_indices + boundary-mask + take entirely
+  in Arrow C kernels; the canonical vectorized-Python form of the reduce
+  (kept as the reference implementation of the pandas/Arrow UDF surface).
 - ``pandas`` — ``mapInPandas`` streaming partial reduce (same shape, pandas
-  semantics; kept for comparison and as the reference implementation of the
-  pattern).
-- ``sql`` — ``groupBy(key).agg(max_by(...))``: all-JVM whole-stage codegen
-  with map-side partial aggregation (skew-resistant); pays a second shuffle
-  to re-bucket for the write.
+  semantics; kept for comparison).
+- ``sql`` — ``groupBy(key).agg(max_by(...))``: whole-stage codegen with
+  map-side partial aggregation (skew-resistant); pays a second shuffle to
+  re-bucket for the write.
 """
 
 from __future__ import annotations
@@ -234,7 +239,18 @@ class LakeTable:
         out_dir = os.path.join(
             self.data_dir, f"commit-{version:010d}-{uuid.uuid4().hex[:8]}"
         )
-        df.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        # AQE off for the write action: the merge plan is already clustered
+        # on the bucket (AQE cannot split a bucket without breaking the
+        # window/reduce clustering), and AQE's stage-by-stage replanning of
+        # a dynamic-partition write measured ~1.7s of driver-side fixed cost
+        # per commit — pure overhead at micro-batch cadence. Analytical
+        # queries keep AQE (session default stays on).
+        prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            df.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         entries: list[str] = []
         bucket_of: dict[str, int] = {}
         if os.path.isdir(out_dir):
@@ -342,6 +358,43 @@ class LakeTable:
             out = out.where(~F.col("is_deleted")).drop("is_deleted")
         return out
 
+    def lookup(self, key_value) -> DataFrame:
+        """Point lookup (the explorer API's by-hash routes analog,
+        /root/reference/api/app/explorer/routes.py): resolve ONE key by
+        scanning only its storage bucket — the bucketed layout makes this
+        O(bucket), not O(table), with no index structure. The LWW fold runs
+        on just that bucket's rows for the key."""
+        b = (
+            self.spark.range(1)
+            .select(bucket_col(F.lit(key_value), self.num_buckets).alias("b"))
+            .collect()[0]["b"]
+        )
+        key, seqc = self.key_col, self.seq_col
+        rows = self.read(buckets={b}).where(F.col(key) == F.lit(key_value))
+        if self.is_fact_table:
+            return rows
+        state_cols = self.schema.fieldNames()
+        out = (
+            rows.groupBy(key)
+            .agg(
+                F.max_by(
+                    F.struct(*[c for c in state_cols if c != key]), F.col(seqc)
+                ).alias("_row")
+            )
+            .select(key, "_row.*")
+        )
+        if "is_deleted" in out.columns:
+            out = out.where(~F.col("is_deleted")).drop("is_deleted")
+        return out
+
+    def stats_row_count(self) -> int:
+        """Metadata-only row count from the snapshot's per-file stats (the
+        explorer's cached-count analog — the reference caches expensive
+        COUNTs, routes.py:143-145). Exact for fact tables and freshly
+        compacted state tables; an upper bound while merge-on-read deltas
+        are outstanding (duplicate key versions not yet folded)."""
+        return sum(f["rows"] for f in self.snapshot["files"])
+
     def manifest_df(self) -> DataFrame:
         from hemera_indexer_spark.schemas import MANIFEST_SCHEMA
 
@@ -384,7 +437,7 @@ class LakeTable:
         updates: DataFrame,
         epoch_id: int | None = None,
         manifest: dict | None = None,
-        strategy: str = "arrow",
+        strategy: str = "jvm",
         touched_buckets: set[int] | None = None,
         mode: str | None = None,
         properties_update: dict | None = None,
@@ -542,7 +595,7 @@ class LakeTable:
         return out
 
     def compact(
-        self, buckets: set[int] | None = None, strategy: str = "arrow"
+        self, buckets: set[int] | None = None, strategy: str = "jvm"
     ) -> bool:
         """Fold base+delta files of the given buckets (default: every bucket
         holding deltas) into fresh base files. Pure reorganization: the
@@ -574,7 +627,7 @@ class LakeTable:
         new_files = self._write_data(folded, version, kind="base")
         return self._commit_files(base, version, new_files, replaced, None, None)
 
-    def maybe_compact(self, max_deltas: int = 8, strategy: str = "arrow") -> bool:
+    def maybe_compact(self, max_deltas: int = 8, strategy: str = "jvm") -> bool:
         """Compact every bucket whose delta-file count reached the threshold
         (bounds read amplification at max_deltas folds per key)."""
         hot = {b for b, n in self.delta_counts().items() if n >= max_deltas}
@@ -594,6 +647,28 @@ class LakeTable:
         both = updates.select(*cols, "_prio")
         if target is not None:
             both = target.select(*cols, "_prio").unionByName(both)
+        if strategy == "jvm":
+            # THE scale default: ONE shuffle on the storage bucket, then a
+            # lead() window over the SAME partitioning — Catalyst sees the
+            # child is already hash-partitioned on _bucket, so the window
+            # adds no exchange, just one Tungsten sort per partition on
+            # (_bucket, key, seq, prio); the last row of each key group is
+            # the LWW survivor. All-JVM: the token payload never crosses
+            # into Python (the arrow/pandas strategies pay ~GBs of Arrow IPC
+            # per batch for the same argmax — measured 2x slower at 16
+            # cores), and the output stays clustered by bucket for the
+            # partitioned write.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("_bucket").orderBy(
+                F.col(key).asc(), F.col(seqc).asc(), F.col("_prio").asc()
+            )
+            return (
+                both.repartition(F.col("_bucket"))
+                .withColumn("_nxt", F.lead(key).over(w))
+                .where(F.col("_nxt").isNull() | (F.col("_nxt") != F.col(key)))
+                .drop("_nxt", "_prio")
+            )
         if strategy == "sql":
             # all-JVM: partial max_by map-side, final per key; then re-bucket
             # (without the re-bucket shuffle the aggregate output is hashed

@@ -217,6 +217,73 @@ def lsh_candidate_pairs(
     )
 
 
+# --------------------------------------------------- cluster resolution (CC)
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters: (doc_id, cluster_id) where
+    cluster_id is the minimum doc id reachable through the pair graph — the
+    step that turns pairwise dedup output into actionable keep/drop sets.
+
+    Min-label propagation: every node starts labeled with itself; each round
+    takes the min of its own label and its neighbors' labels; converged when
+    a round changes nothing. Rounds needed = graph diameter — near-dup
+    clusters are tiny (duplicates of one document), so this is a handful of
+    equi-join shuffles, each O(|edges|); the driver only checks a per-round
+    change COUNT (no data ever collects). This is the standard Spark CC
+    shape (label propagation; large-star/small-star is the same idea with
+    better worst-case rounds for pathological graphs)."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .cache()  # re-read every round; never recompute the pair pipeline
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_chg"),
+            )
+            .cache()
+        )
+        changed = new_labels.where(F.col("_chg")).count()
+        new_labels = new_labels.drop("_chg")
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    edges.unpersist()
+    return out
+
+
+def dedup_keep_drop(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Keep/drop decision per clustered doc: keep the cluster's min id, drop
+    the rest. Returns (doc_id, cluster_id, keep:boolean)."""
+    cc = connected_components(pairs, src, dst)
+    return cc.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
+    )
+
+
 # ------------------------------------------------------------------ simhash
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over word unigrams via md5 nibbles: for each of the

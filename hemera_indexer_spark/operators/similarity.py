@@ -121,6 +121,43 @@ def anchor_lsh_buckets(
     return bits
 
 
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_anchors: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs (SemDeDup shape): candidates are
+    vectors sharing an LSH bucket (equi-join on bucket — never all-pairs),
+    kept when exact cosine >= threshold. Returns (vec_a, vec_b, cos_sim)
+    with vec_a < vec_b. At scale the bucket count grows with 2^n_anchors so
+    per-bucket candidate sets stay small; pipe the output through
+    ``dedup.connected_components`` for keep/drop sets."""
+    buckets = anchor_lsh_buckets(emb, n_anchors, id_col, vec_col)
+    embb = (
+        emb.select(F.col(id_col).alias("_eid"), F.col(vec_col).alias("_v"))
+        .join(buckets, F.col("_eid") == F.col("vec_id"))
+        .select("vec_id", "_v", "bucket")
+    )
+    a = embb.select(
+        F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va"), "bucket"
+    )
+    b = embb.select(
+        F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def anchor_lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

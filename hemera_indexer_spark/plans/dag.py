@@ -30,6 +30,18 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def job(name: str, inputs: list[str], output: str | None = None) -> Callable:
+    """Mark a module-level function as a discoverable DAG job (picked up by
+    ``JobGraph.discover`` — the plug-in analog of the reference's job
+    auto-discovery)."""
+
+    def deco(fn: Callable) -> Callable:
+        fn._dag_spec = {"name": name, "inputs": list(inputs), "output": output}
+        return fn
+
+    return deco
+
+
 class CycleError(ValueError):
     pass
 
@@ -68,6 +80,20 @@ class JobGraph:
             return fn
 
         return deco
+
+    def discover(self, module) -> int:
+        """Plug-in discovery (the reference's import-scan that finds every
+        ExtensionJob subclass, job_scheduler.py discovery + base_job.py
+        type-hint wiring): register every function in ``module`` marked by
+        the ``@job(...)`` decorator. Returns the number registered."""
+        n = 0
+        for name in dir(module):
+            fn = getattr(module, name)
+            spec = getattr(fn, "_dag_spec", None)
+            if spec is not None:
+                self.register(spec["name"], spec["inputs"], spec["output"])(fn)
+                n += 1
+        return n
 
     # ------------------------------------------------------------ resolution
     def required_jobs(self, targets: list[str], sources: set[str]) -> set[str]:

@@ -135,12 +135,13 @@ class StreamController:
         table: LakeTable,
         log_dir: str,
         n_partitions: int,
-        merge_strategy: str = "arrow",
+        merge_strategy: str = "jvm",
         compact_max_deltas: int = 8,
         max_batch_epochs: int = 8,
         fact_table: LakeTable | None = None,
         max_retries: int = 2,
         retry_backoff_s: float = 0.5,
+        confirmation_lag: int = 0,
     ):
         self.spark = spark
         self.table = table
@@ -157,6 +158,11 @@ class StreamController:
         self.fact_table = fact_table
         self.max_retries = max_retries
         self.retry_backoff_s = retry_backoff_s
+        # confirmation delay: stay this many epochs behind the log head (the
+        # reference's --delay lag behind the chain head,
+        # /root/reference/cli/stream.py:222-229) so shallow forks resolve
+        # upstream before ingestion ever sees them.
+        self.confirmation_lag = max(0, confirmation_lag)
 
     # ------------------------------------------------------------- discovery
     def available_epochs(self) -> list[int]:
@@ -260,7 +266,11 @@ class StreamController:
     def run(self, max_epochs: int | None = None) -> RunStats:
         stats = RunStats()
         done = self.table.committed_epoch()
-        todo = [e for e in self.available_epochs() if e > done]
+        avail = self.available_epochs()
+        if self.confirmation_lag and avail:
+            head = avail[-1]
+            avail = [e for e in avail if e <= head - self.confirmation_lag]
+        todo = [e for e in avail if e > done]
         if max_epochs is not None:
             todo = todo[:max_epochs]
         if not todo:

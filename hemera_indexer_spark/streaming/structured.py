@@ -45,7 +45,7 @@ class StructuredIngest:
         log_dir: str,
         n_partitions: int,
         checkpoint_dir: str,
-        merge_strategy: str = "arrow",
+        merge_strategy: str = "jvm",
         max_files_per_trigger: int | None = None,
         compact_max_deltas: int = 8,
     ):

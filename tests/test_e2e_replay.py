@@ -30,9 +30,11 @@ def _assert_state_matches_oracle(table, log_dir, n_partitions):
 @pytest.mark.parametrize(
     "strategy,mode",
     [
+        ("jvm", "mor"),
         ("arrow", "mor"),
         ("pandas", "mor"),
         ("sql", "mor"),
+        ("jvm", "cow"),
         ("arrow", "cow"),
         ("pandas", "cow"),
         ("sql", "cow"),

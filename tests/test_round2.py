@@ -530,3 +530,107 @@ def test_period_fold_crash_windows(spark, tmp_path, monkeypatch, crash_point):
     # exactly one live accumulator dir remains
     vdirs = [x for x in os.listdir(tmp_path / "aggr") if x.startswith("period.v")]
     assert len(vdirs) == 1
+
+
+# -------------------------------------------------- confirmation lag / --delay
+def test_confirmation_lag_stays_behind_head(spark, tiny_log, tmp_path):
+    """--delay analog: with confirmation_lag=2 the controller never ingests
+    the top 2 epochs; dropping the lag catches up to the head."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    n = tiny_log.spec.n_epochs
+    ctl = StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions,
+        confirmation_lag=2,
+    )
+    ctl.run()
+    assert table.committed_epoch() == n - 3  # head is n-1; lag 2 => n-3
+    ctl.confirmation_lag = 0
+    ctl.run()
+    assert table.committed_epoch() == n - 1
+    expected = expected_live_rows(tiny_log.out_dir, tiny_log.spec.n_partitions)
+    got = _state_dicts(table)
+    assert len(got) == len(expected)
+    assert all(g["tokens"] == e["tokens"] for g, e in zip(got, expected))
+
+
+# ------------------------------------------------------------ read-API analogs
+def test_point_lookup_and_stats_count(spark, tiny_log, tmp_path):
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    StreamController(spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions).run()
+    state = {r["doc_id"]: r for r in table.current_state().collect()}
+    some_key = sorted(state)[3]
+    got = table.lookup(some_key).collect()
+    assert len(got) == 1
+    assert got[0]["seq"] == state[some_key]["seq"]
+    assert got[0]["tokens"] == state[some_key]["tokens"]
+    # a deleted/never-seen key resolves to no rows
+    assert table.lookup("doc_99999999").count() == 0
+    # metadata-only count: upper bound of resolved rows, >= live rows
+    assert table.stats_row_count() >= len(state)
+    table.compact()
+    # after full compaction the stats count equals resolved rows exactly
+    assert table.stats_row_count() == table.resolved().count()
+
+
+# ----------------------------------------------------------- batched enrich
+def test_batched_enrich_adaptive(spark):
+    """Multicall/BatchWorkExecutor analog: chunks are bounded, a failing
+    chunk is halved and retried, and every row is enriched exactly once."""
+    import pandas as pd
+    from hemera_indexer_spark.operators.batcher import batched_enrich
+
+    df = spark.range(0, 1000, 1, 4).selectExpr("id")
+    seen_sizes = []
+
+    def enrich(chunk: pd.DataFrame) -> pd.DataFrame:
+        seen_sizes.append(len(chunk))  # task-local; only for the local test
+        if len(chunk) > 64:
+            raise RuntimeError("simulated overload (too many calls batched)")
+        return chunk.assign(doubled=chunk["id"] * 2)
+
+    out = batched_enrich(
+        df, enrich, out_schema="id long, doubled long", batch_size=256,
+        min_batch_size=8,
+    )
+    rows = {r["id"]: r["doubled"] for r in out.collect()}
+    assert len(rows) == 1000
+    assert all(v == k * 2 for k, v in rows.items())
+
+    # crashable: failure below min_batch_size propagates
+    def poison(chunk):
+        raise RuntimeError("deterministic poison")
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        batched_enrich(
+            df, poison, out_schema="id long", batch_size=4, min_batch_size=4
+        ).collect()
+
+
+def test_job_dag_module_discovery(spark):
+    import types
+
+    from hemera_indexer_spark.plans.dag import JobGraph, job
+
+    mod = types.ModuleType("fake_plugins")
+
+    @job("clicks", inputs=["events"])
+    def clicks(spark_, ins):
+        return ins["events"].where(F.col("event_type") == "click")
+
+    @job("click_counts", inputs=["clicks"])
+    def click_counts(spark_, ins):
+        return ins["clicks"].groupBy("user_id").agg(F.count("*").alias("n"))
+
+    mod.clicks = clicks
+    mod.click_counts = click_counts
+    g = JobGraph()
+    assert g.discover(mod) == 2
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = g.run(spark, {"events": ev}, targets=["click_counts"])
+    direct = ev.where(F.col("event_type") == "click").groupBy("user_id").count()
+    assert out["click_counts"].count() == direct.count()
