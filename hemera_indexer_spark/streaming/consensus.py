@@ -23,11 +23,15 @@ canonical repair — exactly a rollback:
    bookkeeping row — the divergent event itself is a real update that must
    be applied after the delete.
 
-Scope: detection is within-batch (the controller's epoch group). A fork
-whose divergent event is the first of its partition in the batch has no
-in-batch predecessor to compare against; production deployments carry the
-last committed hash per partition in the manifest (``last_hash`` lineage
-field) so the first event is checked too.
+Cross-batch scope: the controller persists each partition's chain tip
+(max-seq ``chain_hash``) in the snapshot manifest (``last_hashes``) and
+feeds it back here, so a fork whose divergent event is the FIRST of its
+partition in a batch is detected against the previous batch's tip. When the
+fork point itself lies outside the batch (its ancestor hash is not among
+the batch's events), the rollback is conservative — ``rollback_to_seq=0``,
+a full partition re-sync — mirroring the reference's response of re-fetching
+the suspect range; a log-backed deployment replays the partition, which the
+LWW merge makes idempotent.
 """
 
 from __future__ import annotations

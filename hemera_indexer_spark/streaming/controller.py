@@ -412,7 +412,13 @@ class StreamController:
                 .collect()
             ]
         if has_hash_chain:
-            rollbacks.extend(consensus.detect_divergence(df))
+            prev_hashes = {
+                int(p): h
+                for p, h in self.table.snapshot["manifest"]
+                .get("last_hashes", {})
+                .items()
+            }
+            rollbacks.extend(consensus.detect_divergence(df, prev_hashes))
         rollbacks.sort(key=lambda r: r["seq"])
 
         lineage_rows = self._merged_lineage(metas)
@@ -436,7 +442,10 @@ class StreamController:
                 seg = seg.where(F.col("seq") < rb["seq"])
             is_last = rb is None
             if is_last:
-                manifest = self._build_manifest(last_epoch, lineage_rows, t0, df)
+                manifest = self._build_manifest(
+                    last_epoch, lineage_rows, t0, df,
+                    with_hashes=has_hash_chain,
+                )
                 if self.fact_table is not None:
                     self.fact_table.insert_if_absent(
                         seg,
@@ -503,7 +512,9 @@ class StreamController:
                     p["mn"] = r["mn"] if p["mn"] is None else min(p["mn"], r["mn"])
         return list(per_part.values())
 
-    def _build_manifest(self, epoch: int, lineage_rows, t0: float, df=None) -> dict:
+    def _build_manifest(
+        self, epoch: int, lineage_rows, t0: float, df=None, with_hashes=False
+    ) -> dict:
         prev = self.table.committed_offsets()
         offsets = dict(prev)
         wall = int((time.monotonic() - t0) * 1000)
@@ -535,8 +546,24 @@ class StreamController:
                     "wall_ms": wall,
                 }
             )
-        return {
+        manifest = {
             "epoch_id": epoch,
             "offsets": {str(k): v for k, v in offsets.items()},
             "lineage": lineage,
         }
+        if with_hashes and df is not None:
+            # chain tip per partition (max-seq canonical event) so the NEXT
+            # batch's consensus check spans the batch boundary — the analog
+            # of the reference comparing fetched parents against stored
+            # blocks. One tiny aggregate, only on hash-chained logs.
+            prev = dict(self.table.snapshot["manifest"].get("last_hashes", {}))
+            tips = (
+                df.where(F.col("op") != "rollback")
+                .groupBy("partition")
+                .agg(F.max_by(F.col(consensus.HASH_COL), F.col("seq")).alias("h"))
+                .collect()
+            )
+            for r in tips:
+                prev[str(int(r["partition"]))] = r["h"]
+            manifest["last_hashes"] = prev
+        return manifest

@@ -634,3 +634,107 @@ def test_job_dag_module_discovery(spark):
     out = g.run(spark, {"events": ev}, targets=["click_counts"])
     direct = ev.where(F.col("event_type") == "click").groupBy("user_id").count()
     assert out["click_counts"].count() == direct.count()
+
+
+# ----------------------------------------------- stateful streaming operator
+def test_stateful_running_doc_state(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: per-doc running LWW
+    state + lifetime event count, folded vectorized in the state store."""
+    from hemera_indexer_spark.oracle import read_log_rows
+    from hemera_indexer_spark.streaming.stateful import running_doc_state_stream
+
+    spec = ChangelogSpec(
+        n_docs=80, n_epochs=3, events_per_epoch=150, n_partitions=2,
+        seed=5, schema_evolution_epoch=None, rollback_epochs=(),
+    )
+    log = str(tmp_path / "log")
+    generate_changelog(log, spec)
+    q = (
+        running_doc_state_stream(spark, log)
+        .writeStream.format("memory")
+        .queryName("doc_state_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {}
+    for r in spark.sql("SELECT * FROM doc_state_out").collect():
+        cur = got.get(r["doc_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            got[r["doc_id"]] = r
+
+    exp: dict = {}
+    for row in read_log_rows(log):
+        if row["op"] == "rollback":
+            continue
+        e = exp.setdefault(
+            row["doc_id"], {"seq": -1, "n_tok": None, "deleted": None, "n": 0}
+        )
+        e["n"] += 1
+        if row["seq"] > e["seq"]:
+            e["seq"] = row["seq"]
+            e["deleted"] = row["op"] == "delete"
+            e["n_tok"] = row["n_tok"]
+    assert set(got) == set(exp)
+    for k, e in exp.items():
+        g = got[k]
+        assert g["seq"] == e["seq"], k
+        assert g["is_deleted"] == e["deleted"], k
+        assert g["n_events"] == e["n"], k
+        assert g["n_tok"] == e["n_tok"], k
+
+
+# -------------------------------------------- cross-batch consensus detection
+def test_hash_chain_divergence_across_batches(spark, tmp_path):
+    """The manifest's per-partition chain tip extends the consensus check
+    across the batch boundary: a fork whose first divergent event opens a
+    NEW batch is still detected (and conservatively re-syncs the
+    partition)."""
+    def write_epoch(log, epoch, rows):
+        tbl = pa.table(
+            {
+                "seq": pa.array([r[0] for r in rows], pa.int64()),
+                "epoch": pa.array([epoch] * len(rows), pa.int64()),
+                "partition": pa.array([0] * len(rows), pa.int32()),
+                "doc_id": pa.array([r[1] for r in rows]),
+                "op": pa.array(["insert"] * len(rows)),
+                "tokens": pa.array([r[2] for r in rows], pa.list_(pa.int32())),
+                "n_tok": pa.array([len(r[2]) for r in rows], pa.int32()),
+                "source": pa.array(["web"] * len(rows)),
+                "rollback_to_seq": pa.nulls(len(rows), pa.int64()),
+                "chain_hash": pa.array([r[3] for r in rows]),
+                "parent_hash": pa.array([r[4] for r in rows]),
+            }
+        )
+        d = os.path.join(log, f"epoch={epoch:05d}", "partition=000")
+        os.makedirs(d)
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+
+    log = str(tmp_path / "log")
+    write_epoch(log, 0, [
+        (1, "doc_1", [1], "h1", "h0"),
+        (2, "doc_2", [2], "h2", "h1"),
+        (3, "doc_3", [3], "h3", "h2"),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    ctl = StreamController(spark, table, log, 1)
+    ctl.run()  # commit epoch 0; manifest records chain tip h3
+    assert table.snapshot["manifest"]["last_hashes"] == {"0": "h3"}
+
+    # epoch 1 opens on a fork: parent h2 (not our tip h3)
+    write_epoch(log, 1, [
+        (4, "doc_4", [4], "f4", "h2"),
+        (5, "doc_1", [5], "f5", "f4"),   # fork re-delivers doc_1
+    ])
+    stats = ctl.run()
+    assert stats.epochs[0].rollbacks == 1  # detected across the boundary
+    got = {r["doc_id"]: r for r in table.current_state().collect()}
+    # fork point (h2) is outside the batch -> conservative partition
+    # re-sync: pre-fork docs wiped, fork events form the new state
+    assert set(got) == {"doc_1", "doc_4"}
+    assert got["doc_1"]["seq"] == 5 and got["doc_1"]["tokens"] == [5]
+    assert table.snapshot["manifest"]["last_hashes"] == {"0": "f5"}
