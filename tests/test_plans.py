@@ -83,3 +83,45 @@ def test_lake_scan_prunes_by_footer_stats(spark, tmp_path):
     assert len(t._select_files(seq_at_least=10 ** 12)) == 0
     some = t._select_files(seq_at_least=150)
     assert 0 < len(some) < len(t.snapshot["files"])
+
+
+def test_jvm_merge_plan_single_exchange(spark, tmp_path):
+    """The jvm LWW reduce must plan as ONE exchange (on the storage bucket)
+    followed by a sort+window — Catalyst must recognize the window's
+    clustering is already satisfied and add no second shuffle, and nothing
+    in the path may touch Python."""
+    from pyspark.sql import functions as F2
+
+    from hemera_indexer_spark.lake import LakeTable
+    from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    upd = spark.createDataFrame(
+        [("doc_1", [1], 1, "web", "insert", 1), ("doc_1", [2], 1, "web", "update", 2)],
+        "doc_id string, tokens array<int>, n_tok int, source string, op string, seq long",
+    )
+    from hemera_indexer_spark.functions import bucket_col
+
+    shaped = (
+        upd.withColumn("is_deleted", F2.col("op") == "delete")
+        .select("doc_id", "tokens", "n_tok", "source", "seq", "is_deleted")
+        .withColumn("_bucket", bucket_col(F2.col("doc_id"), 8))
+    )
+    reduced = t._lww_reduce(
+        None, shaped.withColumn("_prio", F2.lit(0)),
+        t.schema.fieldNames(), "jvm",
+    )
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(reduced)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    # exactly one exchange node in the tree rendering
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" in tree and "Sort" in tree
+    for python_op in ("ArrowEvalPython", "MapInPandas", "PythonMapInArrow", "BatchEvalPython"):
+        assert python_op not in plan
