@@ -38,8 +38,16 @@ def exact_duplicate_clusters(df: DataFrame, id_col: str, text_col: str) -> DataF
 
 
 # ---------------------------------------------------------------- shingles
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per doc: (doc_id, shingle).
+
+    ``distinct=True`` dedups shingles per doc — a FULL shuffle of the
+    pipeline's biggest intermediate. Pass ``distinct=False`` whenever the
+    consumer is duplicate-insensitive (MinHash ``min`` aggregation) or will
+    prune to a tiny subset first (LSH verification dedups after the
+    candidate semi-join): the explode then stays map-only, no shuffle."""
     w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
     if n == 1:
         sh = w
@@ -53,11 +61,10 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> Data
                 "_", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
             ),
         )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .where(F.col("shingle") != "")
-        .distinct()
-    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle")
+    ).where(F.col("shingle") != "")
+    return out.distinct() if distinct else out
 
 
 def _df_filter(shingles: DataFrame, max_df: int | None) -> DataFrame:
@@ -117,7 +124,12 @@ def jaccard_pairs(
 
 # ------------------------------------------------------------------ minhash
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    k: int = 8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash: h_i(doc) = min over shingles of
     md5(i || '|' || shingle), min taken lexicographically on the hex string.
@@ -128,8 +140,16 @@ def minhash_signatures(
     aggregates (all map-side combined), then an unpivot to the long form —
     NOT a k-way seed cross join, which would multiply the shuffle by k. At
     web scale the shingle table is the biggest intermediate in the whole
-    dedup pipeline; never widen it."""
-    sh = word_shingles(df, id_col, text_col, n)
+    dedup pipeline; never widen it — and never build it twice: callers that
+    already hold the (doc_id, shingle) table pass it via ``shingles``.
+    Duplicate shingles don't change a ``min``, so the default build skips
+    the per-doc distinct — the explode stays map-only and the only shuffle
+    is the map-side-combined groupBy(doc_id)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(df, id_col, text_col, n, distinct=False)
+    )
     aggs = [
         F.min(
             F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))
@@ -156,7 +176,13 @@ def lsh_candidate_pairs(
     k/bands rows; docs sharing any band bucket become candidates; candidates
     are verified with exact Jaccard. Returns (doc_a, doc_b, jaccard)."""
     rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    # ONE map-only explode (NO distinct, NO cache): MinHash mins are
+    # duplicate-insensitive, and verification dedups AFTER pruning to the
+    # candidate docs. The corpus-wide distinct was the biggest shuffle in
+    # the whole pipeline; caching the exploded table (larger than the
+    # input) cost more than re-running a map-only explode from parquet.
+    sh = word_shingles(df, id_col, text_col, n, distinct=False)
+    sig = minhash_signatures(df, id_col, text_col, n, k, shingles=sh)
     band = (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
@@ -190,21 +216,26 @@ def lsh_candidate_pairs(
         # pipeline runs once, not three times
         .cache()
     )
-    # verify candidates with exact jaccard on the same shingle sets.
-    # sizes use the FULL shingle sets (the jaccard denominator), but the
-    # common-shingle join only needs shingles of docs that appear in some
-    # candidate pair — after LSH that set is tiny relative to the corpus, so
-    # the semi-join prunes the two big verification shuffles down to the
-    # candidates (the 100 TB-critical cut: without it the verification
-    # re-shuffles the whole shingle table twice).
-    sh = word_shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # verify candidates with exact jaccard on the same shingle sets. Only
+    # docs that appear in some candidate pair matter from here on — after
+    # LSH that set is tiny relative to the corpus, so the semi-join prunes
+    # EVERY verification branch (common-shingle join AND the size
+    # denominators) down to the candidates: the 100 TB-critical cut. The
+    # sizes are per-doc totals, so computing them from the pruned table
+    # yields identical values for every doc that survives to the output.
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # distinct runs HERE, after the broadcast semi-join pruned the exploded
+    # table down to candidate docs — a shuffle of O(candidates), not O(corpus)
+    sh_cand = (
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .distinct()
+        .cache()
+    )
+    sizes = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh_cand.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh_cand.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
@@ -232,7 +263,11 @@ def lsh_candidate_pairs(
 
 # --------------------------------------------------- cluster resolution (CC)
 def connected_components(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+    check_every: int = 2,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into clusters: (doc_id, cluster_id) where
     cluster_id is the minimum doc id reachable through the pair graph — the
@@ -242,10 +277,18 @@ def connected_components(
     takes the min of its own label and its neighbors' labels; converged when
     a round changes nothing. Rounds needed = graph diameter — near-dup
     clusters are tiny (duplicates of one document), so this is a handful of
-    equi-join shuffles, each O(|edges|); the driver only checks a per-round
-    change COUNT (no data ever collects). This is the standard Spark CC
-    shape (label propagation; large-star/small-star is the same idea with
-    better worst-case rounds for pathological graphs)."""
+    equi-join shuffles, each O(|edges|); the driver only checks a change
+    COUNT (no data ever collects). ``check_every`` rounds are chained into
+    ONE Spark action before each convergence check: the fixpoint is
+    monotone, so "last chained round changed nothing" still implies global
+    convergence, and the per-action driver fixed cost is paid half as often.
+    This is the standard Spark CC shape (label propagation;
+    large-star/small-star is the same idea with better worst-case rounds
+    for pathological graphs).
+
+    Raises RuntimeError if ``max_iter`` rounds pass without convergence —
+    silently returning partially-propagated labels would split clusters on
+    long transitive chains."""
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -258,29 +301,43 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .cache()
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
+    check_every = max(1, check_every)
+    done = 0
+    converged = False
+    while done < max_iter and not converged:
+        steps = min(check_every, max_iter - done)
+        cur = labels
+        chg = None
+        for _ in range(steps):
+            neighbor_min = (
+                edges.join(cur, edges.b == cur.node)
+                .groupBy("a")
+                .agg(F.min("label").alias("nmin"))
+            )
+            nxt = cur.join(
+                neighbor_min, cur.node == neighbor_min.a, "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
                 (F.col("nmin") < F.col("label")).alias("_chg"),
             )
-            .cache()
-        )
-        changed = new_labels.where(F.col("_chg")).count()
-        new_labels = new_labels.drop("_chg")
+            chg = nxt
+            cur = nxt.drop("_chg")
+        new_labels = chg.cache()
+        # only the LAST chained round's change count is inspected: labels
+        # only ever decrease, so a no-change round proves the fixpoint.
+        converged = new_labels.where(F.col("_chg")).count() == 0
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+        labels = new_labels.drop("_chg")
+        done += steps
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "pair-graph diameter exceeds max_iter (pathological chain); "
+            "raise max_iter or switch to large-star/small-star"
+        )
     out = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
