@@ -399,11 +399,14 @@ def q_fww_first_state(spark, sf):
     from hemera_indexer_spark.operators.lww import lww_latest
 
     ev = _t(spark, sf, "events")
-    # first-writer-wins = LWW under a negated version
+    # first-writer-wins = LWW under a negated version; microsecond-precision
+    # negation (unix_micros) so the order matches the oracle's ORDER BY ts
+    # exactly even for sub-second timestamps (unix_timestamp truncates to
+    # seconds, which would break event_id ties across distinct times)
     out = lww_latest(
         ev,
         keys=["user_id"],
-        version=F.struct((-F.unix_timestamp("ts")).alias("nts"),
+        version=F.struct((-F.unix_micros(F.col("ts"))).alias("nts"),
                          (-F.col("event_id")).alias("nid")),
         payload=["event_id", "event_type", "value"],
     )
@@ -591,6 +594,111 @@ def q_multimodal_features(spark, sf):
     return extract_features(blobs_from_documents(_t(spark, sf, "documents")))
 
 
+# ------------------------------------------------- typed decode dispatch
+def q_decode_dispatch(spark, sf):
+    """Topic0-dispatched multi-type decode (token_transfer.py:245-260
+    dispatch, :106-242 typed decoders): events are JVM-encoded into two
+    tagged binary record layouts (fixed transfer / variable-length batch),
+    the dispatcher routes by tag byte to per-type vectorized decoders with
+    different output shapes, and the union projects the superset schema."""
+    from hemera_indexer_spark.operators.decode import (
+        decode_dispatch,
+        encode_batch_records,
+        encode_transfer_records,
+    )
+
+    ev = _t(spark, sf, "events")
+    transfers = encode_transfer_records(
+        ev.where(F.col("event_type").isin("click", "view")).select(
+            F.col("event_id").alias("seq"),
+            F.concat(
+                F.lit("0x"), F.lower(F.lpad(F.hex("user_id"), 40, "0"))
+            ).alias("addr"),
+            F.floor(F.col("value") * 1000).cast("long").alias("amount"),
+        ),
+        "seq", "addr", "amount",
+    )
+    batches = encode_batch_records(
+        ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("seq"),
+            F.transform(
+                F.sequence(F.lit(0), F.pmod(F.col("event_id"), F.lit(4))),
+                lambda j: F.col("user_id") + j * F.lit(7),
+            ).alias("vals"),
+        ),
+        "seq", "vals",
+    )
+    # one mixed "raw log" stream of tagged records, as the RPC would yield
+    raw = transfers.select("record").unionByName(batches.select("record"))
+    typed = decode_dispatch(raw, "record")
+    # sentinel values (not NULL) for the non-applicable columns: the
+    # correctness gate sorts row tuples, and None is not orderable vs str
+    t = typed["transfer"].select(
+        F.lit("transfer").alias("rec_type"),
+        "seq", "address", "amount",
+        F.lit(0).cast("int").alias("n_items"),
+        F.lit("").alias("total"),
+    )
+    b = typed["batch"].select(
+        F.lit("batch").alias("rec_type"),
+        "seq",
+        F.lit("").alias("address"),
+        F.lit("").alias("amount"),
+        "n_items", "total",
+    )
+    return t.unionByName(b)
+
+
+def q_trace_flatten(spark, sf):
+    """Recursive call-tree flatten (export_traces_job.py:88-120): JSON call
+    trees of row-dependent depth/fan-out are flattened to one row per call
+    with path-encoded trace_address — the mapInPandas DFS handles arbitrary
+    depth (a depth-60 tree is exercised in tests/)."""
+    from hemera_indexer_spark.operators.traces import flatten_call_tree
+
+    ev = _t(spark, sf, "events").where(F.col("event_id") < 500)
+    leaf = lambda j: F.concat(  # noqa: E731
+        F.lit('{"op":"leaf","value":'),
+        (F.col("user_id") + j).cast("string"),
+        F.lit(",\"calls\":[]}"),
+    )
+    mid = F.concat(
+        F.lit('{"op":"mid","value":'),
+        (F.col("user_id") + 10).cast("string"),
+        F.lit(',"calls":['), leaf(100), F.lit("]}"),
+    )
+    # depth d = 1 + event_id % 3: root / root+2 leaves / root+(mid->leaf)+leaf
+    d = F.pmod(F.col("event_id"), F.lit(3))
+    kids = (
+        F.when(d == 0, F.lit(""))
+        .when(d == 1, F.concat(leaf(1), F.lit(","), leaf(2)))
+        .otherwise(F.concat(mid, F.lit(","), leaf(2)))
+    )
+    tree = F.concat(
+        F.lit('{"op":"'), F.col("event_type"), F.lit('","value":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"calls":['), kids, F.lit("]}"),
+    )
+    src = ev.select(F.col("event_id").alias("id"), tree.alias("trace"))
+    return flatten_call_tree(src, "trace", "id")
+
+
+def q_keyset_page(spark, sf):
+    """Keyset pagination (transactions.py:150-162 seek analog): page 2 of
+    orders by (o_totalprice DESC, o_orderkey), fetched with a seek
+    predicate from page 1's last key — never OFFSET."""
+    from hemera_indexer_spark.plans.pagination import keyset_page
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cols = [("o_totalprice", True), ("o_orderkey", False)]
+    last = keyset_page(orders, cols, None, 20).collect()[-1]
+    return keyset_page(
+        orders, cols, (last["o_totalprice"], last["o_orderkey"]), 20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -630,6 +738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "decode_dispatch": q_decode_dispatch,
+        "trace_flatten": q_trace_flatten,
+        "keyset_page": q_keyset_page,
     }
 
 
@@ -1176,6 +1287,65 @@ def oracle_sql() -> dict[str, str]:
                    sqrt(sh2 / 32.0 - (sh / 32.0) * (sh / 32.0)) / 255.0 AS feat_std,
                    32 AS feat_dim
             FROM s
+        """,
+        # encode∘decode == identity, so the oracle states the decoded
+        # output DIRECTLY from the source columns — the Spark side actually
+        # round-trips through the tagged binary layouts and the dispatcher.
+        "decode_dispatch": """
+            WITH t AS (
+                SELECT 'transfer' AS rec_type, event_id AS seq,
+                       '0x' || lower(lpad(to_hex(user_id), 40, '0')) AS address,
+                       CAST(CAST(floor(value * 1000) AS BIGINT) AS VARCHAR) AS amount,
+                       CAST(0 AS INTEGER) AS n_items,
+                       '' AS total
+                FROM events WHERE event_type IN ('click', 'view')
+            ),
+            b AS (
+                SELECT 'batch' AS rec_type, event_id AS seq,
+                       '' AS address,
+                       '' AS amount,
+                       CAST(1 + event_id % 4 AS INTEGER) AS n_items,
+                       CAST(CAST(list_sum(list_transform(
+                            generate_series(0, event_id % 4),
+                            j -> user_id + j * 7)) AS BIGINT) AS VARCHAR) AS total
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT * FROM t UNION ALL SELECT * FROM b
+        """,
+        # the flattener's expected rows stated closed-form per depth class
+        # (the Spark side builds the nested JSON and walks it recursively)
+        "trace_flatten": """
+            WITH e AS (
+                SELECT event_id AS id, event_id % 3 AS d, event_type, user_id
+                FROM events WHERE event_id < 500
+            )
+            SELECT id, '' AS trace_address, CAST(0 AS INTEGER) AS depth,
+                   event_type AS op, CAST(user_id AS BIGINT) AS value FROM e
+            UNION ALL
+            SELECT id, '0', CAST(1 AS INTEGER), 'leaf',
+                   CAST(user_id + 1 AS BIGINT) FROM e WHERE d = 1
+            UNION ALL
+            SELECT id, '1', CAST(1 AS INTEGER), 'leaf',
+                   CAST(user_id + 2 AS BIGINT) FROM e WHERE d >= 1
+            UNION ALL
+            SELECT id, '0', CAST(1 AS INTEGER), 'mid',
+                   CAST(user_id + 10 AS BIGINT) FROM e WHERE d = 2
+            UNION ALL
+            SELECT id, '0/0', CAST(2 AS INTEGER), 'leaf',
+                   CAST(user_id + 100 AS BIGINT) FROM e WHERE d = 2
+        """,
+        "keyset_page": """
+            WITH b AS (
+                SELECT o_totalprice AS bp, o_orderkey AS bk
+                FROM orders
+                ORDER BY o_totalprice DESC, o_orderkey
+                LIMIT 1 OFFSET 19
+            )
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders, b
+            WHERE o_totalprice < bp OR (o_totalprice = bp AND o_orderkey > bk)
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20
         """,
     }
 

@@ -363,22 +363,37 @@ class LakeTable:
         /root/reference/api/app/explorer/routes.py): resolve ONE key by
         scanning only its storage bucket — the bucketed layout makes this
         O(bucket), not O(table), with no index structure. The LWW fold runs
-        on just that bucket's rows for the key."""
-        b = (
-            self.spark.range(1)
-            .select(bucket_col(F.lit(key_value), self.num_buckets).alias("b"))
-            .collect()[0]["b"]
-        )
+        on just that bucket's rows for the key, tie-broken exactly like
+        ``_lww_reduce``: max by (seq, file-kind priority), base files
+        winning ties over deltas (target-wins-on-tie)."""
+        # evaluate xxhash64 over a literal without scheduling a Spark job:
+        # a one-row SELECT over no table plans to a LocalRelation after
+        # constant folding, so collect() is a driver-local evaluation.
+        safe = str(key_value).replace("'", "''")
+        b = self.spark.sql(
+            f"SELECT pmod(xxhash64('{safe}'), {self.num_buckets}) AS b"
+        ).collect()[0]["b"]
         key, seqc = self.key_col, self.seq_col
-        rows = self.read(buckets={b}).where(F.col(key) == F.lit(key_value))
+        pred = F.col(key) == F.lit(key_value)
+        rows = (
+            self.read(buckets={b}, kind="base")
+            .where(pred)
+            .withColumn("_prio", F.lit(1))
+            .unionByName(
+                self.read(buckets={b}, kind="delta")
+                .where(pred)
+                .withColumn("_prio", F.lit(0))
+            )
+        )
         if self.is_fact_table:
-            return rows
+            return rows.drop("_prio")
         state_cols = self.schema.fieldNames()
         out = (
             rows.groupBy(key)
             .agg(
                 F.max_by(
-                    F.struct(*[c for c in state_cols if c != key]), F.col(seqc)
+                    F.struct(*[c for c in state_cols if c != key]),
+                    F.struct(F.col(seqc), F.col("_prio")),
                 ).alias("_row")
             )
             .select(key, "_row.*")

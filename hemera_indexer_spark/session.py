@@ -84,6 +84,14 @@ def get_spark(
         # core-scaling. Defaults to the system temp dir.
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIR", "/tmp"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # output-committer v2: task commit moves files into place directly.
+        # v1's commitJob renames every task's output SERIALLY on the driver —
+        # O(bucket-file-count) driver-side work per commit that grows with
+        # the table's bucket count and doesn't scale with executors. The
+        # atomicity v1 buys is redundant here: the snapshot pointer flip is
+        # the transactional boundary, and half-written commit dirs are
+        # unreachable orphans by design (see lake/table.py).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     if executors is not None:
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

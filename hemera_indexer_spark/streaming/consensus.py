@@ -24,14 +24,20 @@ canonical repair — exactly a rollback:
    be applied after the delete.
 
 Cross-batch scope: the controller persists each partition's chain tip
-(max-seq ``chain_hash``) in the snapshot manifest (``last_hashes``) and
-feeds it back here, so a fork whose divergent event is the FIRST of its
-partition in a batch is detected against the previous batch's tip. When the
-fork point itself lies outside the batch (its ancestor hash is not among
-the batch's events), the rollback is conservative — ``rollback_to_seq=0``,
-a full partition re-sync — mirroring the reference's response of re-fetching
-the suspect range; a log-backed deployment replays the partition, which the
-LWW merge makes idempotent.
+(max-seq ``chain_hash``) in the snapshot manifest (``last_hashes``) and a
+short per-partition TAIL of recent ``(seq, chain_hash)`` pairs
+(``hash_tails``), both fed back here. A fork whose divergent event is the
+FIRST of its partition in a batch is detected against the previous batch's
+tip, and a fork point that lies one or more batches back is located in the
+tail — the rollback then targets ``ancestor_seq + 1``, rewriting only the
+orphaned suffix instead of the whole partition. Only when the ancestor is
+older than the retained tail does the rollback degrade, in order of
+preference: to the floor of any EXPLICIT rollback for the same partition in
+the batch (the upstream already declared ``seq < floor`` canonical — a
+synthetic full wipe would discard rows the explicit rollback deliberately
+preserved), else to ``rollback_to_seq=0``, a full partition re-sync
+(mirroring the reference's re-fetch of the suspect range; the LWW merge
+makes the replay idempotent).
 """
 
 from __future__ import annotations
@@ -50,12 +56,18 @@ def has_hash_chain(columns: list[str]) -> bool:
 def detect_divergence(
     events: DataFrame,
     last_hashes: dict[int, str] | None = None,
+    hash_tails: dict[int, list] | None = None,
+    explicit_floors: dict[int, int] | None = None,
 ) -> list[dict]:
     """Return synthetic rollback records for every hash-chain divergence in
     ``events``: ``[{"seq", "partition", "rollback_to_seq", "inclusive_lo"}]``
     sorted by seq. ``last_hashes`` (partition -> last committed chain hash)
     extends the check across the batch boundary to each partition's first
-    event."""
+    event. ``hash_tails`` (partition -> [[seq, chain_hash], ...], recent
+    committed events) locates fork points OUTSIDE the batch so the rollback
+    stays bounded; ``explicit_floors`` (partition -> rollback_to_seq of an
+    explicit rollback event in the same batch) bounds the final fallback —
+    never wipe below a floor the upstream has declared canonical."""
     ev = events.where(F.col("op") != "rollback").select(
         "seq", "partition", HASH_COL, PARENT_COL
     )
@@ -91,16 +103,33 @@ def detect_divergence(
             & (F.col("_anc_seq") < F.col("seq")),
             "left",
         )
-        .groupBy("seq", "partition")
+        .groupBy("seq", "partition", PARENT_COL)
         .agg(F.max("_anc_seq").alias("_anc"))
         .collect()
     )
     out = []
     for r in sorted(located, key=lambda r: r["seq"]):
-        # ancestor not found in-batch -> the whole partition prefix in this
-        # batch is suspect; roll back to the start of the batch's seq range
-        # for that partition (0 = partition epoch start).
-        rb_to = (r["_anc"] + 1) if r["_anc"] is not None else 0
+        p = int(r["partition"])
+        if r["_anc"] is not None:
+            rb_to = r["_anc"] + 1
+        else:
+            # ancestor not in the batch: walk the committed tail (newest
+            # first) for the divergent event's parent hash. A hit bounds the
+            # rollback to the orphaned suffix; a miss degrades to the
+            # explicit-rollback floor for the partition, else to 0 (full
+            # partition re-sync).
+            parent = r[PARENT_COL]
+            tail_hit = None
+            for s, h in sorted(
+                (hash_tails or {}).get(p, []), key=lambda t: -t[0]
+            ):
+                if h == parent:
+                    tail_hit = s
+                    break
+            if tail_hit is not None:
+                rb_to = tail_hit + 1
+            else:
+                rb_to = (explicit_floors or {}).get(p, 0)
         out.append(
             {
                 "seq": int(r["seq"]),

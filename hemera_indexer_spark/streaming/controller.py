@@ -143,6 +143,8 @@ class StreamController:
         max_retries: int = 2,
         retry_backoff_s: float = 0.5,
         confirmation_lag: int = 0,
+        hash_tail_len: int = 64,
+        sinks: list | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -159,8 +161,16 @@ class StreamController:
         # merge against an 8g heap measured ~1.8x slower than 2x16M: spill).
         self.max_batch_epochs = max(1, max_batch_epochs)
         self.max_batch_rows = max_batch_rows
-        # optional append-only history table fed by the same segments
+        # exporter fan-out (create_item_exporters analog): every sink
+        # consumes the SAME cached segment scan, concurrently with the
+        # primary state merge. ``fact_table`` is kept as sugar for the
+        # common state+history dual-sink setup.
+        from hemera_indexer_spark.streaming.sinks import FactSink
+
         self.fact_table = fact_table
+        self.sinks = list(sinks or [])
+        if fact_table is not None:
+            self.sinks.append(FactSink(fact_table))
         self.max_retries = max_retries
         self.retry_backoff_s = retry_backoff_s
         # confirmation delay: stay this many epochs behind the log head (the
@@ -168,6 +178,11 @@ class StreamController:
         # /root/reference/cli/stream.py:222-229) so shallow forks resolve
         # upstream before ingestion ever sees them.
         self.confirmation_lag = max(0, confirmation_lag)
+        # how many recent (seq, chain_hash) pairs to retain per partition in
+        # the manifest — the cross-batch fork-location window. A fork whose
+        # ancestor is inside the tail rolls back to ancestor+1; older forks
+        # degrade to a bounded floor / full partition re-sync.
+        self.hash_tail_len = max(1, hash_tail_len)
 
     # ------------------------------------------------------------- discovery
     def available_epochs(self) -> list[int]:
@@ -388,8 +403,10 @@ class StreamController:
         ]
         if new_cols:
             self.table.evolve_schema(new_cols)
-            if self.fact_table is not None:
-                self.fact_table.evolve_schema(new_cols)
+            for s in self.sinks:
+                fn = getattr(s, "evolve_schema", None)
+                if fn is not None:
+                    fn(new_cols)
 
         df = self.spark.read.schema(ev_schema).parquet(*files)
 
@@ -412,13 +429,23 @@ class StreamController:
                 .collect()
             ]
         if has_hash_chain:
+            man = self.table.snapshot["manifest"]
             prev_hashes = {
-                int(p): h
-                for p, h in self.table.snapshot["manifest"]
-                .get("last_hashes", {})
-                .items()
+                int(p): h for p, h in man.get("last_hashes", {}).items()
             }
-            rollbacks.extend(consensus.detect_divergence(df, prev_hashes))
+            prev_tails = {
+                int(p): v for p, v in man.get("hash_tails", {}).items()
+            }
+            # explicit rollbacks in the same batch bound the synthetic
+            # fallback: never wipe below a floor the upstream declared
+            # canonical (most conservative floor per partition wins).
+            floors: dict[int, int] = {}
+            for r in rollbacks:
+                p, s = r["partition"], r["rollback_to_seq"]
+                floors[p] = min(floors.get(p, s), s)
+            rollbacks.extend(
+                consensus.detect_divergence(df, prev_hashes, prev_tails, floors)
+            )
         rollbacks.sort(key=lambda r: r["seq"])
 
         lineage_rows = self._merged_lineage(metas)
@@ -428,55 +455,79 @@ class StreamController:
         min_seq = min(
             (r["mn"] for r in lineage_rows if r["mn"] is not None), default=None
         )
-        lo: dict | None = None
-        for idx in range(len(rollbacks) + 1):
-            rb = rollbacks[idx] if idx < len(rollbacks) else None
-            seg = updates
-            if lo is not None:
-                seg = (
-                    seg.where(F.col("seq") >= lo["seq"])
-                    if lo["inclusive_lo"]
-                    else seg.where(F.col("seq") > lo["seq"])
-                )
-            if rb is not None:
-                seg = seg.where(F.col("seq") < rb["seq"])
-            is_last = rb is None
-            if is_last:
-                manifest = self._build_manifest(
-                    last_epoch, lineage_rows, t0, df,
-                    with_hashes=has_hash_chain,
-                )
-                if self.fact_table is not None:
-                    self.fact_table.insert_if_absent(
-                        seg,
-                        epoch_id=last_epoch,
-                        manifest=manifest,
-                        min_seq=min_seq,
+        # Sink fan-out: each segment is persisted ONCE and consumed by every
+        # sink plus the primary merge — one scan/parquet-decode per segment
+        # instead of one per destination — and sink actions run on a small
+        # thread pool CONCURRENTLY with the state merge (independent tables,
+        # no snapshot contention; Spark interleaves the jobs onto idle
+        # cores). AQE is toggled off ONCE here for the whole fan-out:
+        # _write_data's per-write toggle of the session-global flag would
+        # race between concurrently-writing sinks (a thread could read the
+        # other's 'false' as the restore value and leave AQE off for the
+        # session).
+        pool = ThreadPoolExecutor(max_workers=len(self.sinks)) if self.sinks else None
+        aqe_prev = None
+        if self.sinks:
+            aqe_prev = self.spark.conf.get("spark.sql.adaptive.enabled")
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            lo: dict | None = None
+            for idx in range(len(rollbacks) + 1):
+                rb = rollbacks[idx] if idx < len(rollbacks) else None
+                seg = updates
+                if lo is not None:
+                    seg = (
+                        seg.where(F.col("seq") >= lo["seq"])
+                        if lo["inclusive_lo"]
+                        else seg.where(F.col("seq") > lo["seq"])
                     )
+                if rb is not None:
+                    seg = seg.where(F.col("seq") < rb["seq"])
+                is_last = rb is None
+                if self.sinks:
+                    seg = seg.persist()
+                manifest = None
+                if is_last:
+                    manifest = self._build_manifest(
+                        last_epoch, lineage_rows, t0, df,
+                        with_hashes=has_hash_chain, rollbacks=rollbacks,
+                    )
+                futures = [
+                    pool.submit(
+                        s.apply, seg, last_epoch, idx, is_last, manifest, min_seq
+                    )
+                    for s in self.sinks
+                ]
                 self.table.merge_upsert(
                     seg,
-                    epoch_id=last_epoch,
+                    epoch_id=last_epoch if is_last else None,
                     manifest=manifest,
                     strategy=self.merge_strategy,
                 )
-            else:
-                if self.fact_table is not None:
-                    self.fact_table.insert_if_absent(seg, min_seq=min_seq)
-                self.table.merge_upsert(seg, strategy=self.merge_strategy)
-                cond = (
-                    log_partition_col(F.col("doc_id"), self.n_partitions)
-                    == F.lit(rb["partition"])
-                ) & (F.col("seq") >= F.lit(rb["rollback_to_seq"]))
-                self.table.delete_keys_where(
-                    cond, seq_at_least=rb["rollback_to_seq"]
-                )
-                if self.fact_table is not None:
-                    # facts are append-only history: a plain row-level delete
-                    # suffices (nothing to resurrect)
-                    self.fact_table.delete_where(
+                for f in futures:
+                    f.result()
+                if self.sinks:
+                    seg.unpersist()
+                if not is_last:
+                    cond = (
+                        log_partition_col(F.col("doc_id"), self.n_partitions)
+                        == F.lit(rb["partition"])
+                    ) & (F.col("seq") >= F.lit(rb["rollback_to_seq"]))
+                    rb_futures = [
+                        pool.submit(s.rollback, cond, rb["rollback_to_seq"])
+                        for s in self.sinks
+                    ]
+                    self.table.delete_keys_where(
                         cond, seq_at_least=rb["rollback_to_seq"]
                     )
-                lo = rb
+                    for f in rb_futures:
+                        f.result()
+                    lo = rb
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
+            if aqe_prev is not None:
+                self.spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         self.table.maybe_compact(
             max_deltas=self.compact_max_deltas, strategy=self.merge_strategy
         )
@@ -513,7 +564,8 @@ class StreamController:
         return list(per_part.values())
 
     def _build_manifest(
-        self, epoch: int, lineage_rows, t0: float, df=None, with_hashes=False
+        self, epoch: int, lineage_rows, t0: float, df=None, with_hashes=False,
+        rollbacks: list[dict] | None = None,
     ) -> dict:
         prev = self.table.committed_offsets()
         offsets = dict(prev)
@@ -551,19 +603,66 @@ class StreamController:
             "offsets": {str(k): v for k, v in offsets.items()},
             "lineage": lineage,
         }
+        # chain bookkeeping ALWAYS carries forward: a group without the hash
+        # columns (or an empty one) must not drop previously recorded tips —
+        # the next hash-chained batch still checks its first events against
+        # them (dropping them would let a fork at the batch boundary pass
+        # undetected).
+        prev_man = self.table.snapshot["manifest"]
+        last_hashes = dict(prev_man.get("last_hashes", {}))
+        hash_tails = {p: list(v) for p, v in prev_man.get("hash_tails", {}).items()}
+        # evict previously committed tail entries orphaned by this batch's
+        # rollbacks (seq in [rollback_to, fork point)): they are no longer
+        # canonical chain and must never match a future fork's parent hash
+        for rb in rollbacks or []:
+            p = str(int(rb["partition"]))
+            if p in hash_tails:
+                hash_tails[p] = [
+                    e
+                    for e in hash_tails[p]
+                    if not (rb["rollback_to_seq"] <= e[0] < rb["seq"])
+                ]
         if with_hashes and df is not None:
-            # chain tip per partition (max-seq canonical event) so the NEXT
-            # batch's consensus check spans the batch boundary — the analog
-            # of the reference comparing fetched parents against stored
-            # blocks. One tiny aggregate, only on hash-chained logs.
-            prev = dict(self.table.snapshot["manifest"].get("last_hashes", {}))
-            tips = (
-                df.where(F.col("op") != "rollback")
-                .groupBy("partition")
-                .agg(F.max_by(F.col(consensus.HASH_COL), F.col("seq")).alias("h"))
+            # per-partition tail of the newest K canonical (seq, chain_hash)
+            # pairs — the tip (K=1) lets the NEXT batch's consensus check
+            # span the batch boundary (the analog of the reference comparing
+            # fetched parents against stored blocks); the rest lets a fork
+            # whose ancestor is 1+ batches back roll back to the matched
+            # ancestor instead of a full partition re-sync. One narrow
+            # window action, only on hash-chained logs.
+            from pyspark.sql import Window
+
+            wnd = Window.partitionBy("partition").orderBy(F.col("seq").desc())
+            canonical = df.where(F.col("op") != "rollback")
+            # events invalidated by a rollback in this batch are ORPHANED
+            # chain — a later fork must never match their hashes (it would
+            # roll back to a wiped point). The divergent event itself
+            # (seq == rb.seq) is canonical repair and stays.
+            for rb in rollbacks or []:
+                canonical = canonical.where(
+                    ~(
+                        (F.col("partition") == F.lit(rb["partition"]))
+                        & (F.col("seq") >= F.lit(rb["rollback_to_seq"]))
+                        & (F.col("seq") < F.lit(rb["seq"]))
+                    )
+                )
+            rows = (
+                canonical.select("partition", "seq", consensus.HASH_COL)
+                .withColumn("_rn", F.row_number().over(wnd))
+                .where(F.col("_rn") <= self.hash_tail_len)
                 .collect()
             )
-            for r in tips:
-                prev[str(int(r["partition"]))] = r["h"]
-            manifest["last_hashes"] = prev
+            new_tails: dict[str, list] = {}
+            for r in rows:
+                new_tails.setdefault(str(int(r["partition"])), []).append(
+                    [int(r["seq"]), r[consensus.HASH_COL]]
+                )
+            for p, t in new_tails.items():
+                t.sort(key=lambda x: x[0])
+                kept = [e for e in hash_tails.get(p, []) if e[0] < t[0][0]]
+                hash_tails[p] = (kept + t)[-self.hash_tail_len:]
+                last_hashes[p] = t[-1][1]
+        if last_hashes:
+            manifest["last_hashes"] = last_hashes
+            manifest["hash_tails"] = hash_tails
         return manifest

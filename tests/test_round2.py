@@ -690,8 +690,9 @@ def test_stateful_running_doc_state(spark, tmp_path):
 def test_hash_chain_divergence_across_batches(spark, tmp_path):
     """The manifest's per-partition chain tip extends the consensus check
     across the batch boundary: a fork whose first divergent event opens a
-    NEW batch is still detected (and conservatively re-syncs the
-    partition)."""
+    NEW batch is still detected, and the manifest's hash TAIL locates the
+    out-of-batch fork point so only the orphaned suffix is rolled back
+    (not the whole partition)."""
     def write_epoch(log, epoch, rows):
         tbl = pa.table(
             {
@@ -733,8 +734,133 @@ def test_hash_chain_divergence_across_batches(spark, tmp_path):
     stats = ctl.run()
     assert stats.epochs[0].rollbacks == 1  # detected across the boundary
     got = {r["doc_id"]: r for r in table.current_state().collect()}
-    # fork point (h2) is outside the batch -> conservative partition
-    # re-sync: pre-fork docs wiped, fork events form the new state
-    assert set(got) == {"doc_1", "doc_4"}
+    # fork point (h2) is outside the batch but INSIDE the committed hash
+    # tail -> bounded repair: only seq >= 3 wiped (doc_3), earlier docs
+    # survive, fork events land on top
+    assert set(got) == {"doc_1", "doc_2", "doc_4"}
     assert got["doc_1"]["seq"] == 5 and got["doc_1"]["tokens"] == [5]
+    assert got["doc_2"]["seq"] == 2
     assert table.snapshot["manifest"]["last_hashes"] == {"0": "f5"}
+
+
+def test_fork_two_batches_back_bounded_by_tail(spark, tmp_path):
+    """A fork whose ancestor lies TWO committed batches back is still
+    repaired from the manifest's hash tail (which accumulates across
+    batches), wiping only the orphaned suffix."""
+    log = str(tmp_path / "log")
+    _write_hash_epoch(log, 0, [
+        (1, "doc_1", [1], "h1", "h0"),
+        (2, "doc_2", [2], "h2", "h1"),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    ctl = StreamController(spark, table, log, 1)
+    ctl.run()
+    _write_hash_epoch(log, 1, [
+        (3, "doc_3", [3], "h3", "h2"),
+        (4, "doc_4", [4], "h4", "h3"),
+    ])
+    ctl.run()
+    tails = table.snapshot["manifest"]["hash_tails"]["0"]
+    assert [s for s, _ in tails] == [1, 2, 3, 4]  # accumulated across batches
+    # epoch 2 forks off h2 — an ancestor from the FIRST batch
+    _write_hash_epoch(log, 2, [
+        (5, "doc_5", [5], "f5", "h2"),
+        (6, "doc_3", [6], "f6", "f5"),
+    ])
+    stats = ctl.run()
+    assert stats.epochs[0].rollbacks == 1
+    got = {r["doc_id"]: r for r in table.current_state().collect()}
+    # rollback bounded to seq >= 3: docs 1-2 survive, 3-4 wiped, fork lands
+    assert set(got) == {"doc_1", "doc_2", "doc_3", "doc_5"}
+    assert got["doc_3"]["seq"] == 6 and got["doc_3"]["tokens"] == [6]
+    # orphaned hashes (h3, h4) must have been evicted from the tail
+    tails = dict(table.snapshot["manifest"]["hash_tails"])["0"]
+    assert {h for _, h in tails} == {"h1", "h2", "f5", "f6"}
+
+
+def test_manifest_tips_survive_unhashed_batch(spark, tmp_path):
+    """Committing a batch WITHOUT chain columns must not drop previously
+    recorded tips/tails — a later hash-chained batch still fences against
+    them (regression: tips were rebuilt from scratch per commit)."""
+    log = str(tmp_path / "log")
+    _write_hash_epoch(log, 0, [
+        (1, "doc_1", [1], "h1", "h0"),
+        (2, "doc_2", [2], "h2", "h1"),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    ctl = StreamController(spark, table, log, 1)
+    ctl.run()
+    assert table.snapshot["manifest"]["last_hashes"] == {"0": "h2"}
+    # epoch 1 carries NO chain columns (e.g. a source that stopped emitting
+    # them); its commit must carry the old tips forward
+    _write_hash_epoch(log, 1, [(3, "doc_3", [3], None, None)], hashed=False)
+    ctl.run()
+    assert table.snapshot["manifest"]["last_hashes"] == {"0": "h2"}
+    assert [s for s, _ in table.snapshot["manifest"]["hash_tails"]["0"]] == [1, 2]
+    # epoch 2 resumes the chain and forks at the boundary: still detected
+    _write_hash_epoch(log, 2, [(4, "doc_1", [4], "f4", "hX")])
+    stats = ctl.run()
+    assert stats.epochs[0].rollbacks == 1
+
+
+def test_synthetic_rollback_bounded_by_explicit_floor(spark, tmp_path):
+    """When a fork's ancestor is nowhere (not in batch, not in tail), the
+    synthetic rollback falls back to the floor of an explicit rollback for
+    the same partition in the batch instead of wiping to seq 0 — rows the
+    explicit rollback deliberately preserved stay preserved."""
+    log = str(tmp_path / "log")
+    _write_hash_epoch(log, 0, [
+        (1, "doc_1", [1], "h1", "h0"),
+        (2, "doc_2", [2], "h2", "h1"),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA,
+        num_buckets=4,
+    )
+    # tiny tail: only the newest entry is retained, so an older ancestor
+    # cannot be located and the fallback path is exercised
+    ctl = StreamController(spark, table, log, 1, hash_tail_len=1)
+    ctl.run()
+    assert [s for s, _ in table.snapshot["manifest"]["hash_tails"]["0"]] == [2]
+    # epoch 1: an explicit rollback to seq 2, plus a divergent event whose
+    # parent (hZ) matches nothing anywhere
+    _write_hash_epoch(log, 1, [
+        (3, "doc_2", [3], "g3", "hZ", 2, "rollback"),
+        (4, "doc_2", [4], "g4", "g3"),
+    ])
+    ctl.run()
+    got = {r["doc_id"]: r for r in table.current_state().collect()}
+    # floor 2 honored: doc_1 (seq 1 < 2) survives; doc_2's old version is
+    # wiped and repaired by the fork events
+    assert set(got) == {"doc_1", "doc_2"}
+    assert got["doc_1"]["seq"] == 1
+    assert got["doc_2"]["seq"] == 4
+
+
+def _write_hash_epoch(log, epoch, rows, hashed=True):
+    """rows: (seq, doc_id, tokens, chain_hash, parent_hash[, rollback_to,
+    op])."""
+    n = len(rows)
+    cols = {
+        "seq": pa.array([r[0] for r in rows], pa.int64()),
+        "epoch": pa.array([epoch] * n, pa.int64()),
+        "partition": pa.array([0] * n, pa.int32()),
+        "doc_id": pa.array([r[1] for r in rows]),
+        "op": pa.array([(r[6] if len(r) > 6 else "insert") for r in rows]),
+        "tokens": pa.array([r[2] for r in rows], pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r[2]) for r in rows], pa.int32()),
+        "source": pa.array(["web"] * n),
+        "rollback_to_seq": pa.array(
+            [(r[5] if len(r) > 5 else None) for r in rows], pa.int64()
+        ),
+    }
+    if hashed:
+        cols["chain_hash"] = pa.array([r[3] for r in rows])
+        cols["parent_hash"] = pa.array([r[4] for r in rows])
+    d = os.path.join(log, f"epoch={epoch:05d}", "partition=000")
+    os.makedirs(d)
+    pq.write_table(pa.table(cols), os.path.join(d, "events.parquet"))
