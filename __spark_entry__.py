@@ -406,8 +406,10 @@ def q_fww_first_state(spark, sf):
     out = lww_latest(
         ev,
         keys=["user_id"],
-        version=F.struct((-F.unix_micros(F.col("ts"))).alias("nts"),
-                         (-F.col("event_id")).alias("nid")),
+        version=F.struct(
+            (-F.unix_micros(F.col("ts").cast("timestamp"))).alias("nts"),
+            (-F.col("event_id")).alias("nid"),
+        ),
         payload=["event_id", "event_type", "value"],
     )
     return out.select(

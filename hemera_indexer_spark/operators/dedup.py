@@ -345,6 +345,113 @@ def connected_components(
     return out
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    pathological-graph companion to ``connected_components``: label
+    propagation needs diameter rounds (fine for tiny near-dup clusters,
+    hopeless for a million-node chain), star contraction converges in
+    O(log^2 n) rounds on ANY graph shape.
+
+    Each round is two self-describing DataFrame steps over the edge set:
+
+    - large-star: every node u points its LARGER neighbors at the minimum
+      of its neighborhood ∪ itself.
+    - small-star: every node u points its not-larger neighbors (and
+      itself) at that minimum.
+
+    The edge set converges to a star forest: (center, member) pairs.
+    Output matches ``connected_components``: (doc_id, cluster_id) with
+    cluster_id = the component's minimum id, every member (including the
+    center) listed."""
+    # undirected edge list (a, b), deduped, self-loops dropped
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    all_nodes = (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionByName(edges.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .cache()
+    )
+    all_nodes.count()
+
+    def _nbr_min(directed: DataFrame) -> DataFrame:
+        return directed.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    for _ in range(max_iter):
+        # large-star: reduce at every node u over its FULL neighborhood;
+        # emit (v, m) for the strictly larger neighbors. The emission union
+        # over all u REPLACES the edge set (each undirected edge is covered
+        # from its smaller endpoint's reduce).
+        both = edges.select("a", "b").toDF("u", "v").unionByName(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = _nbr_min(both)
+        ls = (
+            both.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient every edge to its smaller endpoint, reduce at
+        # u over the smaller neighbors; emit (v, m) for each plus (u, m).
+        oriented = ls.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        m2 = _nbr_min(oriented)
+        new_edges = (
+            oriented.join(m2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            # localCheckpoint (eager) truncates the LOGICAL plan, not just
+            # execution: each round's plan references the previous round
+            # several times, so without truncation the analyzer's tree
+            # grows exponentially with rounds and overflows
+            .localCheckpoint()
+        )
+        # stable edge set == star forest of minima: one count action per
+        # round over the symmetric difference
+        changed = (
+            new_edges.unionByName(edges)
+            .groupBy("a", "b")
+            .count()
+            .where(F.col("count") == 1)
+            .count()
+        )
+        edges.unpersist()
+        edges = new_edges
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # star forest edges are (member, center) with center = component min;
+    # centers label themselves via the left join fallback.
+    labels = edges.select(
+        F.greatest("a", "b").alias("doc_id"), F.least("a", "b").alias("cluster_id")
+    )
+    out = all_nodes.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return out
+
+
 def dedup_keep_drop(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
     """Keep/drop decision per clustered doc: keep the cluster's min id, drop
     the rest. Returns (doc_id, cluster_id, keep:boolean)."""

@@ -38,8 +38,16 @@ def main() -> None:
     ap.add_argument("--compact-max-deltas", type=int, default=8)
     ap.add_argument("--streaming", action="store_true",
                     help="drive with Structured Streaming (availableNow) instead of the batch loop")
+    ap.add_argument("--entity-types", default="STATE",
+                    help="comma list of outputs to materialize: STATE, FACTS,"
+                         " EXPORTS, ALL (the reference's -E entity bitmask)")
     ap.add_argument("--fact-table-root", default=None,
-                    help="also maintain an append-only event-history fact table here")
+                    help="append-only event-history fact table location "
+                         "(implies FACTS; required when FACTS is selected)")
+    ap.add_argument("--export-dir", default=None,
+                    help="range-file export stream location (implies EXPORTS;"
+                         " required when EXPORTS is selected)")
+    ap.add_argument("--export-format", default="json", choices=["json", "csv"])
     ap.add_argument("--confirmation-lag", type=int, default=0,
                     help="stay this many epochs behind the log head (--delay analog)")
     ap.add_argument("--max-batch-epochs", type=int, default=8,
@@ -72,8 +80,20 @@ def main() -> None:
             properties={"write_mode": args.mode},
         )
 
-    fact_table = None
+    # resolve the entity selection to the sink set (entity_type.py analog);
+    # giving a location implies selecting that entity, for compatibility
+    from hemera_indexer_spark.enumeration import EntityType, parse_entity_types
+
+    entities = parse_entity_types(args.entity_types)
     if args.fact_table_root:
+        entities |= EntityType.FACTS
+    if args.export_dir:
+        entities |= EntityType.EXPORTS
+
+    fact_table = None
+    if EntityType.FACTS in entities:
+        if not args.fact_table_root:
+            ap.error("--entity-types FACTS requires --fact-table-root")
         from hemera_indexer_spark.schemas import FACTS_SCHEMA
 
         if os.path.exists(os.path.join(args.fact_table_root, "meta", "VERSION")):
@@ -84,6 +104,13 @@ def main() -> None:
                 num_buckets=args.num_buckets,
                 properties={"table_type": "fact"},
             )
+    sinks = []
+    if EntityType.EXPORTS in entities:
+        if not args.export_dir:
+            ap.error("--entity-types EXPORTS requires --export-dir")
+        from hemera_indexer_spark.streaming.sinks import RangeFileSink
+
+        sinks.append(RangeFileSink(args.export_dir, fmt=args.export_format))
 
     t0 = time.monotonic()
     if args.streaming:
@@ -106,6 +133,7 @@ def main() -> None:
             compact_max_deltas=args.compact_max_deltas,
             max_batch_epochs=args.max_batch_epochs,
             fact_table=fact_table,
+            sinks=sinks,
             confirmation_lag=args.confirmation_lag,
         ).run(max_epochs=args.max_epochs)
         events = stats.total_events

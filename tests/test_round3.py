@@ -213,3 +213,54 @@ def test_fanout_preserves_aqe_setting(spark, tiny_log, tmp_path):
         spark, state, log_dir, spec.n_partitions, fact_table=fact
     ).run()
     assert spark.conf.get("spark.sql.adaptive.enabled") == before
+
+
+# ------------------------------------------------------ entity selection
+def test_parse_entity_types():
+    from hemera_indexer_spark.enumeration import EntityType, parse_entity_types
+
+    assert parse_entity_types("state") == EntityType.STATE
+    assert parse_entity_types("STATE,facts") == EntityType.STATE | EntityType.FACTS
+    assert parse_entity_types("all") == EntityType.ALL
+    with pytest.raises(ValueError, match="unknown entity type"):
+        parse_entity_types("state,bogus")
+    with pytest.raises(ValueError, match="STATE is required"):
+        parse_entity_types("facts")
+
+
+# ------------------------------------------------------ star-contraction CC
+def test_star_cc_matches_label_propagation(spark):
+    from hemera_indexer_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "p")],
+        "doc_a string, doc_b string",
+    )
+    lp = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    st = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(pairs).collect()
+    }
+    assert st == lp
+
+
+def test_star_cc_long_chain_converges_fast(spark):
+    """A 200-node chain has diameter 199 — label propagation at default
+    max_iter would give up; star contraction converges in O(log n)
+    rounds."""
+    from hemera_indexer_spark.operators.dedup import connected_components_star
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(n - 1)],
+        "doc_a string, doc_b string",
+    )
+    got = connected_components_star(pairs, max_iter=15).collect()
+    assert len(got) == n
+    assert {r["cluster_id"] for r in got} == {"d000"}
