@@ -75,7 +75,7 @@ def _ensure_log(n_events: int) -> tuple[str, int]:
     return log_dir, total
 
 
-def _warmup(spark, strategy: str = "jvm") -> None:
+def _warmup(spark, strategy: str = "auto") -> None:
     """Steady-state warmup outside the timed region: JIT/codegen for the
     scan/shuffle/window/write path, Python workers, and the output
     committer all pay one-time costs on a cold JVM (~3-6s). The headline
@@ -192,7 +192,8 @@ def main() -> None:
     ap.add_argument("--exec-cores", type=int, default=7)
     ap.add_argument("--exec-mem-mb", type=int, default=6144)
     ap.add_argument("--events", type=int, default=int(os.environ.get("BENCH_EVENTS", "8000000")))
-    ap.add_argument("--strategy", default="jvm", choices=["jvm", "arrow", "pandas", "sql"])
+    ap.add_argument("--strategy", default="auto",
+                    choices=["auto", "jvm", "arrow", "pandas", "sql"])
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     args = ap.parse_args()

@@ -697,6 +697,12 @@ class LakeTable:
                 ).alias("_row")
             )
             return agg.select(key, "_row.*").repartition(n_part, "_bucket")
+        if strategy not in ("arrow", "pandas"):
+            raise ValueError(
+                f"unknown merge strategy {strategy!r}: jvm|sql|arrow|pandas "
+                "('auto' is resolved by the StreamController before the "
+                "merge is invoked)"
+            )
         # arrow / pandas: ONE shuffle on bucket; every key lives in exactly
         # one bucket, so a per-partition reduce is a correct global reduce.
         n_part = max(

@@ -45,7 +45,7 @@ class StructuredIngest:
         log_dir: str,
         n_partitions: int,
         checkpoint_dir: str,
-        merge_strategy: str = "jvm",
+        merge_strategy: str = "auto",
         max_files_per_trigger: int | None = None,
         compact_max_deltas: int = 8,
     ):
@@ -54,7 +54,10 @@ class StructuredIngest:
         self.log_dir = log_dir
         self.n_partitions = n_partitions
         self.checkpoint_dir = checkpoint_dir
-        self.merge_strategy = merge_strategy
+        # the streaming path has no per-batch ratio feedback loop (each
+        # micro-batch is handed to us by the engine); 'auto' resolves to
+        # 'sql', the right pick for update-heavy CDC micro-batches
+        self.merge_strategy = "sql" if merge_strategy == "auto" else merge_strategy
         self.max_files_per_trigger = max_files_per_trigger
         self.compact_max_deltas = compact_max_deltas
 

@@ -32,7 +32,8 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, required=True, help="change-log partitions")
     ap.add_argument("--num-buckets", type=int, default=128)
     ap.add_argument("--cores", type=int, default=None, help="local-mode parallelism")
-    ap.add_argument("--strategy", default="jvm", choices=["jvm", "arrow", "pandas", "sql"])
+    ap.add_argument("--strategy", default="auto",
+                    choices=["auto", "jvm", "arrow", "pandas", "sql"])
     ap.add_argument("--mode", default="mor", choices=["mor", "cow"])
     ap.add_argument("--max-epochs", type=int, default=None)
     ap.add_argument("--compact-max-deltas", type=int, default=8)

@@ -264,3 +264,38 @@ def test_star_cc_long_chain_converges_fast(spark):
     got = connected_components_star(pairs, max_iter=15).collect()
     assert len(got) == n
     assert {r["cluster_id"] for r in got} == {"d000"}
+
+
+# ------------------------------------------------------ adaptive strategy
+def test_auto_strategy_adapts_to_batch_shape(spark, tmp_path):
+    """'auto' observes the winners/events ratio of each commit: an
+    update-heavy replay keeps the map-side-combining 'sql' merge, an
+    insert-heavy (all-unique-keys) replay flips the next pick to 'jvm'."""
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    # update-heavy: 40 docs x 1000 events -> ratio ~0.04
+    hot = str(tmp_path / "hot")
+    generate_changelog(
+        hot, ChangelogSpec(n_docs=40, n_epochs=2, events_per_epoch=500,
+                           n_partitions=2, rollback_epochs=()),
+    )
+    t1 = LakeTable.create(spark, str(tmp_path / "t1"), SEQUENCES_SCHEMA, num_buckets=8)
+    c1 = StreamController(spark, t1, hot, 2, merge_strategy="auto")
+    c1.run()
+    assert c1._auto_pick == "sql"
+
+    # insert-heavy: every event on a distinct doc -> ratio ~1.0
+    cold = str(tmp_path / "cold")
+    generate_changelog(
+        cold, ChangelogSpec(n_docs=5000, n_epochs=2, events_per_epoch=300,
+                            n_partitions=2, rollback_epochs=(),
+                            hot_share=0.0, p_insert=1.0, p_update=0.0,
+                            p_delete=0.0),
+    )
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), SEQUENCES_SCHEMA, num_buckets=8)
+    c2 = StreamController(spark, t2, cold, 2, merge_strategy="auto")
+    c2.run()
+    assert c2._auto_pick == "jvm"
