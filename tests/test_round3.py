@@ -299,3 +299,50 @@ def test_auto_strategy_adapts_to_batch_shape(spark, tmp_path):
     c2 = StreamController(spark, t2, cold, 2, merge_strategy="auto")
     c2.run()
     assert c2._auto_pick == "jvm"
+
+
+def test_fanout_retry_converges_without_duplicates(spark, tiny_log, tmp_path):
+    """Chaos under fan-out: the state merge dies transiently AFTER the
+    concurrent fact insert may have committed; the retried group must not
+    duplicate fact rows (anti-join + fencing) and both sinks converge."""
+    from hemera_indexer_spark.oracle import expected_live_rows
+
+    log_dir, spec = tiny_log.out_dir, tiny_log.spec
+    state = LakeTable.create(
+        spark, str(tmp_path / "s3"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    fact = LakeTable.create(
+        spark, str(tmp_path / "f3"), FACTS_SCHEMA, num_buckets=8,
+        properties={"table_type": "fact"},
+    )
+    real = state.merge_upsert
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated transient I/O failure")
+        return real(*a, **kw)
+
+    state.merge_upsert = flaky
+    ctl = StreamController(
+        spark, state, log_dir, spec.n_partitions, fact_table=fact,
+        max_retries=2, retry_backoff_s=0.01,
+    )
+    stats = ctl.run()
+    assert any(s.retries > 0 for s in stats.epochs)
+    exp = expected_live_rows(log_dir, spec.n_partitions)
+    got = sorted(
+        (r.asDict(recursive=True) for r in state.current_state().collect()),
+        key=lambda d: d["doc_id"],
+    )
+    assert len(got) == len(exp)
+    assert all(g["tokens"] == e["tokens"] for g, e in zip(got, exp))
+    dup = (
+        fact.current_state()
+        .groupBy("doc_id", "seq")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
