@@ -37,7 +37,8 @@ def parse_entity_types(spec: str) -> EntityType:
         try:
             flags |= EntityType[name]
         except KeyError:
-            valid = ", ".join(m.name for m in EntityType)
+            # __members__ includes the ALL alias; iterating the flag does not
+            valid = ", ".join(EntityType.__members__)
             raise ValueError(
                 f"unknown entity type {name!r}; valid: {valid}"
             ) from None

@@ -369,9 +369,13 @@ class LakeTable:
         # evaluate xxhash64 over a literal without scheduling a Spark job:
         # a one-row SELECT over no table plans to a LocalRelation after
         # constant folding, so collect() is a driver-local evaluation.
-        safe = str(key_value).replace("'", "''")
+        # Parameterized (never spliced into the SQL text): a key containing
+        # backslashes/quotes would otherwise parse differently than the
+        # native literal used by bucket_col at write time, and the
+        # parameter keeps the key's TYPE (xxhash64('5') != xxhash64(5L)).
         b = self.spark.sql(
-            f"SELECT pmod(xxhash64('{safe}'), {self.num_buckets}) AS b"
+            f"SELECT pmod(xxhash64(?), {int(self.num_buckets)}) AS b",
+            args=[key_value],
         ).collect()[0]["b"]
         key, seqc = self.key_col, self.seq_col
         pred = F.col(key) == F.lit(key_value)

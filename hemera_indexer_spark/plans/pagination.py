@@ -20,14 +20,26 @@ from pyspark.sql import functions as F
 
 
 def seek_predicate(order_cols: list[tuple[str, bool]], last: tuple) -> Column:
-    """Lexicographic 'strictly after ``last`` in sort order' predicate."""
+    """Lexicographic 'strictly after ``last`` in sort order' predicate.
+
+    NULL-aware, matching Spark's default sort placement (ascending = nulls
+    FIRST, descending = nulls LAST): a plain ``col > v`` would evaluate to
+    NULL for null-keyed rows and silently drop them from every page after
+    the first."""
     pred = F.lit(False)
     eq = F.lit(True)
     for (name, desc), v in zip(order_cols, last):
         col = F.col(name)
-        nxt = (col < F.lit(v)) if desc else (col > F.lit(v))
+        if v is None:
+            # after a null key: asc -> every non-null value; desc -> nothing
+            nxt = F.lit(False) if desc else col.isNotNull()
+        elif desc:
+            # nulls sort last under desc, so they come after any value
+            nxt = col.isNull() | (col < F.lit(v))
+        else:
+            nxt = col > F.lit(v)
         pred = pred | (eq & nxt)
-        eq = eq & (col == F.lit(v))
+        eq = eq & col.eqNullSafe(F.lit(v))
     return pred
 
 

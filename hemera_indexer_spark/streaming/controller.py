@@ -295,7 +295,7 @@ class StreamController:
     # ------------------------------------------------------------------- run
     def run(self, max_epochs: int | None = None) -> RunStats:
         stats = RunStats()
-        done = self.table.committed_epoch()
+        done = self._committed_floor()
         avail = self.available_epochs()
         if self.confirmation_lag and avail:
             head = avail[-1]
@@ -350,10 +350,26 @@ class StreamController:
     def process_epoch(self, epoch: int) -> EpochStats:
         """Single-epoch entry point (kept for fenced re-runs and tests);
         ``run`` prefers grouped processing."""
-        if epoch <= self.table.committed_epoch():
+        if epoch <= self._committed_floor():
             return EpochStats(epoch, 0, 0, 0, skipped=True)
         meta = self._epoch_meta(self._epoch_files(epoch))
         return self._process_group([epoch], [meta])[0]
+
+    def _committed_floor(self) -> int:
+        """The epoch up to which the WHOLE output set is durably committed:
+        min over the state table's fence and every sink that exposes
+        ``committed_epoch()``. Sink actions overlap the state merge, so a
+        crash (or a sink failure surfacing after the state fence landed) can
+        leave a sink behind the state table; resuming/skipping by the state
+        fence alone would then silently drop that sink's data for the group
+        forever. Re-driving from the floor is safe: every sink apply and
+        every unfenced state re-merge is idempotent."""
+        floor = self.table.committed_epoch()
+        for s in self.sinks:
+            fn = getattr(s, "committed_epoch", None)
+            if fn is not None:
+                floor = min(floor, fn())
+        return floor
 
     # ------------------------------------------------------------ internals
     def _process_group(self, group: list[int], metas: list[dict]) -> list[EpochStats]:
@@ -379,7 +395,7 @@ class StreamController:
     ) -> list[EpochStats]:
         t0 = time.monotonic()
         last_epoch = group[-1]
-        if last_epoch <= self.table.committed_epoch():
+        if last_epoch <= self._committed_floor():
             return [EpochStats(e, 0, 0, 0, skipped=True) for e in group]
         strategy = (
             self._auto_pick
@@ -482,6 +498,7 @@ class StreamController:
         # session).
         pool = ThreadPoolExecutor(max_workers=len(self.sinks)) if self.sinks else None
         aqe_prev = None
+        persisted: list = []
         if self.sinks:
             aqe_prev = self.spark.conf.get("spark.sql.adaptive.enabled")
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -501,6 +518,7 @@ class StreamController:
                 is_last = rb is None
                 if self.sinks:
                     seg = seg.persist()
+                    persisted.append(seg)
                 manifest = None
                 if is_last:
                     manifest = self._build_manifest(
@@ -523,7 +541,18 @@ class StreamController:
                     manifest=manifest,
                     strategy=strategy,
                 )
-                if is_last and self.merge_strategy == "auto" and n_events:
+                # the winners/events ratio only means "in-batch dedup" for a
+                # clean merge-on-read commit: cow rewrites whole buckets
+                # (written >> winners) and a rollback-segmented group applies
+                # several partial segments — skip the update in both cases.
+                if (
+                    is_last
+                    and self.merge_strategy == "auto"
+                    and n_events
+                    and not rollbacks
+                    and self.table.snapshot["properties"].get("write_mode", "mor")
+                    == "mor"
+                ):
                     written = sum(
                         f["rows"]
                         for f in self.table.snapshot["files"]
@@ -535,6 +564,7 @@ class StreamController:
                     f.result()
                 if self.sinks:
                     seg.unpersist()
+                    persisted.remove(seg)
                 if not is_last:
                     cond = (
                         log_partition_col(F.col("doc_id"), self.n_partitions)
@@ -553,6 +583,8 @@ class StreamController:
         finally:
             if pool is not None:
                 pool.shutdown(wait=True)
+            for df_ in persisted:  # exception path: drop leaked cache blocks
+                df_.unpersist()
             if aqe_prev is not None:
                 self.spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         self.table.maybe_compact(
@@ -649,6 +681,16 @@ class StreamController:
                     for e in hash_tails[p]
                     if not (rb["rollback_to_seq"] <= e[0] < rb["seq"])
                 ]
+                # the recorded tip may itself be orphaned (e.g. a batch
+                # whose only event for this partition is the rollback):
+                # repoint it at the newest surviving tail entry so the next
+                # batch is not falsely flagged divergent against a wiped
+                # hash. new_tails below overwrites this for partitions with
+                # canonical events in THIS batch.
+                if hash_tails[p]:
+                    last_hashes[p] = hash_tails[p][-1][1]
+                else:
+                    last_hashes.pop(p, None)
         if with_hashes and df is not None:
             # per-partition tail of the newest K canonical (seq, chain_hash)
             # pairs — the tip (K=1) lets the NEXT batch's consensus check

@@ -20,6 +20,11 @@ arguments):
   (the fencing commit, where ``manifest`` is also passed).
 - ``rollback(cond, seq_at_least)`` — a reorg invalidated rows matching
   ``cond``; remove/mark them as the sink's semantics require.
+- ``committed_epoch()`` (optional) — the last epoch this sink durably
+  fenced. The controller resumes/skips from the MINIMUM over the state
+  table and all sinks exposing this, so a sink that fell behind (crash
+  between the overlapped commits, or a sink failure surfacing after the
+  state fence landed) gets re-driven instead of silently losing the group.
 """
 
 from __future__ import annotations
@@ -52,6 +57,10 @@ class FactSink:
         # (nothing to resurrect)
         self.table.delete_where(cond, seq_at_least=seq_at_least)
 
+    def committed_epoch(self) -> int:
+        self.table.refresh()
+        return self.table.committed_epoch()
+
 
 class RangeFileSink:
     """Range-file export stream (csv/json_file_item_exporter analog,
@@ -75,19 +84,42 @@ class RangeFileSink:
         write_range_files(
             seg, dest, seqs_per_file=self.seqs_per_file, fmt=self.fmt
         )
+        if fence:
+            # durability marker: the epoch's segments are all written.
+            # Written AFTER the fence segment, so a crash mid-epoch leaves
+            # no marker and the controller re-drives the group (directories
+            # are deterministic and overwritten — idempotent).
+            with open(
+                os.path.join(self.out_dir, f"epoch={group_epoch:05d}", "_COMMITTED"),
+                "w",
+            ) as f:
+                f.write(str(group_epoch))
 
     def rollback(self, cond: Column, seq_at_least: int):
         pass
 
+    def committed_epoch(self) -> int:
+        best = -1
+        if os.path.isdir(self.out_dir):
+            for d in os.listdir(self.out_dir):
+                if d.startswith("epoch=") and os.path.exists(
+                    os.path.join(self.out_dir, d, "_COMMITTED")
+                ):
+                    best = max(best, int(d.split("=")[1]))
+        return best
+
 
 class ConsoleSink:
-    """Debug sink (console_item_exporter analog)."""
+    """Debug sink (console_item_exporter analog); delegates to the shared
+    ``console_sink`` pretty-printer."""
 
     def __init__(self, n: int = 20):
         self.n = n
 
     def apply(self, seg: DataFrame, group_epoch, seg_idx, fence, manifest, min_seq):
-        seg.show(self.n, truncate=40)
+        from hemera_indexer_spark.sources.files import console_sink
+
+        console_sink(seg, self.n)
 
     def rollback(self, cond: Column, seq_at_least: int):
         pass

@@ -115,6 +115,12 @@ def main() -> None:
 
     t0 = time.monotonic()
     if args.streaming:
+        if fact_table is not None or sinks:
+            # fail loudly rather than silently materializing only STATE
+            ap.error(
+                "--streaming currently drives the STATE sink only; "
+                "drop FACTS/EXPORTS or use the batch loop"
+            )
         from hemera_indexer_spark.streaming.structured import StructuredIngest
 
         q = StructuredIngest(

@@ -92,7 +92,6 @@ def test_flatten_deep_tree(spark):
     by_path = {r["trace_address"]: r for r in rows}
     assert by_path[""]["depth"] == 0 and by_path[""]["op"] == "root"
     assert by_path["1"]["op"] == "w" and by_path["1"]["depth"] == 1
-    deep = "0/" + "/".join("0" * 60).replace("0", "0")  # '0/0/.../0' x61
     deep = "/".join(["0"] * 61)
     assert by_path[deep]["op"] == "leaf" and by_path[deep]["depth"] == 61
     assert by_path["/".join(["0"] * 31)]["value"] == 30
@@ -346,3 +345,121 @@ def test_fanout_retry_converges_without_duplicates(spark, tiny_log, tmp_path):
         .count()
     )
     assert dup == 0
+
+
+# --------------------------------------------- review-found regressions
+def test_sink_failure_after_state_fence_is_redriven(spark, tiny_log, tmp_path):
+    """A sink that fails AFTER the state table's fenced commit landed must
+    not lose its group: the controller resumes from the minimum committed
+    epoch across state + sinks and re-drives the sink (idempotently)."""
+    from hemera_indexer_spark.oracle import expected_fact_rows
+
+    log_dir, spec = tiny_log.out_dir, tiny_log.spec
+    state = LakeTable.create(
+        spark, str(tmp_path / "s4"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    fact = LakeTable.create(
+        spark, str(tmp_path / "f4"), FACTS_SCHEMA, num_buckets=8,
+        properties={"table_type": "fact"},
+    )
+    real = fact.insert_if_absent
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise OSError("simulated sink I/O failure")
+        return real(*a, **kw)
+
+    fact.insert_if_absent = flaky
+    ctl = StreamController(
+        spark, state, log_dir, spec.n_partitions, fact_table=fact,
+        max_retries=2, retry_backoff_s=0.01,
+    )
+    ctl.run()
+    exp = expected_fact_rows(log_dir, spec.n_partitions)
+    got = fact.current_state()
+    assert got.count() == len(exp)
+    dup = (
+        got.groupBy("doc_id", "seq").count().where(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    # and a FRESH controller over the same log has nothing left to do
+    stats = StreamController(
+        spark, state, log_dir, spec.n_partitions, fact_table=fact
+    ).run()
+    assert all(s.skipped for s in stats.epochs) or not stats.epochs
+
+
+def test_lookup_special_and_numeric_keys(spark, tmp_path):
+    """Point lookup must bucket exactly like the write path for keys with
+    quotes/backslashes (no SQL-literal splicing) — regression for a
+    reproduced mis-bucketing on 'a\\nb'."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "lk"), SEQUENCES_SCHEMA, num_buckets=16
+    )
+    rows = [
+        ("a\\nb", [1, 2]), ("it's", [3]), ("plain", [4]), ("x\\", [5]),
+    ]
+    upd = spark.createDataFrame(
+        [(k, toks, len(toks), "web", i + 1, "insert") for i, (k, toks) in enumerate(rows)],
+        "doc_id string, tokens array<int>, n_tok int, source string, seq long, op string",
+    )
+    t.merge_upsert(upd, epoch_id=0)
+    for k, toks in rows:
+        got = t.lookup(k).collect()
+        assert len(got) == 1 and got[0]["tokens"] == toks, k
+
+
+def test_rollback_only_batch_keeps_consensus_sane(spark, tmp_path):
+    """A batch whose only event for a partition is an explicit rollback
+    must repoint the recorded chain tip at the newest SURVIVING hash, so
+    the next batch's repair events are not flagged as a fork."""
+    from tests.test_round2 import _write_hash_epoch
+
+    log = str(tmp_path / "log")
+    _write_hash_epoch(log, 0, [
+        (1, "doc_1", [1], "h1", "h0"),
+        (2, "doc_2", [2], "h2", "h1"),
+        (3, "doc_3", [3], "h3", "h2"),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    ctl = StreamController(spark, table, log, 1)
+    ctl.run()
+    # epoch 1: ONLY a rollback to seq 2 (chain cols present on the row)
+    _write_hash_epoch(log, 1, [(4, "doc_2", [9], "h4", "h3", 2, "rollback")])
+    ctl.run()
+    man = table.snapshot["manifest"]
+    # tip repointed at the surviving seq-1 hash, orphans evicted
+    assert man["last_hashes"] == {"0": "h1"}
+    assert [s for s, _ in man["hash_tails"]["0"]] == [1]
+    # epoch 2: repair events chain from h1 — must NOT be treated as a fork
+    _write_hash_epoch(log, 2, [
+        (5, "doc_2", [5], "h5", "h1"),
+        (6, "doc_3", [6], "h6", "h5"),
+    ])
+    stats = ctl.run()
+    assert stats.epochs[0].rollbacks == 0
+    got = {r["doc_id"]: r["seq"] for r in table.current_state().collect()}
+    assert got == {"doc_1": 1, "doc_2": 5, "doc_3": 6}
+
+
+def test_keyset_pagination_with_null_keys(spark):
+    """NULL sort keys paginate exactly like the OFFSET oracle (Spark: nulls
+    first under asc, last under desc)."""
+    from hemera_indexer_spark.plans.pagination import keyset_page
+
+    rows = [(i, None if i % 5 == 0 else float(i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    for cols in ([("score", True), ("id", False)], [("score", False), ("id", False)]):
+        full = df.orderBy(
+            *[F.col(c).desc() if d else F.col(c).asc() for c, d in cols]
+        ).collect()
+        seen, last = [], None
+        for _ in range(5):
+            page = keyset_page(df, cols, last, 8).collect()
+            seen.extend(page)
+            last = tuple(page[-1][c] for c, _ in cols)
+        assert [r["id"] for r in seen] == [r["id"] for r in full]
