@@ -504,7 +504,7 @@ def q_dedup_minhash_lsh(spark, sf):
     from hemera_indexer_spark.operators.dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text", n=2, k=8, bands=4,
+        _t(spark, sf, "documents"), "doc_id", "text", n=2, k=16, bands=4,
         threshold=0.5,
     )
 
@@ -1067,7 +1067,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": f"""
             WITH {_SHINGLES_CTE},
-            seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+            seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
             sig AS (
                 SELECT doc_id, seed,
                        MIN(md5(seed || '|' || shingle)) AS minhash
@@ -1075,9 +1075,9 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY doc_id, seed
             ),
             bands AS (
-                SELECT doc_id, CAST(seed / 2 AS INT) AS band,
+                SELECT doc_id, CAST(seed / 4 AS INT) AS band,
                        string_agg(minhash, ',' ORDER BY seed) AS bucket
-                FROM sig GROUP BY doc_id, CAST(seed / 2 AS INT)
+                FROM sig GROUP BY doc_id, CAST(seed / 4 AS INT)
             ),
             cand AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
