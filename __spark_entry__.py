@@ -701,6 +701,30 @@ def q_keyset_page(spark, sf):
     )
 
 
+def q_duplicated_spans(spark, sf):
+    """Substring-level dedup (Lee et al. 2022 shape): every 8-word span
+    occurring verbatim more than once across the corpus, with positions —
+    span-hash groupBy + broadcast semi-join back to occurrences (never a
+    self-join)."""
+    from hemera_indexer_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        _t(spark, sf, "documents"), "doc_id", "text", window=8
+    )
+
+
+def q_dataset_split(spark, sf):
+    """Deterministic engine-portable train/val/test assignment (md5-bucket
+    mod 100 — stable across engines and cluster sizes, pure projection)."""
+    from hemera_indexer_spark.operators.dedup import dataset_split
+
+    out = dataset_split(_t(spark, sf, "documents"), "doc_id")
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -743,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_dispatch": q_decode_dispatch,
         "trace_flatten": q_trace_flatten,
         "keyset_page": q_keyset_page,
+        "duplicated_spans": q_duplicated_spans,
+        "dataset_split": q_dataset_split,
     }
 
 
@@ -1335,6 +1361,46 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT id, '0/0', CAST(2 AS INTEGER), 'leaf',
                    CAST(user_id + 100 AS BIGINT) FROM e WHERE d = 2
+        """,
+        "duplicated_spans": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+                FROM documents
+            ),
+            occ AS (
+                SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                       md5(array_to_string(words[i + 1 : i + 8], ' ')) AS span_hash
+                FROM w, LATERAL unnest(generate_series(0, len(words) - 8)) AS t(i)
+                WHERE len(words) >= 8
+            ),
+            dup AS (
+                SELECT span_hash, COUNT(*) AS n_occurrences,
+                       COUNT(DISTINCT doc_id) AS n_docs
+                FROM occ GROUP BY span_hash HAVING COUNT(*) >= 2
+            )
+            SELECT d.span_hash, d.n_occurrences, d.n_docs, o.doc_id, o.pos
+            FROM dup d JOIN occ o USING (span_hash)
+        """,
+        "dataset_split": """
+            WITH h AS (
+                SELECT doc_id, md5('split|' || doc_id) AS m FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       (((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+                        + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+                        + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 100
+                       ) AS bucket
+                FROM h
+            )
+            SELECT CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs,
+                   MIN(doc_id) AS min_doc_id
+            FROM b GROUP BY 1
         """,
         "keyset_page": """
             WITH b AS (

@@ -485,6 +485,96 @@ def dedup_keep_drop(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") ->
     )
 
 
+# -------------------------------------------------- duplicated-span detect
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    stride: int = 1,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection — the substring-dedup shape of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+    2022): find every ``window``-word span that occurs verbatim in more
+    than one document (or more than once in the same document), so a
+    pipeline can cut the span rather than drop whole near-dup docs.
+
+    Physical shape: slide a word window over each doc (materialized array +
+    ``transform`` over start indices — O(len·window) concat per doc, no
+    quadratic regex re-evaluation), hash each span (md5, oracle-portable),
+    explode to (doc_id, pos, span_hash), and keep hashes whose occurrence
+    count across the corpus exceeds 1 — a single map-side-combined groupBy
+    on the span hash; the positions of surviving spans come from a
+    broadcast semi-join, never a self-join. Returns
+    (span_hash, n_occurrences, n_docs, doc_id, pos) one row per occurrence
+    of a duplicated span."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
+    arr = F.col("_w")
+    # branch, don't clamp: Spark's sequence() rejects stop < start, and the
+    # If expression evaluates only the taken branch, so short docs yield []
+    starts = F.when(
+        F.size(arr) >= window,
+        F.sequence(F.lit(0), F.size(arr) - window, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.concat_ws(" ", F.slice(arr, i + 1, window))
+            ).alias("span_hash"),
+        ),
+    )
+    occ = base.select(
+        "doc_id", F.explode(spans).alias("s")
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.span_hash").alias("span_hash"))
+    dup_hashes = (
+        occ.groupBy("span_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+    )
+    return occ.join(F.broadcast(dup_hashes), "span_hash").select(
+        "span_hash", "n_occurrences", "n_docs", "doc_id", "pos"
+    )
+
+
+# ----------------------------------------------------- deterministic split
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment: bucket =
+    first 4 hex digits of md5(salt|id) mod 100, mapped to named splits by
+    cumulative weight. Stable across runs, engines and cluster sizes
+    (md5 is the same everywhere — Spark's xxhash64/rand are not), and
+    embarrassingly parallel (a pure projection, no shuffle). Returns the
+    input plus a ``split`` column."""
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    if sum(weights.values()) != 100:
+        raise ValueError("split weights must sum to 100")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col))), 1, 4),
+        16, 10,
+    ).cast("int") % 100
+    expr = None
+    acc = 0
+    for name, wgt in weights.items():
+        acc += wgt
+        cond = h < acc
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn("split", expr)
+
+
 # ------------------------------------------------------------------ simhash
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over word unigrams via md5 nibbles: for each of the

@@ -463,3 +463,39 @@ def test_keyset_pagination_with_null_keys(spark):
             seen.extend(page)
             last = tuple(page[-1][c] for c, _ in cols)
         assert [r["id"] for r in seen] == [r["id"] for r in full]
+
+
+# -------------------------------------------- training-pipeline additions
+def test_duplicated_spans_positions_and_short_docs(spark):
+    from hemera_indexer_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail one"),
+            (2, "prefix a b c d e f g h"),
+            (3, "too short"),
+            (4, "x " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    got = duplicated_spans(df, "doc_id", "text", window=8).collect()
+    # the span "a b c d e f g h" occurs at doc1 pos0 and doc2 pos1
+    assert {(r["doc_id"], r["pos"]) for r in got} == {(1, 0), (2, 1)}
+    assert all(r["n_occurrences"] == 2 and r["n_docs"] == 2 for r in got)
+
+
+def test_dataset_split_deterministic_and_complete(spark):
+    from hemera_indexer_spark.operators.dedup import dataset_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = dataset_split(df, "doc_id", weights={"train": 80, "val": 10, "test": 10})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 1000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # deterministic: same assignment on recompute
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in dataset_split(df, "doc_id", weights={"train": 80, "val": 10, "test": 10}).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        dataset_split(df, "doc_id", weights={"train": 50})
