@@ -713,6 +713,19 @@ def q_duplicated_spans(spark, sf):
     )
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (GPT-3-style n-gram overlap): training
+    docs holding a verbatim 8-word span from the benchmark slice; the
+    benchmark's distinct span-hash set broadcasts, training stays
+    map-only."""
+    from hemera_indexer_spark.operators.dedup import cross_corpus_span_overlap
+
+    docs = _t(spark, sf, "documents")
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    return cross_corpus_span_overlap(train, bench, "doc_id", "text", window=8)
+
+
 def q_dataset_split(spark, sf):
     """Deterministic engine-portable train/val/test assignment (md5-bucket
     mod 100 — stable across engines and cluster sizes, pure projection)."""
@@ -769,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyset_page": q_keyset_page,
         "duplicated_spans": q_duplicated_spans,
         "dataset_split": q_dataset_split,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1381,6 +1395,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.span_hash, d.n_occurrences, d.n_docs, o.doc_id, o.pos
             FROM dup d JOIN occ o USING (span_hash)
+        """,
+        "decontaminate": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+                FROM documents
+            ),
+            occ AS (
+                SELECT doc_id,
+                       md5(array_to_string(words[i + 1 : i + 8], ' ')) AS span_hash
+                FROM w, LATERAL unnest(generate_series(0, len(words) - 8)) AS t(i)
+                WHERE len(words) >= 8
+            ),
+            bench AS (SELECT DISTINCT span_hash FROM occ WHERE doc_id % 10 = 0),
+            tr AS (SELECT * FROM occ WHERE doc_id % 10 <> 0),
+            per_doc AS (SELECT doc_id, COUNT(*) AS n_spans FROM tr GROUP BY doc_id),
+            hits AS (
+                SELECT doc_id, COUNT(*) AS n_hits
+                FROM tr SEMI JOIN bench USING (span_hash)
+                GROUP BY doc_id
+            )
+            SELECT h.doc_id, h.n_hits, p.n_spans,
+                   ROUND(h.n_hits / p.n_spans, 6) AS contamination
+            FROM hits h JOIN per_doc p USING (doc_id)
         """,
         "dataset_split": """
             WITH h AS (

@@ -542,6 +542,58 @@ def duplicated_spans(
     )
 
 
+# -------------------------------------------------- benchmark decontamination
+def cross_corpus_span_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    stride: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: training documents that contain a
+    ``window``-word span appearing verbatim in the benchmark/eval corpus —
+    the n-gram contamination check every LLM data pipeline runs before
+    training (the GPT-3/PaLM 13-gram overlap procedure, shrunk to word
+    windows).
+
+    Physical shape: the benchmark side reduces to its DISTINCT span-hash
+    set (benchmarks are tiny next to 100 TB of training data), which
+    BROADCASTS to the training scan — the training side stays a map-only
+    explode + broadcast semi-join, no shuffle of training data at all.
+    Returns (doc_id, n_hits, n_spans, contamination) per contaminated
+    training doc, where contamination = n_hits / n_spans."""
+    def spans_of(df: DataFrame) -> DataFrame:
+        w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+        base = df.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
+        arr = F.col("_w")
+        starts = F.when(
+            F.size(arr) >= window,
+            F.sequence(F.lit(0), F.size(arr) - window, F.lit(stride)),
+        ).otherwise(F.array().cast("array<int>"))
+        sh = F.transform(
+            starts,
+            lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i + 1, window))),
+        )
+        return base.select("doc_id", F.explode(sh).alias("span_hash"))
+
+    bench_spans = spans_of(bench).select("span_hash").distinct()
+    tr = spans_of(train)
+    hits = tr.join(F.broadcast(bench_spans), "span_hash", "left_semi")
+    per_doc = tr.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_spans",
+            F.round(F.col("n_hits") / F.col("n_spans"), 6).alias("contamination"),
+        )
+    )
+
+
 # ----------------------------------------------------- deterministic split
 def dataset_split(
     df: DataFrame,

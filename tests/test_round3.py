@@ -499,3 +499,77 @@ def test_dataset_split_deterministic_and_complete(spark):
     assert a == b
     with pytest.raises(ValueError):
         dataset_split(df, "doc_id", weights={"train": 50})
+
+
+# ---------------------------------------- randomized fork-repair property
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_randomized_fork_replay_matches_canonical(spark, tmp_path, seed):
+    """Randomized multi-batch fork scenarios: a writer keeps extending a
+    hash chain, occasionally orphaning the tail of an EARLIER batch (fork
+    depth within the manifest tail) and re-issuing repaired versions. The
+    final state must equal the fold of the canonical (never-orphaned)
+    chain — exercising tail lookup, eviction and bounded rollback under
+    random fork depths/positions."""
+    import random
+
+    rng = random.Random(seed)
+    docs = [f"doc_{i}" for i in range(12)]
+    seq = 0
+    canon = []          # canonical (never-orphaned) events
+    batches = []        # per-epoch delivered rows
+    tip = ("h0", 0)     # (hash, seq) of canonical tip
+
+    def mk_event(doc, parent_hash):
+        nonlocal seq
+        seq += 1
+        h = f"h{seq}"
+        ev = {"seq": seq, "doc": doc, "tokens": [seq], "hash": h,
+              "parent": parent_hash}
+        return ev
+
+    for _epoch in range(6):
+        rows = []
+        # maybe fork: orphan up to the last 5 canonical events (possibly
+        # reaching into previous batches, but always within the tail)
+        if canon and rng.random() < 0.6:
+            depth = rng.randint(1, min(5, len(canon)))
+            orphaned = canon[-depth:]
+            del canon[-depth:]
+            tip = (canon[-1]["hash"], canon[-1]["seq"]) if canon else ("h0", 0)
+            # repair: fresh versions for the orphaned docs
+            for o in orphaned:
+                ev = mk_event(o["doc"], tip[0])
+                canon.append(ev)
+                rows.append(ev)
+                tip = (ev["hash"], ev["seq"])
+        # normal extension
+        for _ in range(rng.randint(2, 5)):
+            ev = mk_event(rng.choice(docs), tip[0])
+            canon.append(ev)
+            rows.append(ev)
+            tip = (ev["hash"], ev["seq"])
+        batches.append(rows)
+
+    log = str(tmp_path / "log")
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    ctl = StreamController(spark, table, log, 1)
+    from tests.test_round2 import _write_hash_epoch
+
+    for epoch, rows in enumerate(batches):
+        _write_hash_epoch(
+            log, epoch,
+            [(r["seq"], r["doc"], r["tokens"], r["hash"], r["parent"])
+             for r in rows],
+        )
+        ctl.run()
+
+    expected = {}
+    for ev in canon:  # canonical order; later wins
+        expected[ev["doc"]] = ev
+    got = {r["doc_id"]: r for r in table.current_state().collect()}
+    assert set(got) == set(expected), (set(got) ^ set(expected))
+    for d, ev in expected.items():
+        assert got[d]["seq"] == ev["seq"], (d, got[d]["seq"], ev["seq"])
+        assert got[d]["tokens"] == ev["tokens"]
