@@ -1115,9 +1115,9 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY doc_id, seed
             ),
             bands AS (
-                SELECT doc_id, CAST(seed / 4 AS INT) AS band,
+                SELECT doc_id, CAST(seed // 4 AS INT) AS band,
                        string_agg(minhash, ',' ORDER BY seed) AS bucket
-                FROM sig GROUP BY doc_id, CAST(seed / 4 AS INT)
+                FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
             ),
             cand AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

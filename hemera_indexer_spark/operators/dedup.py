@@ -68,7 +68,11 @@ def word_shingles(
             lambda a, b: F.concat_ws("_", a, b),
         )
     else:
-        idx = F.sequence(F.lit(0), F.size(arr) - n)
+        # branch, don't clamp: with size < n the un-guarded sequence would
+        # DESCEND (0, -1, ...) and element_at(arr, 0) is a runtime error
+        idx = F.when(
+            F.size(arr) >= n, F.sequence(F.lit(0), F.size(arr) - n)
+        ).otherwise(F.array().cast("array<int>"))
         sh = F.transform(
             idx,
             lambda i: F.concat_ws(
@@ -504,10 +508,14 @@ def duplicated_spans(
     quadratic regex re-evaluation), hash each span (md5, oracle-portable),
     explode to (doc_id, pos, span_hash), and keep hashes whose occurrence
     count across the corpus exceeds 1 — a single map-side-combined groupBy
-    on the span hash; the positions of surviving spans come from a
-    broadcast semi-join, never a self-join. Returns
-    (span_hash, n_occurrences, n_docs, doc_id, pos) one row per occurrence
-    of a duplicated span."""
+    on the span hash, equi-joined back to occurrences (never a self-join;
+    no broadcast hint — the duplicated-hash set is O(corpus duplication)
+    and can be huge on web crawls, so the planner/AQE picks the join side).
+    The occurrence explode feeds both the aggregate and the probe side and
+    is deliberately NOT cached: it is map-only from source, and caching an
+    intermediate larger than the input costs more than a second scan.
+    Returns (span_hash, n_occurrences, n_docs, doc_id, pos) one row per
+    occurrence of a duplicated span."""
     w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
     base = df.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
     arr = F.col("_w")
@@ -537,7 +545,7 @@ def duplicated_spans(
         )
         .where(F.col("n_occurrences") >= 2)
     )
-    return occ.join(F.broadcast(dup_hashes), "span_hash").select(
+    return occ.join(dup_hashes, "span_hash").select(
         "span_hash", "n_occurrences", "n_docs", "doc_id", "pos"
     )
 
@@ -559,11 +567,17 @@ def cross_corpus_span_overlap(
 
     Physical shape: the benchmark side reduces to its DISTINCT span-hash
     set (benchmarks are tiny next to 100 TB of training data), which
-    BROADCASTS to the training scan — the training side stays a map-only
-    explode + broadcast semi-join, no shuffle of training data at all.
+    BROADCASTS to the training scan. The training side is ONE map-only
+    pass: each doc carries its span-hash ARRAY plus its span count
+    (``size`` computed before the explode), so the per-doc denominator
+    never needs a corpus-wide aggregate; the explode + broadcast semi-join
+    + groupBy touch only rows that hit the benchmark set, and the final
+    denominator join pairs the map-only projection with the (usually tiny)
+    contaminated-doc aggregate — left unhinted so AQE broadcasts it when
+    it is actually small instead of trusting an assumption.
     Returns (doc_id, n_hits, n_spans, contamination) per contaminated
     training doc, where contamination = n_hits / n_spans."""
-    def spans_of(df: DataFrame) -> DataFrame:
+    def span_arrays(df: DataFrame) -> DataFrame:
         w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
         base = df.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
         arr = F.col("_w")
@@ -575,16 +589,25 @@ def cross_corpus_span_overlap(
             starts,
             lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i + 1, window))),
         )
-        return base.select("doc_id", F.explode(sh).alias("span_hash"))
+        return base.select("doc_id", sh.alias("_spans"))
 
-    bench_spans = spans_of(bench).select("span_hash").distinct()
-    tr = spans_of(train)
-    hits = tr.join(F.broadcast(bench_spans), "span_hash", "left_semi")
-    per_doc = tr.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
-    return (
-        hits.groupBy("doc_id")
+    bench_spans = (
+        span_arrays(bench)
+        .select(F.explode("_spans").alias("span_hash"))
+        .distinct()
+    )
+    tr = span_arrays(train).select(
+        "doc_id", "_spans", F.size("_spans").alias("n_spans")
+    )
+    hits = (
+        tr.select("doc_id", F.explode("_spans").alias("span_hash"))
+        .join(F.broadcast(bench_spans), "span_hash", "left_semi")
+        .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
-        .join(per_doc, "doc_id")
+    )
+    return (
+        tr.select("doc_id", "n_spans")
+        .join(hits, "doc_id")
         .select(
             "doc_id",
             "n_hits",
