@@ -113,6 +113,7 @@ class EpochStats:
     wall_ms: int
     skipped: bool = False
     retries: int = 0
+    strategy: str = ""  # physical merge used ('' for skipped groups)
 
 
 @dataclass
@@ -602,6 +603,7 @@ class StreamController:
                 per_epoch_events[j],
                 n_rb if j == len(group) - 1 else 0,
                 max(wall // len(group), 1),
+                strategy=strategy,
             )
             for j, e in enumerate(group)
         ]
