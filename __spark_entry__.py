@@ -726,6 +726,30 @@ def q_decontaminate(spark, sf):
     return cross_corpus_span_overlap(train, bench, "doc_id", "text", window=8)
 
 
+def q_pack_sequences(spark, sf):
+    """Sequence packing (concat-and-chunk): variable-length docs packed
+    into fixed 64-token training rows per language group — the step between
+    this engine's token-array table and a training loader. Toy tokenizer
+    (word lengths) keeps the oracle engine-portable; the packing plan
+    (window offset cumsum -> posexplode -> chunk groupBy) is the real
+    operator. Rows are compared by md5 of the packed token stream."""
+    from hemera_indexer_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    toks = F.transform(
+        F.split(F.trim(F.col("text")), "\\s+"), lambda w: F.length(w)
+    )
+    packed = pack_sequences(
+        docs.select("doc_id", "lang", toks.alias("tokens")),
+        tokens_col="tokens", group_col="lang", order_col="doc_id",
+        seq_len=64,
+    )
+    return packed.select(
+        "lang", "chunk_id", "n_tokens",
+        F.md5(F.concat_ws(",", "tokens")).alias("tokens_md5"),
+    )
+
+
 def q_dataset_split(spark, sf):
     """Deterministic engine-portable train/val/test assignment (md5-bucket
     mod 100 — stable across engines and cluster sizes, pure projection)."""
@@ -783,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": q_duplicated_spans,
         "dataset_split": q_dataset_split,
         "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1395,6 +1420,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.span_hash, d.n_occurrences, d.n_docs, o.doc_id, o.pos
             FROM dup d JOIN occ o USING (span_hash)
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_transform(
+                           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                           w -> length(w)) AS toks
+                FROM documents
+            ),
+            o AS (
+                SELECT lang, doc_id, toks,
+                       SUM(len(toks)) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - len(toks) AS off
+                FROM t
+            ),
+            e AS (
+                SELECT lang, off + i - 1 AS pos, toks[i] AS tok
+                FROM o, LATERAL unnest(generate_series(1, len(toks))) AS g(i)
+                WHERE len(toks) > 0
+            ),
+            c AS (
+                SELECT lang, CAST(pos // 64 AS BIGINT) AS chunk_id,
+                       COUNT(*) AS n_tokens,
+                       md5(array_to_string(list(tok ORDER BY pos), ',')) AS tokens_md5
+                FROM e GROUP BY 1, 2
+            )
+            SELECT lang, chunk_id, n_tokens, tokens_md5
+            FROM c WHERE n_tokens = 64
         """,
         "decontaminate": """
             WITH w AS (

@@ -1,0 +1,81 @@
+"""Sequence packing — fixed-length training rows from variable-length docs.
+
+The table this engine maintains holds pre-tokenized training sequences
+(``tokens array<int>``); the consumer of that table is a training loader
+that wants FIXED-length rows. This operator implements the standard
+concat-and-chunk packing (GPT-style: concatenate documents in a
+deterministic order, slice into ``seq_len``-token windows; documents cross
+window boundaries, nothing is padded or dropped except the final partial
+window per group).
+
+Physical shape — fully declarative, no Python in the path:
+
+1. a window cumulative sum of ``size(tokens)`` per ``group_col`` (ordered
+   by ``order_col``) gives each doc its global token OFFSET within the
+   group — one shuffle on the group key;
+2. ``posexplode`` assigns every token its global position; ``chunk =
+   floor(pos / seq_len)`` names its output row;
+3. groupBy (group, chunk) + ``array_sort(collect_list(struct(pos, tok)))``
+   reassembles each fixed-length row.
+
+Scale note: packing is embarrassingly parallel ACROSS groups and the
+window only sorts WITHIN a group, so ``group_col`` should be something
+with enough cardinality to spread (language, source shard, bucket id —
+at 100 TB you pack per storage shard, never globally; a global order
+would serialize the whole corpus through one partition). The token
+explode triples the row count transiently but is map-side until the
+single (group, chunk) aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "lang",
+    order_col: str = "doc_id",
+    seq_len: int = 2048,
+    drop_last: bool = True,
+) -> DataFrame:
+    """Pack ``tokens_col`` arrays into ``seq_len``-token rows per group.
+    Returns (group, chunk_id, n_tokens, tokens); the trailing partial
+    window of each group is dropped when ``drop_last`` (training loaders
+    want uniform rows; keep it for eval)."""
+    n = F.size(F.col(tokens_col))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(tokens_col).alias("_t"),
+        (F.sum(n).over(w) - n).alias("_off"),
+    )
+    ex = offs.select(
+        "grp",
+        F.col("_off"),
+        F.posexplode("_t").alias("_i", "tok"),
+    ).select(
+        "grp",
+        (F.col("_off") + F.col("_i")).alias("pos"),
+        "tok",
+    )
+    rows = (
+        ex.groupBy("grp", (F.col("pos") / seq_len).cast("long").alias("chunk_id"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ).alias(tokens_col),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+    if drop_last:
+        rows = rows.where(F.col("n_tokens") == seq_len)
+    return rows

@@ -573,3 +573,30 @@ def test_randomized_fork_replay_matches_canonical(spark, tmp_path, seed):
     for d, ev in expected.items():
         assert got[d]["seq"] == ev["seq"], (d, got[d]["seq"], ev["seq"])
         assert got[d]["tokens"] == ev["tokens"]
+
+
+def test_pack_sequences_boundaries_and_drop_last(spark):
+    from hemera_indexer_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "en", [1, 2, 3]),
+            ("d2", "en", [4, 5, 6, 7]),
+            ("d3", "en", [8, 9]),
+            ("d4", "fr", [10, 11, 12, 13, 14]),
+        ],
+        "doc_id string, lang string, tokens array<int>",
+    )
+    full = pack_sequences(df, seq_len=4, drop_last=False).collect()
+    by = {(r["lang"], r["chunk_id"]): r for r in full}
+    # en stream = 1..9 (doc order), chunked by 4: docs cross boundaries
+    assert by[("en", 0)]["tokens"] == [1, 2, 3, 4]
+    assert by[("en", 1)]["tokens"] == [5, 6, 7, 8]
+    assert by[("en", 2)]["tokens"] == [9] and by[("en", 2)]["n_tokens"] == 1
+    assert by[("fr", 0)]["tokens"] == [10, 11, 12, 13]
+    assert by[("fr", 1)]["tokens"] == [14]
+    dropped = pack_sequences(df, seq_len=4).collect()
+    assert {(r["lang"], r["chunk_id"]) for r in dropped} == {
+        ("en", 0), ("en", 1), ("fr", 0)
+    }
+    assert all(r["n_tokens"] == 4 for r in dropped)
