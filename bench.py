@@ -123,7 +123,7 @@ def run_cdc(spark, n_events: int, strategy: str) -> dict:
     # one-time costs the small warmup can't reach (JIT tiering of the full
     # merge path, shuffle buffers) — measured up to 2x on many-core runs —
     # which is not engine cost for a metric defined as *sustained* ingest.
-    reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
     best_wall, n_final, n_epochs = None, 0, 0
     walls = []
     for _ in range(reps):
