@@ -600,3 +600,36 @@ def test_pack_sequences_boundaries_and_drop_last(spark):
         ("en", 0), ("en", 1), ("fr", 0)
     }
     assert all(r["n_tokens"] == 4 for r in dropped)
+
+
+def test_pack_state_table_end_to_end(spark, tiny_log, tmp_path):
+    """The full story: CDC replay materializes the token-sequence state
+    table, and pack_sequences turns its live rows into fixed-length
+    training rows — every token of every live doc appears exactly once,
+    in stream order, when the trailing partial chunks are kept."""
+    from hemera_indexer_spark.operators.packing import pack_sequences
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions
+    ).run()
+    state = table.current_state().withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(4))
+    )
+    packed = pack_sequences(
+        state, tokens_col="tokens", group_col="shard",
+        order_col="doc_id", seq_len=256, drop_last=False,
+    )
+    total_in = state.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    total_out = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total_out == total_in
+    # per shard: at most one partial chunk (the trailing one)
+    partials = (
+        packed.where(F.col("n_tokens") < 256)
+        .groupBy("shard")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in partials)
