@@ -44,7 +44,12 @@ def pack_sequences(
     """Pack ``tokens_col`` arrays into ``seq_len``-token rows per group.
     Returns (group, chunk_id, n_tokens, tokens); the trailing partial
     window of each group is dropped when ``drop_last`` (training loaders
-    want uniform rows; keep it for eval)."""
+    want uniform rows; keep it for eval).
+
+    ``order_col`` must be UNIQUE within each group: ties would leave the
+    running-sum window free to assign tied rows' offsets in arbitrary
+    partition order, making chunk contents nondeterministic run-to-run.
+    Key columns (doc_id) satisfy this by construction."""
     n = F.size(F.col(tokens_col))
     w = (
         Window.partitionBy(group_col)
