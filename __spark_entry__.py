@@ -762,6 +762,203 @@ def q_dataset_split(spark, sf):
     )
 
 
+# ------------------------------------------------- temporal operators
+def q_asof_enrich(spark, sf):
+    """Backward as-of join (merge-based union + running last(ignorenulls)
+    window — one shuffle, never an inequality join): each click gets the
+    same user's latest purchase at-or-before its timestamp; unmatched
+    clicks keep sentinel values (the correctness gate sorts row tuples, so
+    no NULLs in orderable columns)."""
+    from hemera_indexer_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        probe_ts="ts",
+        dim_ts="p_ts",
+        dim_cols=["p_event_id", "p_value"],
+        dim_tiebreak="p_event_id",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.coalesce(F.col("p_event_id"), F.lit(-1)).alias("p_event_id"),
+        F.coalesce(F.col("p_value"), F.lit(-1.0)).alias("p_value"),
+    )
+
+
+def q_scd2_intervals(spark, sf):
+    """SCD Type-2 validity intervals reconstructed from the event log:
+    consecutive same-value runs of each user's event_type compress into
+    (valid_from, valid_to) version intervals — the warehouse-dimension dual
+    of the engine's LWW current-state collapse (two narrow windows over one
+    key shuffle)."""
+    from hemera_indexer_spark.operators.temporal import scd2_intervals
+
+    ev = _t(spark, sf, "events").select("user_id", "event_id", "event_type")
+    out = scd2_intervals(ev, key="user_id", version="event_id", attr="event_type")
+    return out.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.coalesce(F.col("valid_to"), F.lit(-1)).alias("valid_to"),
+        "is_current",
+    )
+
+
+def q_range_window_join(spark, sf):
+    """Time-window range join via interval bucketing (equi-join on hour
+    slots + exact range filter — no broadcast-nested-loop): clicks landing
+    in the hour before each purchase by the same user."""
+    from hemera_indexer_spark.operators.temporal import range_join_buckets
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+        F.col("event_id").alias("p_id"),
+    )
+    pairs = range_join_buckets(
+        clicks,
+        purchases,
+        key="user_id",
+        point_ts="c_ts",
+        start_ts="w_start",
+        end_ts="w_end",
+    )
+    return pairs.groupBy("p_id").agg(
+        F.count("*").alias("n_clicks"), F.min("c_id").alias("first_click_id")
+    )
+
+
+def q_moving_avg(spark, sf):
+    """Window-frame aggregation (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW):
+    7-day moving average of daily order revenue. The frame runs over the
+    PRE-AGGREGATED one-row-per-date table, so the unpartitioned ordering is
+    O(days), not O(orders); sums stay decimal until the final division."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum(_dec("o_totalprice")).alias("_rev"))
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "d",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.round(
+            F.sum("_rev").over(w).cast("double") / F.count("*").over(w), 6
+        ).alias("ma7"),
+        F.count("*").over(w).alias("n7"),
+    )
+
+
+def q_rollup_agg(spark, sf):
+    """ROLLUP grouping-set aggregation (subtotals + grand total) — beyond
+    the reference, which has no grouping sets (SURVEY §2.4); NULL subtotal
+    markers project to '(all)' so row tuples stay orderable."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+def q_quantile_stats(spark, sf):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`): document-length quartiles per source — the
+    distribution-sanity stats a data pipeline reports per shard."""
+    docs = _t(spark, sf, "documents")
+    pct = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.9D))")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(pct.getItem(0), 6).alias("p25"),
+        F.round(pct.getItem(1), 6).alias("p50"),
+        F.round(pct.getItem(2), 6).alias("p90"),
+    )
+
+
+def q_tfidf_topk(spark, sf):
+    """TF-IDF scoring + per-doc top-k terms: term frequency per doc joined
+    against corpus document frequency (broadcast — vocabulary ≪ corpus),
+    idf = ln(N/df), top-3 by (score desc, term asc) via row_number."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    n_docs = docs.count()
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+def q_mixture_sample(spark, sf):
+    """Deterministic mixture downsampling: every source is hash-sampled to
+    the SMALLEST source's char budget (rate_s = min_chars/chars_s), using
+    the same engine-portable md5 bucket as dataset_split — so the kept set
+    is stable across engines, runs and cluster sizes. Output: per-source
+    audit (rate, kept docs, kept chars)."""
+    docs = _t(spark, sf, "documents")
+    totals = docs.groupBy("source").agg(F.sum("n_chars").alias("chars_s"))
+    min_chars = totals.agg(F.min("chars_s")).collect()[0][0]
+    rates = totals.select(
+        "source", (F.lit(float(min_chars)) / F.col("chars_s")).alias("rate")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit("mix"), F.col("doc_id"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .where(bucket / F.lit(65536.0) < F.col("rate"))
+    )
+    return kept.groupBy("source").agg(
+        F.round(F.first("rate"), 6).alias("rate"),
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -808,6 +1005,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "asof_enrich": q_asof_enrich,
+        "scd2_intervals": q_scd2_intervals,
+        "range_window_join": q_range_window_join,
+        "moving_avg": q_moving_avg,
+        "rollup_agg": q_rollup_agg,
+        "quantile_stats": q_quantile_stats,
+        "tfidf_topk": q_tfidf_topk,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -1506,6 +1711,157 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_totalprice < bp OR (o_totalprice = bp AND o_orderkey > bk)
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 20
+        """,
+        "asof_enrich": """
+            WITH clicks AS (
+                SELECT event_id AS click_id, user_id, ts
+                FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+                SELECT user_id, ts AS p_ts, event_id AS p_event_id,
+                       value AS p_value
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.click_id, c.user_id,
+                   COALESCE(p.p_event_id, -1) AS p_event_id,
+                   COALESCE(p.p_value, -1.0) AS p_value
+            FROM clicks c
+            ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.p_ts
+        """,
+        "scd2_intervals": """
+            WITH m AS (
+                SELECT user_id, event_id, event_type,
+                       lag(event_type) OVER w AS prev,
+                       (ROW_NUMBER() OVER w = 1) AS is_first
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ),
+            chg AS (
+                SELECT user_id, event_type, event_id AS valid_from
+                FROM m
+                WHERE is_first OR event_type IS DISTINCT FROM prev
+            )
+            SELECT user_id, event_type, valid_from,
+                   COALESCE(
+                       lead(valid_from) OVER (
+                           PARTITION BY user_id ORDER BY valid_from), -1
+                   ) AS valid_to,
+                   (lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY valid_from) IS NULL
+                   ) AS is_current
+            FROM chg
+        """,
+        "range_window_join": """
+            WITH clicks AS (
+                SELECT user_id, ts AS c_ts, event_id AS c_id
+                FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+                SELECT user_id, ts - INTERVAL 1 HOUR AS w_start,
+                       ts AS w_end, event_id AS p_id
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.p_id, COUNT(*) AS n_clicks, MIN(c.c_id) AS first_click_id
+            FROM clicks c
+            JOIN purchases p
+              ON c.user_id = p.user_id
+             AND c.c_ts >= p.w_start AND c.c_ts <= p.w_end
+            GROUP BY p.p_id
+        """,
+        "moving_avg": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+                FROM orders GROUP BY 1
+            )
+            SELECT d,
+                   CAST(rev AS DOUBLE) AS revenue,
+                   ROUND(
+                       CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w, 6
+                   ) AS ma7,
+                   COUNT(*) OVER w AS n7
+            FROM daily
+            WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "rollup_agg": """
+            SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+                   COALESCE(l_linestatus, '(all)') AS linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "quantile_stats": """
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(n_chars, 0.9), 6) AS p90
+            FROM documents GROUP BY source
+        """,
+        "tfidf_topk": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' ')) AS term
+                FROM documents
+            ),
+            w2 AS (SELECT * FROM words WHERE term <> ''),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM w2 GROUP BY 1, 2
+            ),
+            df AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df FROM w2 GROUP BY 1
+            ),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                           AS tfidf
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tfidf, rk FROM (
+                SELECT doc_id, term, tfidf,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY tfidf DESC, term
+                       ) AS rk
+                FROM scored
+            ) WHERE rk <= 3 AND doc_id < 100
+        """,
+        "mixture_sample": """
+            WITH totals AS (
+                SELECT source, SUM(n_chars) AS chars_s
+                FROM documents GROUP BY source
+            ),
+            rates AS (
+                SELECT source,
+                       CAST((SELECT MIN(chars_s) FROM totals) AS DOUBLE)
+                           / chars_s AS rate
+                FROM totals
+            ),
+            h AS (
+                SELECT doc_id, source, n_chars,
+                       md5('mix|' || doc_id) AS m
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, source, n_chars,
+                       (((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+                        + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+                        + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1))
+                       ) AS bucket
+                FROM h
+            )
+            SELECT b.source,
+                   ROUND(ANY_VALUE(r.rate), 6) AS rate,
+                   COUNT(*) AS n_kept,
+                   SUM(b.n_chars) AS kept_chars
+            FROM b JOIN rates r ON b.source = r.source
+            WHERE b.bucket / 65536.0 < r.rate
+            GROUP BY b.source
         """,
     }
 
