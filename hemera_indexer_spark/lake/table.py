@@ -643,7 +643,17 @@ class LakeTable:
             state_cols,
             strategy,
         )
-        new_files = self._write_data(folded, version, kind="base")
+        # key-sorted base files (the Iceberg sort-order analog): compaction
+        # is the one write that touches every row of a bucket anyway, so
+        # sorting here is nearly free (one in-partition Tungsten sort on the
+        # already-bucket-clustered merge output — no extra exchange) and
+        # buys tight per-row-group min/max(key) parquet stats: a point
+        # lookup's pushed-down key predicate then skips whole row groups
+        # inside the bucket file instead of scanning it end to end. The hot
+        # commit path (merge_upsert) stays unsorted — micro-batch deltas are
+        # small and latency-critical; only the background fold pays.
+        sorted_folded = folded.sortWithinPartitions("_bucket", self.key_col)
+        new_files = self._write_data(sorted_folded, version, kind="base")
         return self._commit_files(base, version, new_files, replaced, None, None)
 
     def maybe_compact(self, max_deltas: int = 8, strategy: str = "jvm") -> bool:

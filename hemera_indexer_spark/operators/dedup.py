@@ -210,22 +210,34 @@ def lsh_candidate_pairs(
     # the whole pipeline; caching the exploded table (larger than the
     # input) cost more than re-running a map-only explode from parquet.
     sh = word_shingles(df, id_col, text_col, n, distinct=False)
-    sig = minhash_signatures(df, id_col, text_col, n, k, shingles=sh)
-    band = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("seed", "minhash"))
-                    ),
-                    lambda s: s["minhash"],
-                ),
-            ).alias("bucket")
-        )
+    # band buckets straight from the WIDE per-doc aggregate: one
+    # map-side-combined groupBy(doc_id) computes all k mins, and each band's
+    # bucket string is a column concat + map-only explode. (The earlier
+    # stack-unpivot + groupBy(doc_id, band) + collect_list/sort form paid a
+    # SECOND full shuffle of k rows per doc for the same strings.)
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"_h{s}")
+        for s in range(k)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"_h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
     )
+    band = wide.select(
+        "doc_id", F.explode(band_structs).alias("_bb")
+    ).select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
     a = band.alias("a")
     b = band.alias("b")
     cand = (

@@ -178,6 +178,39 @@ def test_mor_compaction_preserves_state(spark, tiny_log, tmp_path):
     _assert_state_matches_oracle(table, tiny_log.out_dir, tiny_log.spec.n_partitions)
 
 
+def test_compaction_writes_key_sorted_base_files(spark, tiny_log, tmp_path):
+    """Compacted base files are sorted by key within each bucket (the
+    Iceberg sort-order analog), so parquet row-group min/max(key) stats are
+    tight and a point lookup's pushed predicate can skip row groups."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4,
+        properties={"write_mode": "mor"},
+    )
+    StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions,
+        compact_max_deltas=10_000,
+    ).run()
+    assert table.compact() is True
+    checked = 0
+    for f in table.snapshot["files"]:
+        if f.get("kind", "base") != "base":
+            continue
+        keys = pq.read_table(
+            os.path.join(table.root, f["path"]), columns=[table.key_col]
+        ).column(0).to_pylist()
+        assert keys == sorted(keys), f["path"]
+        checked += 1
+    assert checked > 0
+    # lookup still resolves correctly on the sorted layout
+    any_key = table.current_state().select(table.key_col).first()[0]
+    got = table.lookup(any_key).collect()
+    assert len(got) == 1 and got[0][table.key_col] == any_key
+
+
 def test_multi_tenant_column(spark, tmp_path):
     """Multi-tenant sink analog (the reference's address exporter appends a
     chain_id column): a tenant literal becomes an evolved payload column;
