@@ -125,3 +125,36 @@ def test_jvm_merge_plan_single_exchange(spark, tmp_path):
     assert "Window" in tree and "Sort" in tree
     for python_op in ("ArrowEvalPython", "MapInPandas", "PythonMapInArrow", "BatchEvalPython"):
         assert python_op not in plan
+
+
+def test_asof_join_is_single_exchange_no_nested_loop(spark):
+    """The merge-based as-of join must plan as ONE hash exchange on the key
+    + window — never a BroadcastNestedLoopJoin/CartesianProduct (what an
+    inequality-join formulation would produce)."""
+    import __spark_entry__ as entry
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(entry.q_asof_enrich(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    # union feeds one hashpartitioning exchange on the key, then the window
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" in tree
+
+
+def test_range_join_avoids_nested_loop(spark):
+    """The bucketed range join must be an equi (hash/sort-merge) join on
+    (key, bucket) — the inequality survives only as a post-join filter."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_range_window_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
