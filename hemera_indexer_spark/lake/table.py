@@ -318,19 +318,25 @@ class LakeTable:
             seen.add(b)
         return dirty
 
-    def resolved(self, strategy: str = "sql") -> DataFrame:
+    def resolved(
+        self, strategy: str = "sql", buckets: set[int] | None = None
+    ) -> DataFrame:
         """One row per key (tombstones included): LWW fold of base+delta
         files — the merge-on-read resolve. Only DIRTY buckets (those holding
         deltas / several files) pay the fold; clean buckets stream straight
         from their single base file — at scale most buckets are clean most
-        of the time."""
+        of the time. ``buckets`` restricts the resolve to a bucket subset
+        (incremental consumers — e.g. bucket-granular view maintenance —
+        pay O(touched buckets), not O(table))."""
         if self.is_fact_table:
             # facts are append-only: every row is its own version; folding
             # would collapse a key's history.
-            return self.read()
+            return self.read(buckets=buckets)
         dirty = self._dirty_buckets()
+        if buckets is not None:
+            dirty = dirty & buckets
         if not dirty:
-            return self.read()
+            return self.read(buckets=buckets)
         state_cols = self.schema.fieldNames()
         base = self.read(buckets=dirty, kind="base").withColumn(
             "_bucket", bucket_col(F.col(self.key_col), self.num_buckets)
@@ -345,15 +351,19 @@ class LakeTable:
             strategy,
         ).drop("_bucket")
         clean = {f["bucket"] for f in self.snapshot["files"]} - dirty
+        if buckets is not None:
+            clean = clean & buckets
         if not clean:
             return folded
         return self.read(buckets=clean).unionByName(folded)
 
-    def current_state(self, strategy: str = "sql") -> DataFrame:
+    def current_state(
+        self, strategy: str = "sql", buckets: set[int] | None = None
+    ) -> DataFrame:
         """The user-visible table: live rows only, one row per key (state
         tables) / every inserted row (fact tables, which have no
         tombstones)."""
-        out = self.resolved(strategy)
+        out = self.resolved(strategy, buckets=buckets)
         if "is_deleted" in out.columns:
             out = out.where(~F.col("is_deleted")).drop("is_deleted")
         return out

@@ -503,6 +503,22 @@ class StreamController:
         if self.sinks:
             aqe_prev = self.spark.conf.get("spark.sql.adaptive.enabled")
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # Per-destination done guards for committed-floor re-drives. A group
+        # re-runs whenever ANY destination's fence is behind (the floor is a
+        # MIN), but a destination whose own fence already covers the group
+        # must not re-run its STATE MUTATIONS: a rollback-segmented group
+        # re-drive would re-apply the destructive rollback delete while the
+        # fence-guarded final-segment upsert skips — permanently losing the
+        # re-applied rows (caught by the IVM crash-window test). Destinations
+        # without a fence (no committed_epoch) re-run everything; their
+        # apply/rollback are idempotent under full re-drives by contract.
+        state_done = last_epoch <= self.table.committed_epoch()
+
+        def _done(s) -> bool:
+            fn = getattr(s, "committed_epoch", None)
+            return fn is not None and fn() >= last_epoch
+
+        sink_done = [_done(s) for s in self.sinks]
         try:
             lo: dict | None = None
             for idx in range(len(rollbacks) + 1):
@@ -530,24 +546,27 @@ class StreamController:
                     pool.submit(
                         s.apply, seg, last_epoch, idx, is_last, manifest, min_seq
                     )
-                    for s in self.sinks
+                    for s, done in zip(self.sinks, sink_done)
+                    if not done
                 ]
                 if is_last:
                     before_paths = {
                         f["path"] for f in self.table.snapshot["files"]
                     }
-                self.table.merge_upsert(
-                    seg,
-                    epoch_id=last_epoch if is_last else None,
-                    manifest=manifest,
-                    strategy=strategy,
-                )
+                if not state_done:
+                    self.table.merge_upsert(
+                        seg,
+                        epoch_id=last_epoch if is_last else None,
+                        manifest=manifest,
+                        strategy=strategy,
+                    )
                 # the winners/events ratio only means "in-batch dedup" for a
                 # clean merge-on-read commit: cow rewrites whole buckets
                 # (written >> winners) and a rollback-segmented group applies
                 # several partial segments — skip the update in both cases.
                 if (
                     is_last
+                    and not state_done
                     and self.merge_strategy == "auto"
                     and n_events
                     and not rollbacks
@@ -563,6 +582,15 @@ class StreamController:
                     self._auto_pick = "sql" if ratio <= 0.5 else "jvm"
                 for f in futures:
                     f.result()
+                # post-commit hooks (e.g. incremental view maintenance) run
+                # on the main thread AFTER both the state merge and every
+                # concurrent sink apply landed — they may read the table.
+                for s, done in zip(self.sinks, sink_done):
+                    if done:
+                        continue
+                    cb = getattr(s, "after_commit", None)
+                    if cb is not None:
+                        cb(last_epoch, is_last)
                 if self.sinks:
                     seg.unpersist()
                     persisted.remove(seg)
@@ -573,11 +601,13 @@ class StreamController:
                     ) & (F.col("seq") >= F.lit(rb["rollback_to_seq"]))
                     rb_futures = [
                         pool.submit(s.rollback, cond, rb["rollback_to_seq"])
-                        for s in self.sinks
+                        for s, done in zip(self.sinks, sink_done)
+                        if not done
                     ]
-                    self.table.delete_keys_where(
-                        cond, seq_at_least=rb["rollback_to_seq"]
-                    )
+                    if not state_done:
+                        self.table.delete_keys_where(
+                            cond, seq_at_least=rb["rollback_to_seq"]
+                        )
                     for f in rb_futures:
                         f.result()
                     lo = rb

@@ -25,14 +25,23 @@ arguments):
   table and all sinks exposing this, so a sink that fell behind (crash
   between the overlapped commits, or a sink failure surfacing after the
   state fence landed) gets re-driven instead of silently losing the group.
+- ``after_commit(group_epoch, is_last)`` (optional) — invoked on the main
+  thread after the segment's state merge AND every concurrent sink apply
+  have landed; the only hook from which reading the state table is
+  race-free (``apply`` overlaps the merge). Must also be idempotent.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import shutil
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
+from hemera_indexer_spark.functions import bucket_col
 from hemera_indexer_spark.lake import LakeTable
 from hemera_indexer_spark.sources.files import write_range_files
 
@@ -107,6 +116,160 @@ class RangeFileSink:
                 ):
                     best = max(best, int(d.split("=")[1]))
         return best
+
+
+class IncrementalAggSink:
+    """Incrementally-maintained materialized aggregate over the state
+    table (the Spark shape of the reference's period-accumulator layer,
+    /root/reference/indexer/aggr_jobs/order_jobs/*.sql — but maintained BY
+    the CDC engine at commit granularity instead of a nightly batch).
+
+    The view is ``GROUP BY group_cols`` over the table's live rows, stored
+    as per-storage-bucket PARTIAL aggregates. Refresh is driven purely by
+    snapshot METADATA: each refresh fingerprints every bucket's file list;
+    only buckets whose fingerprint changed since the last refresh are
+    re-aggregated (one bucket-pruned ``current_state`` scan), and their
+    partial rows replace the stored ones. Updates, deletes, rollbacks and
+    compactions all rewrite files, so the fingerprint diff catches every
+    state change with zero hot-path work — ``apply`` is a no-op; the
+    controller invokes ``after_commit`` once the group's merge landed.
+
+    Cost per refresh: O(rows in touched buckets) + O(num_buckets) metadata
+    — the standard incremental-view-maintenance trade with the bucket as
+    the recomputation granule. Crash-safe: the partials directory is
+    versioned and the meta pointer flips via ``os.replace``; a crash
+    between the state fence and the view flip leaves ``committed_epoch``
+    behind, the controller re-drives the group from the committed floor,
+    and the recompute-and-replace refresh is idempotent."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        out_dir: str,
+        group_cols: tuple[str, ...] = ("source",),
+        sum_cols: tuple[str, ...] = ("n_tok",),
+    ):
+        self.table = table
+        self.out_dir = out_dir
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        self.last_refresh_buckets: int = 0  # introspection for tests/metrics
+        os.makedirs(out_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- storage
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.out_dir, "_current")
+
+    def _load_meta(self) -> dict | None:
+        if not os.path.exists(self._meta_path):
+            return None
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _partials_dir(self, version: int) -> str:
+        return os.path.join(self.out_dir, f"v{version:06d}")
+
+    # ------------------------------------------------------ sink contract
+    def apply(self, seg: DataFrame, group_epoch, seg_idx, fence, manifest, min_seq):
+        pass  # maintenance is metadata-driven, after the state commit
+
+    def rollback(self, cond: Column, seq_at_least: int):
+        pass  # rollback rewrites state files -> the fingerprint diff catches it
+
+    def committed_epoch(self) -> int:
+        meta = self._load_meta()
+        return meta["epoch"] if meta else -1
+
+    def after_commit(self, group_epoch: int, is_last: bool):
+        if is_last:
+            self.refresh(group_epoch)
+
+    # ------------------------------------------------------------ refresh
+    def _bucket_fingerprints(self) -> dict[int, str]:
+        per_bucket: dict[int, list[str]] = {}
+        for f in self.table.snapshot["files"]:
+            per_bucket.setdefault(f["bucket"], []).append(f["path"])
+        return {
+            b: hashlib.md5(",".join(sorted(ps)).encode()).hexdigest()
+            for b, ps in per_bucket.items()
+        }
+
+    def refresh(self, epoch: int) -> None:
+        spark = self.table.spark
+        fps = self._bucket_fingerprints()
+        meta = self._load_meta()
+        prev_fp = {int(b): v for b, v in (meta or {}).get("bucket_fp", {}).items()}
+        touched = {b for b, v in fps.items() if prev_fp.get(b) != v}
+        touched |= set(prev_fp) - set(fps)  # buckets whose files all vanished
+        self.last_refresh_buckets = len(touched)
+        if meta is not None and not touched:
+            if meta["epoch"] != epoch:  # nothing changed; just advance fence
+                self._write_meta(meta["version"], epoch, fps)
+            return
+        key, nb = self.table.key_col, self.table.num_buckets
+        fresh = (
+            self.table.current_state(buckets=touched)
+            .withColumn("_bucket", bucket_col(F.col(key), nb))
+            .groupBy("_bucket", *self.group_cols)
+            .agg(
+                F.count("*").alias("n_rows"),
+                *[F.sum(c).cast("long").alias(f"sum_{c}") for c in self.sum_cols],
+            )
+        )
+        version = (meta["version"] + 1) if meta else 0
+        dest = self._partials_dir(version)
+        shutil.rmtree(dest, ignore_errors=True)  # leftover of a crashed attempt
+        if meta is not None:
+            old = spark.read.parquet(self._partials_dir(meta["version"]))
+            keep = old.where(
+                ~F.col("_bucket").isin([int(b) for b in touched])
+            )
+            fresh = keep.unionByName(fresh)
+        # partials are tiny (<= buckets x groups rows): one file
+        fresh.coalesce(1).write.parquet(dest)
+        self._write_meta(version, epoch, fps)
+        # retire versions older than the previous one (kept as the rollback
+        # target of a mid-flip crash)
+        for d in os.listdir(self.out_dir):
+            if d.startswith("v") and d not in (
+                f"v{version:06d}",
+                f"v{max(version - 1, 0):06d}",
+            ):
+                shutil.rmtree(os.path.join(self.out_dir, d), ignore_errors=True)
+
+    def _write_meta(self, version: int, epoch: int, fps: dict[int, str]) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "epoch": epoch,
+                    "bucket_fp": {str(b): v for b, v in fps.items()},
+                },
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._meta_path)
+
+    # -------------------------------------------------------------- reads
+    def partials(self) -> DataFrame:
+        meta = self._load_meta()
+        if meta is None:
+            raise FileNotFoundError("view has no committed version yet")
+        return self.table.spark.read.parquet(self._partials_dir(meta["version"]))
+
+    def view(self) -> DataFrame:
+        """The materialized aggregate: group_cols -> (n_rows, sum_*)."""
+        p = self.partials()
+        return p.groupBy(*self.group_cols).agg(
+            F.sum("n_rows").alias("n_rows"),
+            *[
+                F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
+                for c in self.sum_cols
+            ],
+        )
 
 
 class ConsoleSink:
