@@ -9,6 +9,8 @@ the indexer produces). Here the names resolve to the engine's sink set:
   owns the checkpoint manifest).
 - ``FACTS``   — the append-only event-history fact table.
 - ``EXPORTS`` — range-file export stream (json/csv).
+- ``VIEWS``   — incrementally-maintained materialized aggregate
+  (the aggr_jobs layer, commit-granular).
 - ``ALL``     — everything.
 
 ``parse_entity_types("state,facts")`` → flags; unknown names raise with
@@ -23,8 +25,9 @@ class EntityType(IntFlag):
     STATE = 1
     FACTS = 2
     EXPORTS = 4
+    VIEWS = 8
 
-    ALL = STATE | FACTS | EXPORTS
+    ALL = STATE | FACTS | EXPORTS | VIEWS
 
 
 def parse_entity_types(spec: str) -> EntityType:

@@ -49,6 +49,13 @@ def main() -> None:
                     help="range-file export stream location (implies EXPORTS;"
                          " required when EXPORTS is selected)")
     ap.add_argument("--export-format", default="json", choices=["json", "csv"])
+    ap.add_argument("--view-dir", default=None,
+                    help="incrementally-maintained materialized aggregate "
+                         "location (implies VIEWS)")
+    ap.add_argument("--view-group-cols", default="source",
+                    help="comma list of GROUP BY columns for the view")
+    ap.add_argument("--view-sum-cols", default="n_tok",
+                    help="comma list of columns the view sums")
     ap.add_argument("--confirmation-lag", type=int, default=0,
                     help="stay this many epochs behind the log head (--delay analog)")
     ap.add_argument("--max-batch-epochs", type=int, default=8,
@@ -90,6 +97,8 @@ def main() -> None:
         entities |= EntityType.FACTS
     if args.export_dir:
         entities |= EntityType.EXPORTS
+    if args.view_dir:
+        entities |= EntityType.VIEWS
 
     fact_table = None
     if EntityType.FACTS in entities:
@@ -112,6 +121,18 @@ def main() -> None:
         from hemera_indexer_spark.streaming.sinks import RangeFileSink
 
         sinks.append(RangeFileSink(args.export_dir, fmt=args.export_format))
+    view_sink = None
+    if EntityType.VIEWS in entities:
+        if not args.view_dir:
+            ap.error("--entity-types VIEWS requires --view-dir")
+        from hemera_indexer_spark.streaming.sinks import IncrementalAggSink
+
+        view_sink = IncrementalAggSink(
+            table, args.view_dir,
+            group_cols=tuple(c for c in args.view_group_cols.split(",") if c),
+            sum_cols=tuple(c for c in args.view_sum_cols.split(",") if c),
+        )
+        sinks.append(view_sink)
 
     t0 = time.monotonic()
     if args.streaming:
@@ -156,6 +177,8 @@ def main() -> None:
     if events:
         out["events"] = events
         out["events_per_sec"] = round(events / wall, 1)
+    if view_sink is not None:
+        out["view"] = [r.asDict() for r in view_sink.view().collect()]
     if args.expire_keep_last:
         out["expired_snapshots"] = table.expire_snapshots(args.expire_keep_last)
         out["vacuumed_files"] = table.vacuum_orphans()
