@@ -139,6 +139,11 @@ class LakeTable:
         return t
 
     def refresh(self) -> dict:
+        if getattr(self, "_pinned", False):
+            raise ConcurrentCommitError(
+                "this handle is pinned to a historical snapshot (as_of); "
+                "refresh would silently unpin it — use a live handle"
+            )
         with open(os.path.join(self.meta_dir, VERSION_FILE)) as f:
             v = int(f.read().strip())
         with open(os.path.join(self.meta_dir, f"snap-{v:010d}.json")) as f:
@@ -170,6 +175,61 @@ class LakeTable:
     def committed_epoch(self) -> int:
         return self.snapshot["manifest"]["epoch_id"]
 
+    # ------------------------------------------------------------ time travel
+    def snapshots(self) -> list[dict]:
+        """Summaries of every RETAINED snapshot (oldest first): version,
+        fenced epoch, file/row counts — Iceberg's snapshot-history surface.
+        Retention is governed by ``expire_snapshots``."""
+        out = []
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if not (fn.startswith("snap-") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.meta_dir, fn)) as f:
+                s = json.load(f)
+            out.append(
+                {
+                    "version": s["version"],
+                    "epoch_id": s["manifest"]["epoch_id"],
+                    "n_files": len(s["files"]),
+                    "rows": sum(f["rows"] for f in s["files"]),
+                }
+            )
+        return out
+
+    def as_of(self, version: int) -> "LakeTable":
+        """Time travel: a READ-ONLY handle pinned to a retained snapshot
+        (Iceberg's ``VERSION AS OF``). All read paths — ``current_state``,
+        ``read``, ``lookup``, ``manifest_df`` — serve the table exactly as
+        of that commit; mutations raise. Data files stay readable as long
+        as the snapshot's metadata is retained (``vacuum_orphans`` only
+        deletes files unreachable from every retained snapshot), matching
+        Iceberg's expire-then-vacuum lifecycle."""
+        spath = os.path.join(self.meta_dir, f"snap-{version:010d}.json")
+        if not os.path.exists(spath):
+            raise FileNotFoundError(
+                f"snapshot {version} is not retained (expired or never "
+                f"existed); retained: {[s['version'] for s in self.snapshots()]}"
+            )
+        t = LakeTable(self.spark, self.root)
+        with open(spath) as f:
+            t._snapshot = json.load(f)
+        t._pinned = True
+        return t
+
+    def as_of_epoch(self, epoch: int) -> "LakeTable":
+        """Time travel by FENCED EPOCH: the newest retained snapshot whose
+        manifest epoch is <= ``epoch`` (the change-log-coordinate form of
+        ``as_of``, natural for CDC debugging: "state after epoch K")."""
+        best = None
+        for s in self.snapshots():
+            if s["epoch_id"] <= epoch and (
+                best is None or s["version"] > best["version"]
+            ):
+                best = s
+        if best is None:
+            raise FileNotFoundError(f"no retained snapshot at epoch <= {epoch}")
+        return self.as_of(best["version"])
+
     def committed_offsets(self) -> dict[int, int]:
         return {int(k): v for k, v in self.snapshot["manifest"]["offsets"].items()}
 
@@ -180,6 +240,11 @@ class LakeTable:
         on. Single-writer is the supported model (as in the reference's
         fix_record lock); this check makes accidental racing writers fail
         loudly instead of losing updates."""
+        if getattr(self, "_pinned", False):
+            raise ConcurrentCommitError(
+                "this handle is pinned to a historical snapshot (as_of); "
+                "mutations must go through a live handle"
+            )
         vpath = os.path.join(self.meta_dir, VERSION_FILE)
         if expected_parent is None:
             if os.path.exists(vpath):

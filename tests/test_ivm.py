@@ -101,3 +101,58 @@ def test_crash_between_state_fence_and_view_flip_redrives(spark, tiny_log, tmp_p
     assert state_after == state_before
     assert _got(sink2) == _expected(table)
     assert sink2.committed_epoch() == table.committed_epoch()
+
+
+# ---------------------------------------------------------- time travel
+def test_time_travel_as_of(spark, tiny_log, tmp_path):
+    """as_of(version) serves the table exactly as of a retained commit;
+    as_of_epoch maps change-log coordinates to snapshots; pinned handles
+    refuse mutation and refresh."""
+    import pytest
+
+    from hemera_indexer_spark.lake.table import ConcurrentCommitError
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    ctl = StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions,
+        max_batch_epochs=1,  # one commit per epoch -> several snapshots
+    )
+    ctl.run(max_epochs=3)
+    mid_version = table.snapshot["version"]
+    mid_epoch = table.committed_epoch()
+    mid_state = sorted(
+        tuple(r) for r in table.current_state().select("doc_id", "seq").collect()
+    )
+    ctl.run()  # replay the rest (rollback + schema evolution included)
+    assert table.snapshot["version"] > mid_version
+
+    old = table.as_of(mid_version)
+    got = sorted(
+        tuple(r) for r in old.current_state().select("doc_id", "seq").collect()
+    )
+    assert got == mid_state
+    # the historical schema is served, not the evolved one
+    assert "lang" not in old.schema.fieldNames()
+    assert "lang" in table.schema.fieldNames()
+    # epoch-coordinate travel resolves to the same state
+    by_epoch = table.as_of_epoch(mid_epoch)
+    assert by_epoch.committed_epoch() == mid_epoch
+    got2 = sorted(
+        tuple(r)
+        for r in by_epoch.current_state().select("doc_id", "seq").collect()
+    )
+    assert got2 == mid_state
+    # pinned handles are read-only
+    with pytest.raises(ConcurrentCommitError):
+        old.refresh()
+    with pytest.raises(ConcurrentCommitError):
+        old.compact()
+    # snapshot history is monotone and includes the pinned version
+    versions = [s["version"] for s in table.snapshots()]
+    assert versions == sorted(versions) and mid_version in versions
+    # expiring retention makes old versions unreachable, loudly
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        table.as_of(mid_version)
