@@ -216,6 +216,94 @@ class LakeTable:
         t._pinned = True
         return t
 
+    def changes_since(self, version: int, strategy: str = "sql") -> DataFrame:
+        """Incremental read (Iceberg's changelog-scan / CDF analog): the
+        net row-level changes between a retained snapshot and the current
+        one, as (change_op ∈ insert|update|delete, <row>). Downstream consumers
+        (search indexes, caches, replicas) apply this instead of re-reading
+        the table.
+
+        Cost is O(changed buckets), not O(table): both snapshots' file
+        lists are diffed per bucket first (pure metadata), only buckets
+        whose files changed are resolved on each side, and the two resolved
+        states full-outer join on the key. Net semantics: a key upserted
+        then rolled back between the versions reports nothing; a delete
+        reports the OLD row."""
+        old = self.as_of(version)
+        old_files: dict[int, list[str]] = {}
+        for f in old.snapshot["files"]:
+            old_files.setdefault(f["bucket"], []).append(f["path"])
+        new_files: dict[int, list[str]] = {}
+        for f in self.snapshot["files"]:
+            new_files.setdefault(f["bucket"], []).append(f["path"])
+        touched = {
+            b
+            for b in set(old_files) | set(new_files)
+            if sorted(old_files.get(b, [])) != sorted(new_files.get(b, []))
+        }
+        key, seqc = self.key_col, self.seq_col
+        # evolved columns: serve the CURRENT schema on both sides (old rows
+        # yield NULLs for columns added since `version` — additive law)
+        new_side = self.resolved(strategy, buckets=touched)
+        old_side = old.resolved(strategy, buckets=touched)
+        for fld in self.schema.fields:
+            if fld.name not in old_side.columns:
+                old_side = old_side.withColumn(
+                    fld.name, F.lit(None).cast(fld.dataType)
+                )
+        old_side = old_side.select(*[F.col(c) for c in new_side.columns])
+        if self.is_fact_table:
+            # append-only history has no per-key uniqueness: the net change
+            # is the multiset difference (inserts since v, plus the rare
+            # rollback-pruned rows as deletes), on touched buckets only
+            ins = new_side.exceptAll(old_side).select(
+                F.lit("insert").alias("change_op"), *new_side.columns
+            )
+            dels = old_side.exceptAll(new_side).select(
+                F.lit("delete").alias("change_op"), *new_side.columns
+            )
+            return ins.unionByName(dels)
+        del_col = "is_deleted"
+        has_del = del_col in new_side.columns
+        o = old_side.select(
+            F.col(key).alias("_k"),
+            F.struct(*[c for c in old_side.columns if c != key]).alias("_o"),
+        )
+        n = new_side.select(
+            F.col(key).alias("_k"),
+            F.struct(*[c for c in new_side.columns if c != key]).alias("_n"),
+        )
+        j = o.join(n, "_k", "full_outer")
+        o_live = F.col("_o").isNotNull() & (
+            ~F.col(f"_o.{del_col}") if has_del else F.lit(True)
+        )
+        n_live = F.col("_n").isNotNull() & (
+            ~F.col(f"_n.{del_col}") if has_del else F.lit(True)
+        )
+        op = (
+            F.when(~o_live & n_live, F.lit("insert"))
+            .when(o_live & ~n_live, F.lit("delete"))
+            .when(
+                o_live & n_live & (F.col(f"_n.{seqc}") != F.col(f"_o.{seqc}")),
+                F.lit("update"),
+            )
+        )
+        picked = F.when(op == "delete", F.col("_o")).otherwise(F.col("_n"))
+        out = (
+            j.withColumn("change_op", op)
+            .where(F.col("change_op").isNotNull())
+            .select(
+                "change_op",
+                F.col("_k").alias(key),
+                *[
+                    picked[c].alias(c)
+                    for c in new_side.columns
+                    if c not in (key, del_col)
+                ],
+            )
+        )
+        return out
+
     def as_of_epoch(self, epoch: int) -> "LakeTable":
         """Time travel by FENCED EPOCH: the newest retained snapshot whose
         manifest epoch is <= ``epoch`` (the change-log-coordinate form of
