@@ -819,6 +819,37 @@ class LakeTable:
         new_files = self._write_data(sorted_folded, version, kind="base")
         return self._commit_files(base, version, new_files, replaced, None, None)
 
+    def rebucket(self, new_num_buckets: int, strategy: str = "jvm") -> bool:
+        """Partition-spec evolution (Iceberg's bucket-count change): rewrite
+        the WHOLE table into ``new_num_buckets`` storage buckets in one
+        atomic commit. The bucket count bounds micro-batch rewrite size and
+        merge parallelism, so a table that grew 100x since creation
+        eventually wants more buckets; this is the rare, explicitly-invoked
+        maintenance rewrite that pays one full LWW resolve + clustered write
+        (key-sorted files, like compaction). Tombstones survive — they keep
+        fencing stale replays. Readers are unaffected mid-rewrite (snapshot
+        isolation); the commit CAS-fails loudly against concurrent writers."""
+        base = self.snapshot
+        if new_num_buckets == self.num_buckets:
+            return False
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        version = base["version"] + 1
+        replaced = {f["path"] for f in base["files"]}
+        rows = self.read() if self.is_fact_table else self.resolved(strategy)
+        df = (
+            rows.withColumn(
+                "_bucket", bucket_col(F.col(self.key_col), new_num_buckets)
+            )
+            .repartition(min(new_num_buckets, 256), "_bucket")
+            .sortWithinPartitions("_bucket", self.key_col)
+        )
+        new_files = self._write_data(df, version, kind="base")
+        return self._commit_files(
+            base, version, new_files, replaced, None, None,
+            num_buckets_update=new_num_buckets,
+        )
+
     def maybe_compact(self, max_deltas: int = 8, strategy: str = "jvm") -> bool:
         """Compact every bucket whose delta-file count reached the threshold
         (bounds read amplification at max_deltas folds per key)."""
@@ -1061,13 +1092,14 @@ class LakeTable:
         epoch_id: int | None,
         manifest: dict | None,
         properties_update: dict | None = None,
+        num_buckets_update: int | None = None,
     ) -> bool:
         kept = [f for f in base["files"] if f["path"] not in replaced_paths]
         snap = {
             "version": version,
             "parent": base["version"],
             "schema": base["schema"],
-            "num_buckets": base["num_buckets"],
+            "num_buckets": num_buckets_update or base["num_buckets"],
             "key_col": base["key_col"],
             "seq_col": base["seq_col"],
             "files": kept + new_files,

@@ -231,3 +231,41 @@ def test_changes_since_fact_table(spark, tmp_path):
     assert [(c["change_op"], c["doc_id"], c["op"]) for c in ch] == [
         ("insert", "d3", "insert")
     ]
+
+
+def test_rebucket_preserves_state_and_serves_reads(spark, tiny_log, tmp_path):
+    """Partition-spec evolution: rewriting into a new bucket count keeps
+    the resolved state bit-identical; lookups and subsequent merges use
+    the new layout."""
+    import pyspark.sql.functions as F2
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions
+    ).run()
+    before = sorted(
+        tuple(r) for r in table.current_state().select("doc_id", "seq").collect()
+    )
+    assert table.rebucket(16) is True
+    assert table.num_buckets == 16
+    assert {f["bucket"] for f in table.snapshot["files"]} <= set(range(16))
+    after = sorted(
+        tuple(r) for r in table.current_state().select("doc_id", "seq").collect()
+    )
+    assert after == before
+    # point lookup resolves through the new bucket hash
+    k = before[0][0]
+    assert table.lookup(k).collect()[0]["doc_id"] == k
+    # a post-rebucket merge (change-event shape: payload + op + seq) lands
+    # in the new layout and wins by seq
+    top_seq = max(s for _, s in before)
+    upd = spark.createDataFrame(
+        [(k, [9, 9], 2, "web", "update", top_seq + 1)],
+        "doc_id string, tokens array<int>, n_tok int, source string, op string, seq long",
+    ).withColumn("lang", F2.lit(None).cast("string"))
+    table.merge_upsert(upd)
+    assert table.lookup(k).collect()[0]["tokens"] == [9, 9]
+    # no-op when the count is unchanged
+    assert table.rebucket(16) is False
