@@ -48,6 +48,7 @@ class StructuredIngest:
         merge_strategy: str = "auto",
         max_files_per_trigger: int | None = None,
         compact_max_deltas: int = 8,
+        view_sink=None,
     ):
         self.spark = spark
         self.table = table
@@ -60,6 +61,9 @@ class StructuredIngest:
         self.merge_strategy = "sql" if merge_strategy == "auto" else merge_strategy
         self.max_files_per_trigger = max_files_per_trigger
         self.compact_max_deltas = compact_max_deltas
+        # optional IncrementalAggSink: refreshed after each fenced batch
+        # (metadata-fingerprint diff -> bucket-pruned recompute)
+        self.view_sink = view_sink
 
     # -------------------------------------------------------------- sink
     @property
@@ -81,6 +85,11 @@ class StructuredIngest:
         per-checkpoint stream high-water mark committed atomically with the
         batch's final merge (replayed batches after a crash are no-ops)."""
         if batch_id <= self.stream_hwm():
+            # replayed batch after a crash: the state is fenced, but the
+            # view flip may have been lost — refresh converges it (no-op
+            # when the bucket fingerprints already match)
+            if self.view_sink is not None:
+                self.view_sink.refresh(batch_id)
             return
         rollbacks = sorted(
             batch_df.where(F.col("rollback_to_seq").isNotNull())
@@ -118,6 +127,8 @@ class StructuredIngest:
         self.table.maybe_compact(
             max_deltas=self.compact_max_deltas, strategy=self.merge_strategy
         )
+        if self.view_sink is not None:
+            self.view_sink.refresh(batch_id)
 
     # -------------------------------------------------------------- query
     def start(self, available_now: bool = True):

@@ -94,3 +94,41 @@ def test_streaming_windowed_aggregation(spark, tmp_path):
     rows = spark.sql("SELECT * FROM hourly_out").collect()
     assert len(rows) > 0
     assert all(r["n"] > 0 for r in rows)
+
+
+def test_structured_ingest_maintains_view(spark, tmp_path):
+    """The streaming front-end refreshes an IncrementalAggSink after each
+    fenced micro-batch; at drain the view equals a full GROUP BY."""
+    import pyspark.sql.functions as F
+
+    from hemera_indexer_spark.streaming.sinks import IncrementalAggSink
+
+    spec = ChangelogSpec(
+        n_docs=200, n_epochs=4, events_per_epoch=400, n_partitions=4,
+        seed=11, schema_evolution_epoch=None, rollback_epochs=(2,),
+    )
+    log_dir = str(tmp_path / "log")
+    generate_changelog(log_dir, spec)
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    sink = IncrementalAggSink(table, str(tmp_path / "view"))
+    q = StructuredIngest(
+        spark, table, log_dir, spec.n_partitions,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=6,
+        view_sink=sink,
+    ).start(available_now=True)
+    q.awaitTermination(300)
+    got = sorted(tuple(r) for r in sink.view().collect())
+    exp = sorted(
+        tuple(r)
+        for r in table.current_state()
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_tok").cast("long").alias("sum_n_tok"),
+        )
+        .collect()
+    )
+    assert got == exp
