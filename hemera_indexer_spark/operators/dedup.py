@@ -608,18 +608,19 @@ def cross_corpus_span_overlap(
         .select(F.explode("_spans").alias("span_hash"))
         .distinct()
     )
-    tr = span_arrays(train).select(
-        "doc_id", "_spans", F.size("_spans").alias("n_spans")
-    )
-    hits = (
-        tr.select("doc_id", F.explode("_spans").alias("span_hash"))
-        .join(F.broadcast(bench_spans), "span_hash", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+    # ONE pass over the training side: the per-doc span count rides along
+    # the explode (a constant int per row), so the denominator needs no
+    # second regex+hash scan of the corpus — the semi-join keeps every left
+    # column and the groupBy recovers (n_hits, n_spans) together.
+    occ = span_arrays(train).select(
+        "doc_id",
+        F.size("_spans").alias("n_spans"),
+        F.explode("_spans").alias("span_hash"),
     )
     return (
-        tr.select("doc_id", "n_spans")
-        .join(hits, "doc_id")
+        occ.join(F.broadcast(bench_spans), "span_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"), F.first("n_spans").alias("n_spans"))
         .select(
             "doc_id",
             "n_hits",
