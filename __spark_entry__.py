@@ -959,6 +959,37 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_vocab_histogram(spark, sf):
+    """Token-frequency histogram over the corpus's token arrays (toy
+    tokenizer = word lengths, engine-portable): one map-only explode +
+    map-side-combined groupBy, top-50 deterministic."""
+    from hemera_indexer_spark.operators.tokens import vocab_histogram
+
+    docs = _t(spark, sf, "documents")
+    toks = F.transform(
+        F.split(F.trim(F.col("text")), "\\s+"), lambda w: F.length(w)
+    )
+    return vocab_histogram(
+        docs.select("doc_id", toks.alias("tokens")),
+        id_col="doc_id",
+        top_k=50,
+    )
+
+
+def q_token_budget(spark, sf):
+    """Per-group token accounting (mixture-weight input): docs, token
+    totals and corpus share per language — array sizes only, no explode."""
+    from hemera_indexer_spark.operators.tokens import token_budget
+
+    docs = _t(spark, sf, "documents")
+    toks = F.transform(
+        F.split(F.trim(F.col("text")), "\\s+"), lambda w: F.length(w)
+    )
+    return token_budget(
+        docs.select("lang", toks.alias("tokens")), group_col="lang"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1013,6 +1044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_stats": q_quantile_stats,
         "tfidf_topk": q_tfidf_topk,
         "mixture_sample": q_mixture_sample,
+        "vocab_histogram": q_vocab_histogram,
+        "token_budget": q_token_budget,
     }
 
 
@@ -1862,6 +1895,39 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN rates r ON b.source = r.source
             WHERE b.bucket / 65536.0 < r.rate
             GROUP BY b.source
+        """,
+        "vocab_histogram": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(
+                           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                           w -> length(w)) AS toks
+                FROM documents
+            ),
+            occ AS (
+                SELECT doc_id, unnest(toks) AS token FROM t
+            )
+            SELECT token, COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM occ GROUP BY token
+            ORDER BY n_occurrences DESC, token ASC
+            LIMIT 50
+        """,
+        "token_budget": """
+            WITH t AS (
+                SELECT lang,
+                       len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                           AS n_tok
+                FROM documents
+            ),
+            g AS (
+                SELECT lang, COUNT(*) AS n_docs,
+                       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+                FROM t GROUP BY lang
+            )
+            SELECT lang, n_docs, n_tokens,
+                   ROUND(n_tokens / SUM(n_tokens) OVER (), 6) AS share
+            FROM g
         """,
     }
 
