@@ -269,3 +269,32 @@ def test_rebucket_preserves_state_and_serves_reads(spark, tiny_log, tmp_path):
     assert table.lookup(k).collect()[0]["tokens"] == [9, 9]
     # no-op when the count is unchanged
     assert table.rebucket(16) is False
+
+
+def test_rebucket_mid_stream_then_resume(spark, tiny_log, tmp_path):
+    """Operational resize scenario: ingest half the log, rebucket, resume
+    ingest from the checkpoint — the manifest survives the rewrite and the
+    final state matches the oracle fold."""
+    from hemera_indexer_spark.oracle import expected_live_rows
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    ctl = StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions
+    )
+    ctl.run(max_epochs=4)
+    fence_before = table.committed_epoch()
+    assert table.rebucket(16) is True
+    assert table.committed_epoch() == fence_before  # manifest preserved
+    # resume in a FRESH controller (checkpoint restart path)
+    StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions
+    ).run()
+    exp = expected_live_rows(tiny_log.out_dir, tiny_log.spec.n_partitions)
+    got = sorted(
+        (r.asDict(recursive=True) for r in table.current_state().collect()),
+        key=lambda d: d["doc_id"],
+    )
+    assert len(got) == len(exp)
+    assert all(g["tokens"] == e["tokens"] for g, e in zip(got, exp))
