@@ -142,17 +142,33 @@ class IncrementalAggSink:
     behind, the controller re-drives the group from the committed floor,
     and the recompute-and-replace refresh is idempotent."""
 
+    #: partial-aggregate functions that are combinable ACROSS buckets with
+    #: the same function (sum of sums, min of mins, max of maxes) — the
+    #: bucket-decomposability requirement; avg = derive from sum + count.
+    _MERGEABLE = {"sum": F.sum, "min": F.min, "max": F.max}
+
     def __init__(
         self,
         table: LakeTable,
         out_dir: str,
         group_cols: tuple[str, ...] = ("source",),
         sum_cols: tuple[str, ...] = ("n_tok",),
+        aggs: dict[str, tuple[str, str]] | None = None,
     ):
+        # sum_cols is the common case (long sums); ``aggs`` adds arbitrary
+        # bucket-decomposable aggregates, e.g.
+        # {"max_tok": ("max", "n_tok"), "first_seq": ("min", "seq")}
         self.table = table
         self.out_dir = out_dir
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        self.aggs = dict(aggs or {})
+        for name, (fn, _) in self.aggs.items():
+            if fn not in self._MERGEABLE:
+                raise ValueError(
+                    f"agg {name!r}: {fn!r} is not bucket-decomposable; "
+                    f"supported: {sorted(self._MERGEABLE)}"
+                )
         self.last_refresh_buckets: int = 0  # introspection for tests/metrics
         os.makedirs(out_dir, exist_ok=True)
 
@@ -215,6 +231,10 @@ class IncrementalAggSink:
             .agg(
                 F.count("*").alias("n_rows"),
                 *[F.sum(c).cast("long").alias(f"sum_{c}") for c in self.sum_cols],
+                *[
+                    self._MERGEABLE[fn](c).alias(name)
+                    for name, (fn, c) in self.aggs.items()
+                ],
             )
         )
         version = (meta["version"] + 1) if meta else 0
@@ -261,13 +281,18 @@ class IncrementalAggSink:
         return self.table.spark.read.parquet(self._partials_dir(meta["version"]))
 
     def view(self) -> DataFrame:
-        """The materialized aggregate: group_cols -> (n_rows, sum_*)."""
+        """The materialized aggregate: group_cols -> (n_rows, sum_*,
+        custom aggs) — partials merge with the same decomposable fn."""
         p = self.partials()
         return p.groupBy(*self.group_cols).agg(
             F.sum("n_rows").alias("n_rows"),
             *[
                 F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
                 for c in self.sum_cols
+            ],
+            *[
+                self._MERGEABLE[fn](name).alias(name)
+                for name, (fn, _) in self.aggs.items()
             ],
         )
 

@@ -298,3 +298,41 @@ def test_rebucket_mid_stream_then_resume(spark, tiny_log, tmp_path):
     )
     assert len(got) == len(exp)
     assert all(g["tokens"] == e["tokens"] for g, e in zip(got, exp))
+
+
+def test_view_custom_decomposable_aggs(spark, tiny_log, tmp_path):
+    """min/max aggregates ride the same bucket-partial machinery (any
+    bucket-decomposable fn works — partials merge with the same fn)."""
+    import pytest
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    sink = IncrementalAggSink(
+        table, str(tmp_path / "view"),
+        aggs={"max_n_tok": ("max", "n_tok"), "min_seq": ("min", "seq")},
+    )
+    StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions, sinks=[sink]
+    ).run()
+    got = sorted(
+        (r["source"], r["n_rows"], r["sum_n_tok"], r["max_n_tok"], r["min_seq"])
+        for r in sink.view().collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in table.current_state()
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_tok").cast("long").alias("sum_n_tok"),
+            F.max("n_tok").alias("max_n_tok"),
+            F.min("seq").alias("min_seq"),
+        )
+        .collect()
+    )
+    assert got == exp
+    with pytest.raises(ValueError):
+        IncrementalAggSink(
+            table, str(tmp_path / "v2"), aggs={"bad": ("avg", "n_tok")}
+        )
