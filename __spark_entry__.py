@@ -1372,8 +1372,11 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLES_CTE},
             seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
             sig AS (
+                -- chunked minhash family (operators/dedup.py::_minhash_aggs):
+                -- seed s = 32-bit hex chunk s%4 of md5((s//4) || '|' || shingle)
                 SELECT doc_id, seed,
-                       MIN(md5(seed || '|' || shingle)) AS minhash
+                       MIN(substr(md5((seed // 4) || '|' || shingle),
+                                  (seed % 4) * 8 + 1, 8)) AS minhash
                 FROM shingles CROSS JOIN seeds
                 GROUP BY doc_id, seed
             ),

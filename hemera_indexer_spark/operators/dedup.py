@@ -142,6 +142,27 @@ def jaccard_pairs(
 
 
 # ------------------------------------------------------------------ minhash
+def _minhash_aggs(k: int) -> list:
+    """The k per-doc ``min`` aggregates of the chunked MinHash family:
+    seed s uses the 8-hex-char (32-bit) substring chunk ``s % 4`` of
+    ``md5((s // 4) || '|' || shingle)`` — so k seeds cost ceil(k/4) md5
+    evaluations per shingle instead of k (md5 over the shingle text is the
+    dominant per-row cost of the whole signature stage, and shorter chunk
+    strings also shrink the agg state and the band bucket strings).
+    Lexicographic min over a uniform 32-bit hex chunk is a valid minhash;
+    exactly reproducible in ANSI SQL (substr over md5)."""
+    return [
+        F.min(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(s // 4), F.col("shingle"))),
+                (s % 4) * 8 + 1,
+                8,
+            )
+        ).alias(f"_h{s}")
+        for s in range(k)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -150,9 +171,7 @@ def minhash_signatures(
     k: int = 8,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """k-permutation MinHash: h_i(doc) = min over shingles of
-    md5(i || '|' || shingle), min taken lexicographically on the hex string.
-    Engine-portable and exactly reproducible in ANSI SQL.
+    """k-permutation MinHash (chunked family, see ``_minhash_aggs``).
     Returns (doc_id, seed, minhash).
 
     Physical shape: ONE pass over the shingle table with k parallel ``min``
@@ -169,13 +188,7 @@ def minhash_signatures(
         if shingles is not None
         else word_shingles(df, id_col, text_col, n, distinct=False)
     )
-    aggs = [
-        F.min(
-            F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))
-        ).alias(f"_h{s}")
-        for s in range(k)
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    wide = sh.groupBy("doc_id").agg(*_minhash_aggs(k))
     stack_args = ", ".join(f"{s}, _h{s}" for s in range(k))
     return wide.selectExpr(
         "doc_id", f"stack({k}, {stack_args}) AS (seed, minhash)"
@@ -215,11 +228,7 @@ def lsh_candidate_pairs(
     # bucket string is a column concat + map-only explode. (The earlier
     # stack-unpivot + groupBy(doc_id, band) + collect_list/sort form paid a
     # SECOND full shuffle of k rows per doc for the same strings.)
-    aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"_h{s}")
-        for s in range(k)
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    wide = sh.groupBy("doc_id").agg(*_minhash_aggs(k))
     band_structs = F.array(
         *[
             F.struct(
