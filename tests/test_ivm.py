@@ -336,3 +336,32 @@ def test_view_custom_decomposable_aggs(spark, tiny_log, tmp_path):
         IncrementalAggSink(
             table, str(tmp_path / "v2"), aggs={"bad": ("avg", "n_tok")}
         )
+
+
+def test_reader_snapshot_isolation_across_commits(spark, tiny_log, tmp_path):
+    """A reader's plan captures the snapshot's file list at construction:
+    commits (and compactions) that land afterwards do not change what the
+    reader sees — file immutability + snapshot metadata = snapshot
+    isolation without locks. Files stay on disk until vacuum_orphans,
+    which only deletes what NO retained snapshot references."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    ctl = StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions,
+        max_batch_epochs=1,
+    )
+    ctl.run(max_epochs=3)
+    reader_df = table.current_state()  # lazy: plan pins the current files
+    expected = sorted(
+        tuple(r) for r in reader_df.select("doc_id", "seq").collect()
+    )
+    ctl.run()  # more commits land (updates, deletes, a rollback epoch)
+    # the OLD plan still serves the OLD snapshot
+    got = sorted(tuple(r) for r in reader_df.select("doc_id", "seq").collect())
+    assert got == expected
+    # while a LIVE handle sees the new state
+    live = sorted(
+        tuple(r) for r in table.current_state().select("doc_id", "seq").collect()
+    )
+    assert live != expected
