@@ -517,14 +517,22 @@ def q_dedup_simhash(spark, sf):
 
 def q_dedup_clusters_cc(spark, sf):
     """Cluster resolution: near-dup PAIRS (jaccard) -> connected components
-    -> keep/drop sets (min-label propagation; the oracle mirrors it with a
-    recursive transitive-closure CTE)."""
-    from hemera_indexer_spark.operators.dedup import dedup_keep_drop, jaccard_pairs
+    -> keep/drop sets. Uses the scale-adaptive CC (driver union-find below
+    an explicit edge threshold — the broadcast-small-side rule; distributed
+    min-label propagation above it); the oracle mirrors the semantics with
+    a recursive transitive-closure CTE."""
+    from hemera_indexer_spark.operators.dedup import (
+        connected_components_auto,
+        jaccard_pairs,
+    )
 
     docs = _t(spark, sf, "documents")
     max_df = max(5, docs.count() // 100)
     pairs = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.6, max_df=max_df)
-    return dedup_keep_drop(pairs)
+    cc = connected_components_auto(pairs)
+    return cc.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
+    )
 
 
 def q_dedup_embedding(spark, sf):

@@ -501,6 +501,63 @@ def connected_components_star(
     return out
 
 
+def connected_components_auto(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    driver_threshold: int = 1_000_000,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Scale-adaptive cluster resolution. The pair graph of a dedup run is
+    O(duplicates), usually tiny next to the corpus — but label propagation
+    pays several Spark actions of fixed cost per round regardless of size.
+    This hybrid mirrors Spark's own small-side rule (broadcast when it
+    fits): count the edges first (one action over the — typically cached —
+    pair pipeline); at or below ``driver_threshold`` collect them and run
+    an exact union-find on the driver (bounded by the threshold, stated
+    here loudly: this is a deliberate metadata-scale collect, not a data
+    collect); above it, fall back to the distributed label propagation.
+    Output is identical either way: (doc_id, cluster_id = component min)."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+        .cache()
+    )
+    n_edges = edges.count()
+    if n_edges > driver_threshold:
+        out = connected_components(edges, "a", "b", max_iter=max_iter)
+        edges.unpersist()
+        return out
+    rows = edges.collect()
+    edges.unpersist()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the representative is the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = [(node, find(node)) for node in parent]
+    spark = pairs.sparkSession
+    schema_src = pairs.schema[src].dataType
+    out_schema = (
+        f"doc_id {schema_src.simpleString()}, cluster_id {schema_src.simpleString()}"
+    )
+    return spark.createDataFrame(labels, out_schema)
+
+
 def dedup_keep_drop(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
     """Keep/drop decision per clustered doc: keep the cluster's min id, drop
     the rest. Returns (doc_id, cluster_id, keep:boolean)."""

@@ -223,3 +223,33 @@ def test_binary_decode_roundtrip(spark):
         g = got[s]
         assert g["address"] == e["address"]
         assert int(g["amount"]) == e["amount"]
+
+
+def test_connected_components_auto_matches_distributed(spark):
+    """The driver union-find (small side) and the distributed label
+    propagation produce identical labels; the threshold switches paths."""
+    from hemera_indexer_spark.operators.dedup import (
+        connected_components,
+        connected_components_auto,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (30, 31)],
+        "doc_a long, doc_b long",
+    )
+    small = sorted(
+        tuple(r) for r in connected_components_auto(pairs).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in connected_components_auto(pairs, driver_threshold=0).collect()
+    )
+    ref = sorted(tuple(r) for r in connected_components(pairs).collect())
+    assert small == dist == ref
+    # a long chain exercises path compression + min-root union
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components_auto(chain).collect()}
+    assert set(got.values()) == {0} and len(got) == 61
