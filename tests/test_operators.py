@@ -253,3 +253,28 @@ def test_connected_components_auto_matches_distributed(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components_auto(chain).collect()}
     assert set(got.values()) == {0} and len(got) == 61
+
+
+def test_sketch_scale_paths_within_error_bounds(spark):
+    """The approximate companions of the exact operators — HLL++
+    approx_count_distinct (rsd-bounded) and approx_percentile — are the
+    100 TB scale path where exact distinct/percentile shuffles would
+    dominate; this pins their error against the exact answers so the
+    swap is a measured trade, not a guess."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact_u = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    approx_u = ev.select(
+        F.approx_count_distinct("user_id", rsd=0.02)
+    ).collect()[0][0]
+    assert abs(approx_u - exact_u) / exact_u < 0.06  # 3x the configured rsd
+    exact_p, approx_p = (
+        docs.select(
+            F.expr("percentile(n_chars, 0.5D)"),
+            F.expr("approx_percentile(n_chars, 0.5D, 10000)"),
+        )
+        .collect()[0]
+    )
+    assert abs(approx_p - exact_p) / exact_p < 0.02
