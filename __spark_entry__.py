@@ -524,15 +524,13 @@ def q_dedup_clusters_cc(spark, sf):
     from hemera_indexer_spark.operators.dedup import (
         connected_components_auto,
         jaccard_pairs,
+        keep_drop_from_cc,
     )
 
     docs = _t(spark, sf, "documents")
     max_df = max(5, docs.count() // 100)
     pairs = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.6, max_df=max_df)
-    cc = connected_components_auto(pairs)
-    return cc.select(
-        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
-    )
+    return keep_drop_from_cc(connected_components_auto(pairs))
 
 
 def q_dedup_embedding(spark, sf):
@@ -974,9 +972,11 @@ def q_vocab_histogram(spark, sf):
     from hemera_indexer_spark.operators.tokens import vocab_histogram
 
     docs = _t(spark, sf, "documents")
-    toks = F.transform(
-        F.split(F.trim(F.col("text")), "\\s+"), lambda w: F.length(w)
-    )
+    # strip ALL boundary whitespace (trim() strips spaces only — a leading
+    # tab would yield a phantom empty token the oracle's regexp-normalized
+    # split never produces)
+    clean = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
+    toks = F.transform(F.split(clean, r"\s+"), lambda w: F.length(w))
     return vocab_histogram(
         docs.select("doc_id", toks.alias("tokens")),
         id_col="doc_id",
@@ -990,9 +990,8 @@ def q_token_budget(spark, sf):
     from hemera_indexer_spark.operators.tokens import token_budget
 
     docs = _t(spark, sf, "documents")
-    toks = F.transform(
-        F.split(F.trim(F.col("text")), "\\s+"), lambda w: F.length(w)
-    )
+    clean = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
+    toks = F.transform(F.split(clean, r"\s+"), lambda w: F.length(w))
     return token_budget(
         docs.select("lang", toks.alias("tokens")), group_col="lang"
     )

@@ -216,6 +216,11 @@ def lsh_candidate_pairs(
     with zero recall loss on near-identical dups. At 100 TB the
     verification stage is O(candidates), so r is THE knob that keeps it
     O(true dups)."""
+    if k % bands != 0:
+        # a remainder band would silently change recall (seeds beyond the
+        # last full band would be hashed but never banded) — make the
+        # contract explicit instead
+        raise ValueError(f"k ({k}) must be divisible by bands ({bands})")
     rows_per_band = k // bands
     # ONE map-only explode (NO distinct, NO cache): MinHash mins are
     # duplicate-insensitive, and verification dedups AFTER pruning to the
@@ -558,13 +563,19 @@ def connected_components_auto(
     return spark.createDataFrame(labels, out_schema)
 
 
-def dedup_keep_drop(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
-    """Keep/drop decision per clustered doc: keep the cluster's min id, drop
-    the rest. Returns (doc_id, cluster_id, keep:boolean)."""
-    cc = connected_components(pairs, src, dst)
+def keep_drop_from_cc(cc: DataFrame) -> DataFrame:
+    """The keep rule in ONE place: keep the cluster's min id (= the
+    cluster_id label), drop the rest. Input: (doc_id, cluster_id) from any
+    connected-components variant."""
     return cc.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
     )
+
+
+def dedup_keep_drop(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Keep/drop decision per clustered doc: keep the cluster's min id, drop
+    the rest. Returns (doc_id, cluster_id, keep:boolean)."""
+    return keep_drop_from_cc(connected_components(pairs, src, dst))
 
 
 # -------------------------------------------------- duplicated-span detect

@@ -120,6 +120,7 @@ def range_join_buckets(
     start_ts: str,
     end_ts: str,
     bucket_micros: int = 3_600_000_000,
+    open_end: str | None = None,
 ) -> DataFrame:
     """Interval range join without an inequality join: pair every point
     with every interval of the same ``key`` whose [start_ts, end_ts]
@@ -128,12 +129,34 @@ def range_join_buckets(
     exactly one slot, and the (key, bucket) equi-join + exact range filter
     yields each qualifying pair exactly once — no dedup, no
     broadcast-nested-loop. Returns all point columns + all interval
-    columns (names must not clash)."""
+    columns (names must not clash).
+
+    Open intervals (NULL ``end_ts`` — e.g. the is_current rows of
+    ``scd2_intervals``) cannot be bucketed unbounded: pass ``open_end``
+    (a timestamp literal such as the stream's high-water mark) to close
+    them for the join. Without it, a NULL end fails the job loudly
+    (assert_true) instead of silently dropping the interval."""
     # unix_micros requires TIMESTAMP (not NTZ); the cast is applied to BOTH
     # axes so bucket alignment is invariant to the session timezone shift
     def _us(c: str):
         return F.unix_micros(F.col(c).cast("timestamp"))
 
+    if open_end is not None:
+        intervals = intervals.withColumn(
+            end_ts, F.coalesce(F.col(end_ts), F.lit(open_end).cast("timestamp"))
+        )
+    else:
+        intervals = intervals.withColumn(
+            end_ts,
+            F.when(
+                F.assert_true(
+                    F.col(end_ts).isNotNull(),
+                    f"range_join_buckets: NULL {end_ts} (open interval) — "
+                    "pass open_end to close open intervals",
+                ).isNull(),
+                F.col(end_ts),
+            ),
+        )
     pb = points.withColumn(
         "_bkt", F.floor(_us(point_ts) / F.lit(bucket_micros))
     )

@@ -46,9 +46,14 @@ def token_budget(
     The mixture-weight input of a training run — computed from array
     sizes only (no explode; ``size`` is evaluated on the column
     metadata-free but without touching element values)."""
+    # size(NULL) is -1 in Spark — a NULL tokens array (e.g. a row written
+    # before the column evolved in) must count as 0, not deflate the sum
+    sz = F.when(F.col(tokens_col).isNull(), F.lit(0)).otherwise(
+        F.size(tokens_col)
+    )
     totals = df.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(tokens_col)).cast("long").alias("n_tokens"),
+        F.sum(sz).cast("long").alias("n_tokens"),
     )
     # grand total via an unpartitioned window over the (tiny, one row per
     # group) aggregate — no second scan of the corpus

@@ -91,22 +91,38 @@ class StructuredIngest:
             if self.view_sink is not None:
                 self.view_sink.refresh(batch_id)
             return
+        # Segment by (epoch, seq), NOT seq alone. The log's replay order is
+        # epochs in order, seq within an epoch — a single streaming batch
+        # can span several epochs, and a LATER epoch may legitimately carry
+        # a LOWER seq (re-delivered duplicates, the generator's idempotence
+        # case). Seq-only segmentation mis-files such events on the wrong
+        # side of a rollback: a duplicate of a rolled-back event arriving in
+        # a post-rollback EPOCH must re-apply (it is a fresh delivery after
+        # the repair, exactly how the batch controller treats it by running
+        # each epoch as its own commit) — measured as a one-row divergence
+        # from the oracle before this fix. Struct comparison gives the
+        # (epoch, seq) tuple order (both numeric).
         rollbacks = sorted(
             batch_df.where(F.col("rollback_to_seq").isNotNull())
-            .select("seq", "partition", "rollback_to_seq")
+            .select("epoch", "seq", "partition", "rollback_to_seq")
             .collect(),
-            key=lambda r: r["seq"],
+            key=lambda r: (r["epoch"], r["seq"]),
         )
         updates = batch_df.where(F.col("op") != "rollback")
-        bounds = [r["seq"] for r in rollbacks] + [None]
+
+        def _pos(rb):
+            return F.struct(F.lit(rb["epoch"]).alias("epoch"), F.lit(rb["seq"]).alias("seq"))
+
+        ev_pos = F.struct(F.col("epoch"), F.col("seq"))
+        bounds = list(rollbacks) + [None]
         lo = None
-        for i, rb_seq in enumerate(bounds):
+        for i, rb in enumerate(bounds):
             seg = updates
             if lo is not None:
-                seg = seg.where(F.col("seq") > lo)
-            if rb_seq is not None:
-                seg = seg.where(F.col("seq") < rb_seq)
-            if rb_seq is None:
+                seg = seg.where(ev_pos > _pos(lo))
+            if rb is not None:
+                seg = seg.where(ev_pos < _pos(rb))
+            if rb is None:
                 self.table.merge_upsert(
                     seg,
                     strategy=self.merge_strategy,
@@ -114,7 +130,6 @@ class StructuredIngest:
                 )
             else:
                 self.table.merge_upsert(seg, strategy=self.merge_strategy)
-                rb = rollbacks[i]
                 self.table.delete_keys_where(
                     (
                         log_partition_col(F.col("doc_id"), self.n_partitions)
@@ -123,7 +138,7 @@ class StructuredIngest:
                     & (F.col("seq") >= F.lit(rb["rollback_to_seq"])),
                     seq_at_least=rb["rollback_to_seq"],
                 )
-                lo = rb_seq
+                lo = rb
         self.table.maybe_compact(
             max_deltas=self.compact_max_deltas, strategy=self.merge_strategy
         )

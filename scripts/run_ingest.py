@@ -136,10 +136,12 @@ def main() -> None:
 
     t0 = time.monotonic()
     if args.streaming:
-        if fact_table is not None or sinks:
-            # fail loudly rather than silently materializing only STATE
+        if fact_table is not None or any(s is not view_sink for s in sinks):
+            # fail loudly rather than silently materializing only STATE;
+            # the view sink IS streamable (StructuredIngest refreshes it
+            # per fenced micro-batch)
             ap.error(
-                "--streaming currently drives the STATE sink only; "
+                "--streaming drives the STATE sink (plus --view-dir) only; "
                 "drop FACTS/EXPORTS or use the batch loop"
             )
         from hemera_indexer_spark.streaming.structured import StructuredIngest
@@ -149,6 +151,7 @@ def main() -> None:
             checkpoint_dir=os.path.join(args.table_root, "_stream_ckpt"),
             merge_strategy=args.strategy,
             compact_max_deltas=args.compact_max_deltas,
+            view_sink=view_sink,
         ).start(available_now=True)
         q.awaitTermination()
         events = None
@@ -177,7 +180,7 @@ def main() -> None:
     if events:
         out["events"] = events
         out["events_per_sec"] = round(events / wall, 1)
-    if view_sink is not None:
+    if view_sink is not None and view_sink.committed_epoch() >= 0:
         out["view"] = [r.asDict() for r in view_sink.view().collect()]
     if args.expire_keep_last:
         out["expired_snapshots"] = table.expire_snapshots(args.expire_keep_last)

@@ -132,3 +132,70 @@ def test_structured_ingest_maintains_view(spark, tmp_path):
         .collect()
     )
     assert got == exp
+
+
+def test_streaming_rollback_with_cross_epoch_redelivery(spark, tmp_path):
+    """Regression: a single streaming batch spans several epochs, and a
+    rolled-back event is re-delivered (same seq) in a LATER epoch — the
+    replay order is (epoch, seq), so the duplicate must re-apply AFTER the
+    rollback, exactly as the batch controller's per-epoch commits order
+    it. Seq-only segmentation filed the duplicate before the rollback and
+    lost the row (one-row oracle divergence)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hemera_indexer_spark.functions import log_partition_py
+    from hemera_indexer_spark.oracle import expected_live_rows
+
+    doc = "doc_00000007"
+    part = log_partition_py(doc, 2)
+    log_dir = tmp_path / "log"
+
+    def write(epoch, rows):
+        d = log_dir / f"epoch={epoch:05d}" / f"partition={part:03d}"
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "seq": pa.array([r[0] for r in rows], pa.int64()),
+                    "epoch": pa.array([epoch] * len(rows), pa.int64()),
+                    "partition": pa.array([part] * len(rows), pa.int32()),
+                    "doc_id": pa.array([doc] * len(rows)),
+                    "op": pa.array([r[1] for r in rows]),
+                    "tokens": pa.array(
+                        [r[2] for r in rows], pa.list_(pa.int32())
+                    ),
+                    "n_tok": pa.array(
+                        [len(r[2]) if r[2] is not None else None for r in rows],
+                        pa.int32(),
+                    ),
+                    "source": pa.array(["web"] * len(rows)),
+                    "rollback_to_seq": pa.array(
+                        [r[3] for r in rows], pa.int64()
+                    ),
+                }
+            ),
+            d / "events.parquet",
+        )
+
+    write(0, [(10, "insert", [1, 2], None)])
+    # epoch 1: orphan overwrite, then the rollback to seq 15
+    write(1, [(20, "update", [3, 4], None), (30, "rollback", None, 15)])
+    # epoch 2: the SAME seq-20 event re-delivered after the repair
+    write(2, [(20, "update", [3, 4], None)])
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    q = StructuredIngest(
+        spark, table, str(log_dir), 2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).start(available_now=True)  # everything in ONE batch
+    q.awaitTermination(240)
+    exp = expected_live_rows(str(log_dir), 2)
+    got = sorted(
+        (r.asDict(recursive=True) for r in table.current_state().collect()),
+        key=lambda d: d["doc_id"],
+    )
+    assert len(got) == len(exp) == 1
+    assert got[0]["tokens"] == exp[0]["tokens"] == [3, 4]

@@ -185,3 +185,27 @@ def test_range_join_matches_inequality_join_on_random_data(spark):
         .select("pid", "iid")
     )
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_range_join_open_intervals(spark):
+    """NULL end_ts fails loudly by default (silent drops were the old
+    behavior); open_end closes open intervals for the join."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    points = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01 12:00:00"))], "pid long, k string, pts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(9, "k", _ts("2024-01-01 10:00:00"), None)],
+        "iid long, k string, s timestamp, e timestamp",
+    )
+    with pytest.raises(Exception):  # Spark surfaces assert_true as a job error
+        range_join_buckets(
+            points, intervals, key="k", point_ts="pts", start_ts="s", end_ts="e"
+        ).collect()
+    out = range_join_buckets(
+        points, intervals, key="k", point_ts="pts", start_ts="s", end_ts="e",
+        open_end="2024-01-01 23:00:00",
+    ).collect()
+    assert [r["pid"] for r in out] == [1]
