@@ -819,6 +819,40 @@ class LakeTable:
         new_files = self._write_data(sorted_folded, version, kind="base")
         return self._commit_files(base, version, new_files, replaced, None, None)
 
+    def bulk_load(self, df: DataFrame, seq: int = 0) -> bool:
+        """Initial-state backfill: load a snapshot DataFrame (payload
+        columns, no ops) as base files in ONE commit, before CDC tailing
+        starts — the migration path for adopting the engine over an
+        existing corpus. Rows get ``seq`` (default 0, so every future
+        change event wins LWW) and live ``is_deleted=False``; files are
+        bucket-clustered and key-sorted like compacted output. Refuses a
+        non-empty table: backfill composes with history only through the
+        merge path."""
+        base = self.snapshot
+        if base["files"]:
+            raise ValueError(
+                "bulk_load requires an empty table; use merge_upsert to "
+                "compose with existing history"
+            )
+        version = base["version"] + 1
+        cols = self.schema.fieldNames()
+        out = df
+        if self.seq_col not in out.columns:
+            out = out.withColumn(self.seq_col, F.lit(seq).cast("long"))
+        if "is_deleted" in cols and "is_deleted" not in out.columns:
+            out = out.withColumn("is_deleted", F.lit(False))
+        for fld in self.schema.fields:  # evolved/optional columns -> NULL
+            if fld.name not in out.columns:
+                out = out.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        shaped = (
+            out.select(*cols)
+            .withColumn("_bucket", bucket_col(F.col(self.key_col), self.num_buckets))
+            .repartition(min(self.num_buckets, 256), "_bucket")
+            .sortWithinPartitions("_bucket", self.key_col)
+        )
+        new_files = self._write_data(shaped, version, kind="base")
+        return self._commit_files(base, version, new_files, set(), None, None)
+
     def rebucket(self, new_num_buckets: int, strategy: str = "jvm") -> bool:
         """Partition-spec evolution (Iceberg's bucket-count change): rewrite
         the WHOLE table into ``new_num_buckets`` storage buckets in one

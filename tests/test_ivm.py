@@ -365,3 +365,32 @@ def test_reader_snapshot_isolation_across_commits(spark, tiny_log, tmp_path):
         tuple(r) for r in table.current_state().select("doc_id", "seq").collect()
     )
     assert live != expected
+
+
+def test_bulk_load_then_cdc_tail(spark, tiny_log, tmp_path):
+    """Backfill-then-tail adoption path: bulk-load an initial corpus at
+    seq 0, then replay the CDC log on top — change events win LWW over
+    the backfill, untouched backfill rows survive, and a second bulk_load
+    on the non-empty table is refused."""
+    import pytest
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    seed = spark.createDataFrame(
+        [("doc_pre_a", [7, 7, 7], 3, "seed"), ("doc_pre_b", [8], 1, "seed")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    assert table.bulk_load(seed) is True
+    assert table.stats_row_count() == 2
+    StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions
+    ).run()
+    state = {r["doc_id"]: r for r in table.current_state().collect()}
+    # untouched backfill rows survive the whole replay
+    assert state["doc_pre_a"]["tokens"] == [7, 7, 7]
+    assert state["doc_pre_b"]["source"] == "seed"
+    # CDC rows live alongside (the log's docs all have higher seqs)
+    assert len(state) > 2
+    with pytest.raises(ValueError):
+        table.bulk_load(seed)
