@@ -614,6 +614,16 @@ class LakeTable:
         self._write_snapshot(snap, expected_parent=self.snapshot["version"])
 
     # ------------------------------------------------------------ MERGE
+    def _fill_missing_columns(self, df: DataFrame) -> DataFrame:
+        """NULL-fill state-schema columns absent from ``df`` — the additive
+        schema-evolution law applied at every write entry point (merge,
+        fact insert, bulk load)."""
+        schema = self.schema
+        for c in schema.fieldNames():
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(schema[c].dataType))
+        return df
+
     def merge_upsert(
         self,
         updates: DataFrame,
@@ -658,14 +668,13 @@ class LakeTable:
         payload_cols = [c for c in state_cols if c not in (key, seqc, "is_deleted")]
 
         # normalize updates into state-row shape
-        upd = updates.withColumn("is_deleted", F.col("op") == F.lit("delete"))
+        upd = self._fill_missing_columns(
+            updates.withColumn("is_deleted", F.col("op") == F.lit("delete"))
+        )
         for c in payload_cols:
-            if c in updates.columns:
-                upd = upd.withColumn(
-                    c, F.when(F.col("is_deleted"), F.lit(None)).otherwise(F.col(c))
-                )
-            else:
-                upd = upd.withColumn(c, F.lit(None).cast(schema[c].dataType))
+            upd = upd.withColumn(
+                c, F.when(F.col("is_deleted"), F.lit(None)).otherwise(F.col(c))
+            )
         upd = upd.select(*state_cols).withColumn("_bucket", bucket_col(F.col(key), b))
 
         if mode == "mor":
@@ -746,11 +755,9 @@ class LakeTable:
         key, seqc = self.key_col, self.seq_col
         schema = self.schema
         state_cols = schema.fieldNames()
-        upd = updates
-        for c in state_cols:
-            if c not in updates.columns:
-                upd = upd.withColumn(c, F.lit(None).cast(schema[c].dataType))
-        upd = upd.select(*state_cols).dropDuplicates([key, seqc])
+        upd = self._fill_missing_columns(updates).select(*state_cols).dropDuplicates(
+            [key, seqc]
+        )
         if min_seq is None and base["files"]:
             r = upd.agg(F.min(seqc)).collect()[0][0]
             min_seq = int(r) if r is not None else None
@@ -819,15 +826,19 @@ class LakeTable:
         new_files = self._write_data(sorted_folded, version, kind="base")
         return self._commit_files(base, version, new_files, replaced, None, None)
 
-    def bulk_load(self, df: DataFrame, seq: int = 0) -> bool:
+    def bulk_load(self, df: DataFrame, seq: int = -1) -> bool:
         """Initial-state backfill: load a snapshot DataFrame (payload
         columns, no ops) as base files in ONE commit, before CDC tailing
         starts — the migration path for adopting the engine over an
-        existing corpus. Rows get ``seq`` (default 0, so every future
-        change event wins LWW) and live ``is_deleted=False``; files are
-        bucket-clustered and key-sorted like compacted output. Refuses a
-        non-empty table: backfill composes with history only through the
-        merge path."""
+        existing corpus. Rows get ``seq`` (default -1: base files win
+        LWW ties over deltas, so the backfill seq must be STRICTLY below
+        every change-event seq — -1 is safe for both 0- and 1-indexed
+        logs) and live ``is_deleted=False``; files are bucket-clustered
+        and key-sorted like compacted output. Refuses a non-empty table
+        (backfill composes with history only through the merge path) and
+        duplicate keys (same-seq duplicates would resolve
+        nondeterministically — the merge path's in-batch LWW has no
+        analog here)."""
         base = self.snapshot
         if base["files"]:
             raise ValueError(
@@ -836,14 +847,22 @@ class LakeTable:
             )
         version = base["version"] + 1
         cols = self.schema.fieldNames()
+        key = self.key_col
+        chk = df.agg(
+            F.count("*").alias("n"), F.countDistinct(key).alias("d")
+        ).collect()[0]
+        if chk["n"] != chk["d"]:
+            raise ValueError(
+                f"bulk_load seed has {chk['n'] - chk['d']} duplicate "
+                f"{key} rows — dedup the snapshot first (duplicates would "
+                "resolve nondeterministically at equal seq)"
+            )
         out = df
         if self.seq_col not in out.columns:
             out = out.withColumn(self.seq_col, F.lit(seq).cast("long"))
         if "is_deleted" in cols and "is_deleted" not in out.columns:
             out = out.withColumn("is_deleted", F.lit(False))
-        for fld in self.schema.fields:  # evolved/optional columns -> NULL
-            if fld.name not in out.columns:
-                out = out.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        out = self._fill_missing_columns(out)
         shaped = (
             out.select(*cols)
             .withColumn("_bucket", bucket_col(F.col(self.key_col), self.num_buckets))

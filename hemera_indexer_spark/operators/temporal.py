@@ -141,22 +141,21 @@ def range_join_buckets(
     def _us(c: str):
         return F.unix_micros(F.col(c).cast("timestamp"))
 
+    # the effective end lives in a TEMP column: the caller's end_ts column
+    # comes back untouched (open intervals keep their NULL — downstream
+    # is_current/duration logic must not see a fabricated close)
     if open_end is not None:
-        intervals = intervals.withColumn(
-            end_ts, F.coalesce(F.col(end_ts), F.lit(open_end).cast("timestamp"))
-        )
+        eff_end = F.coalesce(F.col(end_ts), F.lit(open_end).cast("timestamp"))
     else:
-        intervals = intervals.withColumn(
-            end_ts,
-            F.when(
-                F.assert_true(
-                    F.col(end_ts).isNotNull(),
-                    f"range_join_buckets: NULL {end_ts} (open interval) — "
-                    "pass open_end to close open intervals",
-                ).isNull(),
-                F.col(end_ts),
-            ),
+        eff_end = F.when(
+            F.assert_true(
+                F.col(end_ts).isNotNull(),
+                f"range_join_buckets: NULL {end_ts} (open interval) — "
+                "pass open_end to close open intervals",
+            ).isNull(),
+            F.col(end_ts),
         )
+    intervals = intervals.withColumn("_eff_end", eff_end)
     pb = points.withColumn(
         "_bkt", F.floor(_us(point_ts) / F.lit(bucket_micros))
     )
@@ -164,10 +163,10 @@ def range_join_buckets(
         "_bkts",
         F.sequence(
             F.floor(_us(start_ts) / F.lit(bucket_micros)),
-            F.floor(_us(end_ts) / F.lit(bucket_micros)),
+            F.floor(_us("_eff_end") / F.lit(bucket_micros)),
         ),
     ).withColumn("_bkt", F.explode("_bkts")).drop("_bkts")
     joined = pb.join(ib, [key, "_bkt"]).where(
-        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col("_eff_end"))
     )
-    return joined.drop("_bkt")
+    return joined.drop("_bkt", "_eff_end")

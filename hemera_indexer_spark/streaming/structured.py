@@ -116,7 +116,7 @@ class StructuredIngest:
         ev_pos = F.struct(F.col("epoch"), F.col("seq"))
         bounds = list(rollbacks) + [None]
         lo = None
-        for i, rb in enumerate(bounds):
+        for rb in bounds:
             seg = updates
             if lo is not None:
                 seg = seg.where(ev_pos > _pos(lo))

@@ -394,3 +394,33 @@ def test_bulk_load_then_cdc_tail(spark, tiny_log, tmp_path):
     assert len(state) > 2
     with pytest.raises(ValueError):
         table.bulk_load(seed)
+
+
+def test_bulk_load_rejects_duplicates_and_loses_ties_to_changes(spark, tmp_path):
+    """Review regressions: duplicate seed keys are refused (same-seq rows
+    would resolve nondeterministically), and a change event with seq 0 —
+    a 0-indexed external log's first event — beats the backfill (base
+    files win ties, so the backfill sits strictly below at seq -1)."""
+    import pytest
+    import pyspark.sql.functions as F2
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    dup = spark.createDataFrame(
+        [("doc_a", [1], 1, "s"), ("doc_a", [2], 1, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(ValueError):
+        table.bulk_load(dup)
+    seed = spark.createDataFrame(
+        [("doc_a", [1], 1, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    assert table.bulk_load(seed) is True
+    upd = spark.createDataFrame(
+        [("doc_a", [5, 5], 2, "s", "update", 0)],  # seq 0: 0-indexed log
+        "doc_id string, tokens array<int>, n_tok int, source string, op string, seq long",
+    ).withColumn("lang", F2.lit(None).cast("string"))
+    table.merge_upsert(upd)
+    assert table.lookup("doc_a").collect()[0]["tokens"] == [5, 5]

@@ -191,7 +191,6 @@ def test_range_join_open_intervals(spark):
     """NULL end_ts fails loudly by default (silent drops were the old
     behavior); open_end closes open intervals for the join."""
     import pytest
-    from pyspark.sql.utils import PythonException
 
     points = spark.createDataFrame(
         [(1, "k", _ts("2024-01-01 12:00:00"))], "pid long, k string, pts timestamp"
