@@ -424,3 +424,26 @@ def test_bulk_load_rejects_duplicates_and_loses_ties_to_changes(spark, tmp_path)
     ).withColumn("lang", F2.lit(None).cast("string"))
     table.merge_upsert(upd)
     assert table.lookup("doc_a").collect()[0]["tokens"] == [5, 5]
+
+
+def test_changes_since_empty_across_pure_reorganization(spark, tiny_log, tmp_path):
+    """Net-change semantics: compaction and rebucket rewrite every touched
+    file but change NO row, so the change feed across them must be EMPTY —
+    the metadata diff flags the buckets, the key-level full-outer join
+    proves nothing moved."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4,
+        properties={"write_mode": "mor"},
+    )
+    StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions,
+        compact_max_deltas=10_000,
+    ).run()
+    v = table.snapshot["version"]
+    assert table.compact() is True
+    assert table.changes_since(v).count() == 0
+    v2 = table.snapshot["version"]
+    assert table.rebucket(16) is True
+    assert table.changes_since(v2).count() == 0
+    # and the combined span is still a no-op feed
+    assert table.changes_since(v).count() == 0
