@@ -447,3 +447,34 @@ def test_changes_since_empty_across_pure_reorganization(spark, tiny_log, tmp_pat
     assert table.changes_since(v2).count() == 0
     # and the combined span is still a no-op feed
     assert table.changes_since(v).count() == 0
+
+
+def test_rebucket_fact_table_and_expired_changes_since(spark, tmp_path):
+    """Fact tables rebucket as raw row rewrites (no LWW fold — history
+    must survive verbatim); changes_since against an expired version
+    raises with the retained list instead of guessing."""
+    import pytest
+
+    from hemera_indexer_spark.schemas import FACTS_SCHEMA
+
+    facts = LakeTable.create(
+        spark, str(tmp_path / "facts"), FACTS_SCHEMA, num_buckets=2,
+        properties={"table_type": "fact"},
+    )
+    rows = [
+        ("d1", [1], 1, "w", "insert", 1),
+        ("d1", [2], 1, "w", "update", 2),  # TWO rows for d1: history
+        ("d2", [3], 1, "w", "insert", 3),
+    ]
+    facts.insert_if_absent(spark.createDataFrame(rows, FACTS_SCHEMA))
+    assert facts.rebucket(8) is True
+    got = sorted(tuple(r) for r in facts.read().select("doc_id", "seq").collect())
+    assert got == [("d1", 1), ("d1", 2), ("d2", 3)]  # no fold, no loss
+    # expire history, then ask for changes since a dropped version
+    v_old = 1
+    facts.insert_if_absent(
+        spark.createDataFrame([("d3", [4], 1, "w", "insert", 4)], FACTS_SCHEMA)
+    )
+    facts.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        facts.changes_since(v_old)
