@@ -1761,9 +1761,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'click'
             ),
             purchases AS (
+                -- DuckDB's ASOF JOIN picks an ARBITRARY row among purchases
+                -- sharing (user_id, ts); the Spark side deterministically
+                -- takes max p_event_id (dim_tiebreak). Pre-dedup here so
+                -- both sides share the tie rule at any scale factor.
                 SELECT user_id, ts AS p_ts, event_id AS p_event_id,
                        value AS p_value
                 FROM events WHERE event_type = 'purchase'
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
             )
             SELECT c.click_id, c.user_id,
                    COALESCE(p.p_event_id, -1) AS p_event_id,

@@ -656,6 +656,18 @@ class LakeTable:
 
         Returns False (no-op) if ``epoch_id`` is already committed (fencing).
         """
+        # Only PAYLOAD columns may be absent (additive schema evolution).
+        # key/seq NULL-filled silently would produce rows whose LWW fold and
+        # seq>=N rollback fences are undefined — fail loudly instead.
+        missing_identity = [
+            c for c in (self.key_col, self.seq_col) if c not in updates.columns
+        ]
+        if missing_identity:
+            raise ValueError(
+                f"merge_upsert input is missing identity column(s) "
+                f"{missing_identity}; only payload columns may be omitted "
+                f"(schema evolution NULL-fills those)"
+            )
         base = self.snapshot
         if epoch_id is not None and epoch_id <= base["manifest"]["epoch_id"]:
             return False

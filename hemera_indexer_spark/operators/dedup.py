@@ -142,6 +142,15 @@ def jaccard_pairs(
 
 
 # ------------------------------------------------------------------ minhash
+#: Version tag of the MinHash family. Bump whenever the per-seed hash
+#: function changes (v1 = md5-per-seed, v2 = chunked 4-md5 family below —
+#: the round-3 change invalidated any v1 signatures). Persist this next to
+#: any stored signature / band-bucket artifact and REBUILD on mismatch:
+#: signatures from different families must never be compared or banded
+#: together (their collision probabilities are unrelated).
+MINHASH_FAMILY_VERSION = 2
+
+
 def _minhash_aggs(k: int) -> list:
     """The k per-doc ``min`` aggregates of the chunked MinHash family:
     seed s uses the 8-hex-char (32-bit) substring chunk ``s % 4`` of

@@ -215,12 +215,19 @@ class IncrementalAggSink:
         spark = self.table.spark
         fps = self._bucket_fingerprints()
         meta = self._load_meta()
+        # The fence is MONOTONE: a replayed batch (or a caller in a different
+        # counter domain handing us a lower number) must never move it
+        # backwards — committed_epoch() feeds the controller's commit floor,
+        # and a regressed fence would re-drive (harmless) or, worse, a
+        # forward-jumped one would mark groups done that never refreshed.
+        if meta is not None:
+            epoch = max(epoch, meta["epoch"])
         prev_fp = {int(b): v for b, v in (meta or {}).get("bucket_fp", {}).items()}
         touched = {b for b, v in fps.items() if prev_fp.get(b) != v}
         touched |= set(prev_fp) - set(fps)  # buckets whose files all vanished
         self.last_refresh_buckets = len(touched)
         if meta is not None and not touched:
-            if meta["epoch"] != epoch:  # nothing changed; just advance fence
+            if meta["epoch"] < epoch:  # nothing changed; just advance fence
                 self._write_meta(meta["version"], epoch, fps)
             return
         key, nb = self.table.key_col, self.table.num_buckets

@@ -87,9 +87,13 @@ class StructuredIngest:
         if batch_id <= self.stream_hwm():
             # replayed batch after a crash: the state is fenced, but the
             # view flip may have been lost — refresh converges it (no-op
-            # when the bucket fingerprints already match)
+            # when the bucket fingerprints already match). The view fence
+            # lives in the LOG-epoch domain (the table's committed epoch),
+            # never the per-checkpoint stream batch_id counter — mixing the
+            # two could move the fence forward past epochs a later batch
+            # controller still needs to drive through this sink.
             if self.view_sink is not None:
-                self.view_sink.refresh(batch_id)
+                self.view_sink.refresh(self.table.committed_epoch())
             return
         # Segment by (epoch, seq), NOT seq alone. The log's replay order is
         # epochs in order, seq within an epoch — a single streaming batch
@@ -143,7 +147,8 @@ class StructuredIngest:
             max_deltas=self.compact_max_deltas, strategy=self.merge_strategy
         )
         if self.view_sink is not None:
-            self.view_sink.refresh(batch_id)
+            # same epoch domain as the batch controller's after_commit path
+            self.view_sink.refresh(self.table.committed_epoch())
 
     # -------------------------------------------------------------- query
     def start(self, available_now: bool = True):
