@@ -81,28 +81,68 @@ def anchor_lsh_buckets(
     n_anchors: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "anchor",
+    seed: int = 0,
 ) -> DataFrame:
-    """Sign-bit LSH bucket per vector: bit i = (dot(v, anchor_i) >= 0) where
-    anchor_i is the embedding of the i-th smallest vec_id. Returns
-    (vec_id, bucket:int)."""
-    # anchors are <= n_anchors rows by construction: collect them (a
-    # metadata-bounded driver fetch — the same thing broadcasting a
-    # hyperplane matrix does in any ANN build) and re-broadcast with stable
-    # bit positions, instead of ranking via an unpartitioned window.
-    rows = (
-        emb.orderBy(F.col(id_col).asc())
-        .limit(n_anchors)
-        .select(F.col(id_col).alias("_aid"), F.col(vec_col).alias("_av"))
-        .collect()
-    )
+    """Sign-bit LSH bucket per vector: bit i = (dot(v, plane_i) >= 0).
+    Returns (vec_id, bucket:int).
+
+    Two deterministic plane families:
+
+    - ``method="anchor"`` (default): plane_i is the embedding of the i-th
+      smallest ``id_col`` value. Chosen as the default because a SQL
+      oracle can derive the identical planes without a shared RNG — but
+      be aware the anchors are then DATA: if low ids are correlated
+      (e.g. ids assigned in crawl order, so the first vectors all come
+      from one domain), the planes are nearly parallel and bucket
+      occupancy skews badly.
+    - ``method="hyperplane"``: classic random-hyperplane LSH (Charikar
+      '02) with planes drawn from a SEEDED Gaussian — deterministic
+      given ``seed`` (NumPy PCG64, generated driver-side and broadcast,
+      never a per-executor RNG), independent of the data distribution.
+      Use this for corpora where anchor choice could be correlated; the
+      trade is that an external oracle must replay the same generator.
+    """
     from pyspark.sql import types as T
 
+    if method == "anchor":
+        # anchors are <= n_anchors rows by construction: collect them (a
+        # metadata-bounded driver fetch — the same thing broadcasting a
+        # hyperplane matrix does in any ANN build) and re-broadcast with
+        # stable bit positions, instead of ranking via an unpartitioned
+        # window.
+        rows = (
+            emb.orderBy(F.col(id_col).asc())
+            .limit(n_anchors)
+            .select(F.col(id_col).alias("_aid"), F.col(vec_col).alias("_av"))
+            .collect()
+        )
+        plane_rows = [(i, r["_av"]) for i, r in enumerate(rows)]
+    elif method == "hyperplane":
+        import numpy as np
+
+        # dim probe: ONE row, a limit-1 scan of the vector column only
+        first = emb.select(F.col(vec_col).alias("_v")).limit(1).collect()
+        if not first:
+            plane_rows = []
+        else:
+            dim = len(first[0]["_v"])
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((n_anchors, dim))
+            plane_rows = [
+                (i, [float(x) for x in planes[i]]) for i in range(n_anchors)
+            ]
+    else:
+        raise ValueError(f"unknown LSH plane method: {method!r}")
+
     anchors = emb.sparkSession.createDataFrame(
-        [(i, r["_av"]) for i, r in enumerate(rows)],
+        plane_rows,
         T.StructType(
             [
                 T.StructField("_bit", T.IntegerType(), False),
-                T.StructField("_av", emb.schema[vec_col].dataType, False),
+                T.StructField(
+                    "_av", T.ArrayType(T.DoubleType(), False), False
+                ),
             ]
         ),
     )

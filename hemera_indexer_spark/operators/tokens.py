@@ -19,20 +19,39 @@ def vocab_histogram(
     tokens_col: str = "tokens",
     id_col: str | None = None,
     top_k: int | None = None,
+    approx: bool = False,
 ) -> DataFrame:
     """Corpus-wide token frequency: (token, n_occurrences, n_docs).
     ``top_k`` keeps only the most frequent tokens (ordered by count desc,
-    token asc — deterministic). At scale this is one map-side-combined
-    groupBy over the exploded token stream; the explode itself is
-    map-only, so the shuffle carries one row per DISTINCT token per
-    map split, not per occurrence."""
+    token asc — deterministic).
+
+    The ``n_occurrences`` side is one map-side-combined groupBy over the
+    exploded token stream (the explode is map-only, so its shuffle carries
+    one row per DISTINCT token per map split). ``n_docs`` is the expensive
+    half: an EXACT ``countDistinct(doc)`` cannot partially aggregate —
+    every (token, doc) occurrence pair crosses the shuffle, O(corpus
+    occurrences) bytes at 100 TB. ``approx=True`` routes it through
+    ``approx_count_distinct`` (HyperLogLog++, default rsd 5%), whose
+    fixed-size sketch DOES combine map-side — shuffle back to one row per
+    distinct token per split. Exact stays the default because it is the
+    oracle-comparable mode; flip to approx for corpus-scale runs.
+
+    When ``id_col`` is None doc identity falls back to
+    ``monotonically_increasing_id`` — nondeterministic across stage
+    retries / different partitionings. Harmless for counting distinct
+    docs (any bijective relabeling gives the same counts within one
+    uninterrupted computation), but never join on it, and prefer a real
+    id column whenever one exists."""
     doc = (
         F.col(id_col) if id_col is not None else F.monotonically_increasing_id()
     )
     occ = df.select(doc.alias("_doc"), F.explode(tokens_col).alias("token"))
+    ndocs = (
+        F.approx_count_distinct("_doc") if approx else F.countDistinct("_doc")
+    )
     hist = occ.groupBy("token").agg(
         F.count("*").alias("n_occurrences"),
-        F.countDistinct("_doc").alias("n_docs"),
+        ndocs.alias("n_docs"),
     )
     if top_k is not None:
         hist = hist.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(top_k)

@@ -74,3 +74,126 @@ def test_ivm_fence_never_regresses(spark, tiny_log, tmp_path):
     # and a higher epoch still advances it
     sink.refresh(fenced + 3)
     assert sink.committed_epoch() == fenced + 3
+
+
+# ------------------------------------------- vocab_histogram approx mode
+def _docs_df(spark):
+    rows = [
+        (f"d{i}", [t for t in range(i % 7)] + [99], "web") for i in range(40)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, source string"
+    )
+
+
+def test_vocab_histogram_exact_vs_approx(spark):
+    from hemera_indexer_spark.operators.tokens import vocab_histogram
+
+    docs = _docs_df(spark)
+    exact = {
+        r["token"]: (r["n_occurrences"], r["n_docs"])
+        for r in vocab_histogram(docs, id_col="doc_id").collect()
+    }
+    approx = {
+        r["token"]: (r["n_occurrences"], r["n_docs"])
+        for r in vocab_histogram(docs, id_col="doc_id", approx=True).collect()
+    }
+    assert set(exact) == set(approx)
+    for tok, (n_occ, n_docs) in exact.items():
+        a_occ, a_docs = approx[tok]
+        assert a_occ == n_occ  # occurrence count is exact in both modes
+        # HLL++ at default rsd 5%: generous tolerance, tiny cardinalities
+        # are exact in practice
+        assert abs(a_docs - n_docs) <= max(1, int(0.1 * n_docs))
+
+
+# -------------------------------------------- seeded-hyperplane anchors
+def _emb_df(spark):
+    import math
+
+    rows = [
+        (i, [math.sin(i * 0.7 + j) for j in range(8)]) for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_hyperplane_buckets_deterministic_given_seed(spark):
+    from hemera_indexer_spark.operators.similarity import anchor_lsh_buckets
+
+    emb = _emb_df(spark)
+    b1 = {
+        r["vec_id"]: r["bucket"]
+        for r in anchor_lsh_buckets(emb, method="hyperplane", seed=7).collect()
+    }
+    b2 = {
+        r["vec_id"]: r["bucket"]
+        for r in anchor_lsh_buckets(emb, method="hyperplane", seed=7).collect()
+    }
+    b3 = {
+        r["vec_id"]: r["bucket"]
+        for r in anchor_lsh_buckets(emb, method="hyperplane", seed=8).collect()
+    }
+    assert b1 == b2
+    assert b3 != b1  # a different seed draws different planes
+    assert set(b1) == set(range(60))
+
+
+def test_hyperplane_buckets_group_near_duplicates(spark):
+    # identical vectors must always share a bucket regardless of planes
+    from hemera_indexer_spark.operators.similarity import anchor_lsh_buckets
+
+    emb = _emb_df(spark)
+    dup = emb.union(
+        emb.where(F.col("vec_id") < 5).withColumn(
+            "vec_id", F.col("vec_id") + 1000
+        )
+    )
+    b = {
+        r["vec_id"]: r["bucket"]
+        for r in anchor_lsh_buckets(dup, method="hyperplane", seed=3).collect()
+    }
+    for i in range(5):
+        assert b[i] == b[i + 1000]
+
+
+def test_unknown_lsh_method_raises(spark):
+    from hemera_indexer_spark.operators.similarity import anchor_lsh_buckets
+
+    with pytest.raises(ValueError, match="method"):
+        anchor_lsh_buckets(_emb_df(spark), method="nope").collect()
+
+
+# ----------------------------------------- CC hybrid threshold boundary
+@pytest.mark.parametrize("delta", [-1, 0, 1])
+def test_cc_auto_identical_across_threshold(spark, delta):
+    """connected_components_auto must produce identical labels whether the
+    edge count lands just below, at, or just above driver_threshold (the
+    union-find vs label-propagation cut-over can never silently diverge)."""
+    from hemera_indexer_spark.operators.dedup import connected_components_auto
+
+    # two chains + a star + singleton-free edge soup: 12 edges
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"),
+        ("e", "f"), ("f", "g"),
+        ("h", "i"), ("h", "j"), ("h", "k"),
+        ("m", "n"), ("n", "o"), ("o", "m"),  # cycle
+        ("p", "q"),
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    n_edges = pairs.distinct().count()
+    labels = sorted(
+        tuple(r)
+        for r in connected_components_auto(
+            pairs, driver_threshold=n_edges + delta
+        ).collect()
+    )
+    expected = sorted(
+        [
+            ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+            ("e", "e"), ("f", "e"), ("g", "e"),
+            ("h", "h"), ("i", "h"), ("j", "h"), ("k", "h"),
+            ("m", "m"), ("n", "m"), ("o", "m"),
+            ("p", "p"), ("q", "p"),
+        ]
+    )
+    assert labels == expected
