@@ -17,12 +17,15 @@ from pyspark.sql import functions as F
 
 
 def log_partition_py(doc_id: str, num_partitions: int) -> int:
-    return int(doc_id.split("_")[1]) % num_partitions
+    # LAST underscore-separated token = the numeric suffix; prefixes may
+    # themselves contain underscores (tenant-scoped ids like "t1_doc_0001")
+    return int(doc_id.rsplit("_", 1)[1]) % num_partitions
 
 
 def log_partition_col(doc_id: Column, num_partitions: int) -> Column:
     return F.pmod(
-        F.split(doc_id, "_").getItem(1).cast("long"), F.lit(num_partitions)
+        F.element_at(F.split(doc_id, "_"), -1).cast("long"),
+        F.lit(num_partitions),
     ).cast("int")
 
 

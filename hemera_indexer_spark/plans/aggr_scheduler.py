@@ -33,6 +33,13 @@ from hemera_indexer_spark.plans.aggregates import (
 SUM_COLS = ["n_events", "sum_value", "n_errors"]
 
 
+class DataFreshnessError(ValueError):
+    """A requested day window is not fully ingested yet — computing it
+    would silently under-count (the reference refuses the same way:
+    /root/reference/cli/aggregates.py:56-70 checks the sync record covers
+    the whole range before launching aggr jobs)."""
+
+
 class AggrScheduler:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -41,10 +48,65 @@ class AggrScheduler:
         self.ckpt = os.path.join(root, "_period_ckpt.json")
 
     # ------------------------------------------------------ disorder phase
-    def run_daily(self, events: DataFrame, days: list[str] | None = None) -> None:
+    def run_daily(
+        self,
+        events: DataFrame,
+        days: list[str] | None = None,
+        watermark: str | None = None,
+    ) -> None:
         """(Re)compute daily aggregates; each day lands in its own partition
-        via dynamic partition overwrite (idempotent per day)."""
+        via dynamic partition overwrite (idempotent per day).
+
+        ``watermark`` is the data-completeness guard: the exclusive
+        upper bound ('YYYY-MM-DD' day, or any timestamp string whose date
+        prefix is that day) through which the underlying event stream is
+        FULLY ingested — derived by the caller from its source's committed
+        cursor (e.g. the lake manifest's committed floor mapped to event
+        time). A day is complete only if it ends strictly BEFORE the
+        watermark day. With a watermark set:
+
+        - explicitly requested incomplete days raise ``DataFreshnessError``
+          (the caller asked for a specific window that cannot be answered
+          correctly yet — failing loudly beats a silently short count);
+        - with ``days=None``, incomplete days are SKIPPED with a warning
+          (the routine "aggregate everything finished so far" run stays
+          usable and re-running after ingest catches them up — per-day
+          dynamic partition overwrite makes that idempotent).
+
+        No watermark = no guard (backwards compatible; callers that manage
+        completeness themselves)."""
         agg = daily_user_aggregates(events)
+        if watermark is not None:
+            wm_day = str(watermark)[:10]
+            if days:
+                stale = [d for d in days if d >= wm_day]
+                if stale:
+                    raise DataFreshnessError(
+                        f"day window(s) {stale} not fully ingested yet "
+                        f"(watermark {wm_day!r}); refusing to compute a "
+                        f"partial day — re-run once ingest passes the window"
+                    )
+            else:
+                import warnings
+
+                present = sorted(
+                    r["day"]
+                    for r in agg.select(
+                        F.col("day").cast("string").alias("day")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                skipped = [d for d in present if d >= wm_day]
+                days = [d for d in present if d < wm_day]
+                if skipped:
+                    warnings.warn(
+                        f"skipping incomplete day(s) {skipped} beyond "
+                        f"watermark {wm_day!r}; re-run after ingest",
+                        stacklevel=2,
+                    )
+                if not days:
+                    return
         if days:
             agg = agg.where(F.col("day").isin(days))
         (

@@ -52,6 +52,10 @@ class ChangelogSpec:
     schema_evolution_epoch: int | None = 5
     rollback_epochs: tuple = (6,)
     langs: tuple = LANGS
+    #: doc-id namespace prefix — tenant-scope it (e.g. "t1_doc") when
+    #: several generated logs feed ONE shared table: the LWW key is
+    #: doc_id alone, so ids must be unique across tenants.
+    doc_prefix: str = "doc"
 
 
 @dataclass
@@ -62,8 +66,8 @@ class GeneratedLog:
     files: list = field(default_factory=list)
 
 
-def _doc_id(i: int) -> str:
-    return f"doc_{i:08d}"
+def _doc_id(i: int, prefix: str = "doc") -> str:
+    return f"{prefix}_{i:08d}"
 
 
 def _event_arrow_schema(with_lang: bool) -> pa.schema:
@@ -109,7 +113,7 @@ def generate_changelog_fast(out_dir: str, spec: ChangelogSpec) -> GeneratedLog:
             rng.integers(0, n_hot, n),
             rng.integers(0, spec.n_docs, n),
         )
-        doc_ids = np.array([f"doc_{i:08d}" for i in ids])
+        doc_ids = np.array([f"{spec.doc_prefix}_{i:08d}" for i in ids])
         partition = (ids % spec.n_partitions).astype(np.int32)
         draw = rng.random(n)
         is_delete = draw >= (spec.p_insert + spec.p_update)
@@ -193,7 +197,7 @@ def generate_changelog(out_dir: str, spec: ChangelogSpec) -> GeneratedLog:
 
         for i in range(n_fresh):
             doc_i = int(hot_ids[i] if is_hot[i] else cold_ids[i])
-            did = _doc_id(doc_i)
+            did = _doc_id(doc_i, spec.doc_prefix)
             if op_draw[i] < spec.p_insert:
                 op = "insert"
             elif op_draw[i] < spec.p_insert + spec.p_update:
@@ -234,7 +238,7 @@ def generate_changelog(out_dir: str, spec: ChangelogSpec) -> GeneratedLog:
                 "seq": next_seq,
                 "epoch": epoch,
                 "partition": part,
-                "doc_id": _doc_id(0),  # carrier only; rollback keys on partition
+                "doc_id": _doc_id(0, spec.doc_prefix),  # carrier only; rollback keys on partition
                 "op": "rollback",
                 "tokens": None,
                 "n_tok": None,

@@ -49,6 +49,7 @@ merge; rows last written earlier read as NULL.
 from __future__ import annotations
 
 import glob
+import json
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -146,6 +147,8 @@ class StreamController:
         confirmation_lag: int = 0,
         hash_tail_len: int = 64,
         sinks: list | None = None,
+        tenant_col: str | None = None,
+        tenant_id=None,
     ):
         self.spark = spark
         self.table = table
@@ -194,6 +197,71 @@ class StreamController:
         # ancestor is inside the tail rolls back to ancestor+1; older forks
         # degrade to a bounded floor / full partition re-sync.
         self.hash_tail_len = max(1, hash_tail_len)
+        # Multi-tenant ingest (the reference's multi-chain address exporter
+        # stamps chain_id onto every exported item,
+        # /root/reference/indexer/exporters/
+        # hemera_address_postgres_item_exporter.py:42-75): one controller
+        # instance per tenant log, each stamping ``tenant_col = tenant_id``
+        # onto every applied row, with rollback deletes scoped to the
+        # tenant so one tenant's reorg can never touch another's rows.
+        # REQUIREMENT: doc_ids must be unique ACROSS tenants sharing a
+        # table (the LWW key stays key_col alone — same-key rows from two
+        # tenants would LWW-overwrite each other; the reference has the
+        # same shape with per-chain address spaces). The tenant column is
+        # evolved additively into the state table and every LakeTable-
+        # backed sink up front, so pre-existing single-tenant rows read as
+        # NULL tenant.
+        self.tenant_col = tenant_col
+        self.tenant_id = tenant_id
+        if tenant_col is not None:
+            if tenant_id is None:
+                raise ValueError("tenant_col requires a tenant_id value")
+            if isinstance(tenant_id, bool) or not isinstance(
+                tenant_id, (int, str)
+            ):
+                raise ValueError(
+                    f"tenant_id must be int or str, got {type(tenant_id).__name__}"
+                )
+            dt = T.LongType() if isinstance(tenant_id, int) else T.StringType()
+            self._tenant_field = T.StructField(tenant_col, dt, True)
+            self.table.evolve_schema([self._tenant_field])
+            for s in self.sinks:
+                st = getattr(s, "table", None)
+                if st is not None and hasattr(st, "evolve_schema"):
+                    st.evolve_schema([self._tenant_field])
+                # a LakeTable-backed sink sharing a table between tenants
+                # must fence per tenant too (see _state_manifest below)
+                if hasattr(s, "fence_key") and s.fence_key is None:
+                    s.fence_key = f"tenant_fence:{tenant_id}"
+
+    # ------------------------------------------------- tenant-aware fencing
+    # In multi-tenant mode several controllers (one per tenant log) share
+    # ONE state table, so the snapshot's single manifest/epoch fence would
+    # collide: tenant A committing epoch 7 must not make tenant B skip its
+    # own epochs 0..7. Each tenant therefore keeps its manifest (offsets,
+    # lineage, hash tails, epoch fence) in a NAMESPACED table property,
+    # committed atomically with the data in the same snapshot flip — the
+    # exact mechanism StructuredIngest uses for its per-checkpoint stream
+    # HWM. Single-tenant mode keeps the plain snapshot manifest.
+    @property
+    def _tenant_man_key(self) -> str:
+        return f"tenant_manifest:{self.tenant_id}"
+
+    def _state_manifest(self) -> dict:
+        if self.tenant_col is None:
+            return self.table.snapshot["manifest"]
+        raw = self.table.snapshot["properties"].get(self._tenant_man_key)
+        if raw:
+            return json.loads(raw)
+        return {"epoch_id": -1, "offsets": {}, "lineage": []}
+
+    def _state_committed_epoch(self) -> int:
+        return self._state_manifest()["epoch_id"]
+
+    def _state_offsets(self) -> dict[int, int]:
+        return {
+            int(k): v for k, v in self._state_manifest()["offsets"].items()
+        }
 
     # ------------------------------------------------------------- discovery
     def available_epochs(self) -> list[int]:
@@ -365,7 +433,7 @@ class StreamController:
         fence alone would then silently drop that sink's data for the group
         forever. Re-driving from the floor is safe: every sink apply and
         every unfenced state re-merge is idempotent."""
-        floor = self.table.committed_epoch()
+        floor = self._state_committed_epoch()
         for s in self.sinks:
             fn = getattr(s, "committed_epoch", None)
             if fn is not None:
@@ -461,7 +529,7 @@ class StreamController:
                 .collect()
             ]
         if has_hash_chain:
-            man = self.table.snapshot["manifest"]
+            man = self._state_manifest()
             prev_hashes = {
                 int(p): h for p, h in man.get("last_hashes", {}).items()
             }
@@ -484,6 +552,11 @@ class StreamController:
         n_events = sum(r["cnt"] for r in lineage_rows)
 
         updates = df.where(F.col("op") != "rollback")
+        if self.tenant_col is not None:
+            updates = updates.withColumn(
+                self.tenant_col,
+                F.lit(self.tenant_id).cast(self._tenant_field.dataType),
+            )
         min_seq = min(
             (r["mn"] for r in lineage_rows if r["mn"] is not None), default=None
         )
@@ -512,7 +585,7 @@ class StreamController:
         # re-applied rows (caught by the IVM crash-window test). Destinations
         # without a fence (no committed_epoch) re-run everything; their
         # apply/rollback are idempotent under full re-drives by contract.
-        state_done = last_epoch <= self.table.committed_epoch()
+        state_done = last_epoch <= self._state_committed_epoch()
 
         def _done(s) -> bool:
             fn = getattr(s, "committed_epoch", None)
@@ -554,12 +627,31 @@ class StreamController:
                         f["path"] for f in self.table.snapshot["files"]
                     }
                 if not state_done:
-                    self.table.merge_upsert(
-                        seg,
-                        epoch_id=last_epoch if is_last else None,
-                        manifest=manifest,
-                        strategy=strategy,
-                    )
+                    if self.tenant_col is None:
+                        self.table.merge_upsert(
+                            seg,
+                            epoch_id=last_epoch if is_last else None,
+                            manifest=manifest,
+                            strategy=strategy,
+                        )
+                    else:
+                        # tenant mode: the fence + manifest live in a
+                        # namespaced property, committed atomically with
+                        # the data in the same snapshot flip; the shared
+                        # snapshot manifest stays untouched (another
+                        # tenant's cursor). Unfenced merge is safe — the
+                        # controller-level state_done/committed-floor
+                        # guards do the skipping, and re-merges are
+                        # idempotent LWW.
+                        self.table.merge_upsert(
+                            seg,
+                            strategy=strategy,
+                            properties_update=(
+                                {self._tenant_man_key: json.dumps(manifest)}
+                                if is_last
+                                else None
+                            ),
+                        )
                 # the winners/events ratio only means "in-batch dedup" for a
                 # clean merge-on-read commit: cow rewrites whole buckets
                 # (written >> winners) and a rollback-segmented group applies
@@ -599,6 +691,16 @@ class StreamController:
                         log_partition_col(F.col("doc_id"), self.n_partitions)
                         == F.lit(rb["partition"])
                     ) & (F.col("seq") >= F.lit(rb["rollback_to_seq"]))
+                    if self.tenant_col is not None:
+                        # a tenant's reorg only invalidates its own rows —
+                        # another tenant's doc hashing into the same log
+                        # partition number must survive
+                        cond = cond & (
+                            F.col(self.tenant_col)
+                            == F.lit(self.tenant_id).cast(
+                                self._tenant_field.dataType
+                            )
+                        )
                     rb_futures = [
                         pool.submit(s.rollback, cond, rb["rollback_to_seq"])
                         for s, done in zip(self.sinks, sink_done)
@@ -658,7 +760,7 @@ class StreamController:
         self, epoch: int, lineage_rows, t0: float, df=None, with_hashes=False,
         rollbacks: list[dict] | None = None,
     ) -> dict:
-        prev = self.table.committed_offsets()
+        prev = self._state_offsets()
         offsets = dict(prev)
         wall = int((time.monotonic() - t0) * 1000)
         # footer stats can be missing (writer without column stats): fall
@@ -699,7 +801,7 @@ class StreamController:
         # the next hash-chained batch still checks its first events against
         # them (dropping them would let a fork at the batch boundary pass
         # undetected).
-        prev_man = self.table.snapshot["manifest"]
+        prev_man = self._state_manifest()
         last_hashes = dict(prev_man.get("last_hashes", {}))
         hash_tails = {p: list(v) for p, v in prev_man.get("hash_tails", {}).items()}
         # evict previously committed tail entries orphaned by this batch's

@@ -48,18 +48,34 @@ from hemera_indexer_spark.sources.files import write_range_files
 
 class FactSink:
     """Append-only history table (ON CONFLICT DO NOTHING analog,
-    /root/reference/indexer/exporters/postgres_item_exporter.py:126-130)."""
+    /root/reference/indexer/exporters/postgres_item_exporter.py:126-130).
 
-    def __init__(self, table: LakeTable):
+    ``fence_key``: when several controllers (multi-tenant, one per tenant
+    log) share ONE fact table, the snapshot's single epoch fence would
+    collide across tenants — a namespaced table property holds this
+    tenant's fence instead, committed atomically with the fencing insert.
+    A tenant-mode StreamController fills it in automatically."""
+
+    def __init__(self, table: LakeTable, fence_key: str | None = None):
         self.table = table
+        self.fence_key = fence_key
 
     def apply(self, seg: DataFrame, group_epoch, seg_idx, fence, manifest, min_seq):
-        self.table.insert_if_absent(
-            seg,
-            epoch_id=group_epoch if fence else None,
-            manifest=manifest if fence else None,
-            min_seq=min_seq,
-        )
+        if self.fence_key is None:
+            self.table.insert_if_absent(
+                seg,
+                epoch_id=group_epoch if fence else None,
+                manifest=manifest if fence else None,
+                min_seq=min_seq,
+            )
+        else:
+            self.table.insert_if_absent(
+                seg,
+                min_seq=min_seq,
+                properties_update=(
+                    {self.fence_key: int(group_epoch)} if fence else None
+                ),
+            )
 
     def rollback(self, cond: Column, seq_at_least: int):
         # facts are append-only history: a plain row-level delete suffices
@@ -68,6 +84,8 @@ class FactSink:
 
     def committed_epoch(self) -> int:
         self.table.refresh()
+        if self.fence_key is not None:
+            return int(self.table.snapshot["properties"].get(self.fence_key, -1))
         return self.table.committed_epoch()
 
 

@@ -197,3 +197,143 @@ def test_cc_auto_identical_across_threshold(spark, delta):
         ]
     )
     assert labels == expected
+
+
+# ------------------------------------------------ aggregates freshness
+def test_aggr_freshness_guard(spark, tmp_path):
+    """A half-ingested day must never be silently aggregated: explicit
+    requests raise, auto mode skips it with a warning and computes it on
+    the re-run after ingest passes the window (idempotent overwrite)."""
+    import warnings
+
+    from hemera_indexer_spark.plans.aggr_scheduler import (
+        AggrScheduler,
+        DataFreshnessError,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    days = sorted(
+        r[0]
+        for r in ev.select(F.to_date("ts").cast("string")).distinct().collect()
+    )
+    sched = AggrScheduler(spark, str(tmp_path / "aggr"))
+    # explicit request for the day AT the watermark (ingest mid-day) raises
+    with pytest.raises(DataFreshnessError, match="not fully ingested"):
+        sched.run_daily(ev, days=[days[-1]], watermark=days[-1])
+    # auto mode: skips the incomplete tail day loudly, writes the rest
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sched.run_daily(ev, watermark=days[-1])
+    assert any("skipping incomplete" in str(x.message) for x in w)
+    written = {
+        r[0]
+        for r in sched.daily()
+        .select(F.col("day").cast("string"))
+        .distinct()
+        .collect()
+    }
+    assert written == set(days[:-1])
+    # ingest passes the window -> the re-run back-fills exactly that day
+    sched.run_daily(ev, days=[days[-1]])
+    written2 = {
+        r[0]
+        for r in sched.daily()
+        .select(F.col("day").cast("string"))
+        .distinct()
+        .collect()
+    }
+    assert written2 == set(days)
+    # complete-day explicit request under the same watermark is fine
+    sched.run_daily(ev, days=[days[0]], watermark=days[-1])
+
+
+# -------------------------------------------- first-class multi-tenant
+def test_multi_tenant_controllers_share_tables(spark, tmp_path):
+    """Two tenants (one controller per tenant log, the reference's
+    multi-chain exporter shape) ingest into ONE shared state table and ONE
+    shared fact table: per-tenant state must match each log's oracle,
+    fences must stay independent (interleaved runs), and a tenant's
+    rollback must never touch the other tenant's rows."""
+    from hemera_indexer_spark.oracle import expected_live_rows
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    fact = LakeTable.create(
+        spark,
+        str(tmp_path / "fact"),
+        SEQUENCES_SCHEMA,
+        num_buckets=8,
+        seq_col="seq",
+    )
+    logs = {}
+    for tenant in (1, 2):
+        spec = ChangelogSpec(
+            n_docs=200,
+            n_epochs=6,
+            events_per_epoch=300,
+            n_partitions=4,
+            seed=100 + tenant,
+            schema_evolution_epoch=3,
+            rollback_epochs=(4,),
+            doc_prefix=f"t{tenant}_doc",
+        )
+        logs[tenant] = generate_changelog(
+            str(tmp_path / f"log{tenant}"), spec
+        )
+
+    def ctl(tenant):
+        return StreamController(
+            spark,
+            table,
+            logs[tenant].out_dir,
+            4,
+            fact_table=fact,
+            tenant_col="chain_id",
+            tenant_id=tenant,
+        )
+
+    # interleaved: t1 partial -> t2 full -> t1 rest; independent fences
+    # mean t1's resume picks up exactly where it stopped even though t2
+    # committed later snapshots in between
+    ctl(1).run(max_epochs=3)
+    ctl(2).run()
+    ctl(1).run()
+
+    state = table.current_state().cache()
+    for tenant in (1, 2):
+        exp = expected_live_rows(logs[tenant].out_dir, 4)
+        got = sorted(
+            (
+                r.asDict(recursive=True)
+                for r in state.where(F.col("chain_id") == tenant).collect()
+            ),
+            key=lambda d: d["doc_id"],
+        )
+        assert len(got) == len(exp), f"tenant {tenant} row count"
+        for g, e in zip(got, exp):
+            assert g["doc_id"] == e["doc_id"]
+            assert g["tokens"] == e["tokens"], f"tenant {tenant} {g['doc_id']}"
+        assert all(g["chain_id"] == tenant for g in got)
+    state.unpersist()
+
+    # fact table: every tenant's rows carry its stamp; both tenants present
+    fact_counts = {
+        r["chain_id"]: r["n"]
+        for r in fact.read()
+        .groupBy("chain_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(fact_counts) == {1, 2} and all(
+        v > 0 for v in fact_counts.values()
+    )
+    # re-run both: fully fenced, nothing reapplied
+    s1 = ctl(1).run()
+    s2 = ctl(2).run()
+    assert all(e.skipped for e in s1.epochs) or not s1.epochs
+    assert all(e.skipped for e in s2.epochs) or not s2.epochs
