@@ -1089,12 +1089,24 @@ class LakeTable:
         new_files = self._write_data(df, version, kind=kind)
         return self._commit_files(base, version, new_files, replaced, epoch_id, manifest)
 
+    def update_properties(self, updates: dict) -> bool:
+        """Commit a properties-only snapshot (no data change). A ``None``
+        value removes the key. CAS semantics: a concurrent commit between
+        refresh and this call raises ``ConcurrentCommitError`` — exactly
+        what a single-runner lock acquisition wants."""
+        base = self.snapshot
+        return self._commit_files(
+            base, base["version"] + 1, [], set(), None, None,
+            properties_update=updates,
+        )
+
     def delete_keys_where(
         self,
         condition: F.Column,
         seq_at_least: int | None = None,
         epoch_id: int | None = None,
         manifest: dict | None = None,
+        properties_update: dict | None = None,
     ) -> bool:
         """Remove EVERY version of every key that has at least one row
         matching ``condition`` — the reorg-rollback delete. Row-level
@@ -1127,7 +1139,9 @@ class LakeTable:
         }
         if not buckets:
             aff.unpersist()
-            return self._commit_files(base, version, [], set(), epoch_id, manifest)
+            return self._commit_files(
+                base, version, [], set(), epoch_id, manifest, properties_update
+            )
         affected_files = self._select_files(buckets=buckets)
         kind = (
             "delta"
@@ -1143,7 +1157,10 @@ class LakeTable:
             .withColumn("_bucket", bucket_col(F.col(key), self.num_buckets))
         )
         new_files = self._write_data(df, version, kind=kind)
-        ok = self._commit_files(base, version, new_files, replaced, epoch_id, manifest)
+        ok = self._commit_files(
+            base, version, new_files, replaced, epoch_id, manifest,
+            properties_update,
+        )
         aff.unpersist()
         return ok
 
@@ -1171,8 +1188,14 @@ class LakeTable:
             "manifest": manifest
             if manifest is not None
             else base["manifest"],
+            # a None value in properties_update REMOVES the key (lock
+            # release, fence retirement); plain merge otherwise
             "properties": (
-                {**base["properties"], **properties_update}
+                {
+                    k: v
+                    for k, v in {**base["properties"], **properties_update}.items()
+                    if v is not None
+                }
                 if properties_update
                 else base["properties"]
             ),

@@ -91,6 +91,11 @@ _RETRIABLE_MARKERS = (
 )
 
 
+class RepairLockHeld(RuntimeError):
+    """Another runner holds the repair lock (the reference refuses to start
+    a second fixing process the same way, reorg_controller.py:168-179)."""
+
+
 def is_retriable(exc: BaseException) -> bool:
     if isinstance(exc, _RETRIABLE_TYPES):
         return True
@@ -423,6 +428,125 @@ class StreamController:
             return EpochStats(epoch, 0, 0, 0, skipped=True)
         meta = self._epoch_meta(self._epoch_files(epoch))
         return self._process_group([epoch], [meta])[0]
+
+    # ---------------------------------------------------------------- repair
+    def repair_range(
+        self,
+        lo_epoch: int,
+        hi_epoch: int | None = None,
+        runner: str | None = None,
+        lock_ttl_s: float = 3600.0,
+    ) -> "RunStats":
+        """Operator-initiated historical repair: re-verify and re-drive a
+        COMMITTED epoch range (the reference's standalone ``hemera.py
+        reorg`` command with its single-runner ``fix_record`` lock,
+        /root/reference/indexer/controller/reorg_controller.py:28-93,
+        168-179).
+
+        Semantics: every state row whose winning seq falls inside the
+        range's seq span is deleted, the epoch fence / offsets / chain
+        tails are rewound to just before ``lo_epoch``, and the normal
+        (idempotent, consensus-checked) replay loop re-drives from there
+        to the log head — so after repair the state over the range IS the
+        canonical replay of the log, whatever was wrong with it before
+        (hand-edits, a since-fixed writer bug, partial manual deletes).
+        Rows whose winner lies after the range survive the delete and win
+        their LWW ties during the re-drive, so repair cost is
+        O(range) + replay, not O(table history).
+
+        The delete and the cursor rewind commit in ONE snapshot flip — a
+        crash between them cannot strand deleted rows beyond the fence.
+
+        Single-runner guard: a ``repair_lock`` table property acquired via
+        the snapshot CAS; a live lock (younger than ``lock_ttl_s``) makes
+        a second runner raise ``RepairLockHeld``; stale locks (crashed
+        runner) are taken over. The lock is released in ``finally`` via a
+        None-valued property update.
+
+        Sinks already fenced past the range keep their per-destination
+        done guards, so repair re-drives the STATE table only — re-point
+        or rewind sink fences separately if a sink needs the same repair.
+        """
+        committed = self._state_committed_epoch()
+        if lo_epoch < 0 or lo_epoch > committed:
+            raise ValueError(
+                f"repair range must start inside committed history "
+                f"(lo_epoch={lo_epoch}, committed={committed}); for new "
+                f"epochs just run()"
+            )
+        hi = committed if hi_epoch is None else min(hi_epoch, committed)
+        if hi < lo_epoch:
+            raise ValueError(f"empty repair range {lo_epoch}..{hi}")
+
+        lock_key = "repair_lock"
+        me = runner or f"{os.uname().nodename}:{os.getpid()}"
+        self.table.refresh()
+        held = self.table.snapshot["properties"].get(lock_key)
+        if held:
+            h = json.loads(held)
+            if time.time() - h["ts"] < lock_ttl_s:
+                raise RepairLockHeld(
+                    f"repair already running ({h['runner']}, "
+                    f"{time.time() - h['ts']:.0f}s ago); pass a smaller "
+                    f"lock_ttl_s to take over a crashed runner"
+                )
+        # CAS acquisition: a concurrent acquirer loses the snapshot race
+        self.table.update_properties(
+            {lock_key: json.dumps({"runner": me, "ts": time.time()})}
+        )
+        try:
+            lo_meta = self._epoch_meta(self._epoch_files(lo_epoch))
+            hi_meta = self._epoch_meta(self._epoch_files(hi))
+            seq_lo = min(
+                r["mn"] for r in lo_meta["lineage"] if r["mn"] is not None
+            )
+            seq_hi = max(
+                r["mx"] for r in hi_meta["lineage"] if r["mx"] is not None
+            )
+
+            man = json.loads(json.dumps(self._state_manifest()))
+            man["epoch_id"] = lo_epoch - 1
+            man["offsets"] = {
+                p: min(int(off), seq_lo - 1)
+                for p, off in man.get("offsets", {}).items()
+            }
+            man["lineage"] = []
+            # chain bookkeeping must rewind with the cursor: tails at or
+            # beyond seq_lo describe history the re-drive will re-verify;
+            # leaving them would make the first replayed batch look
+            # divergent against its own future tip.
+            tails = {
+                p: [e for e in v if e[0] < seq_lo]
+                for p, v in man.get("hash_tails", {}).items()
+            }
+            tails = {p: v for p, v in tails.items() if v}
+            last_hashes = {p: v[-1][1] for p, v in tails.items()}
+            man.pop("last_hashes", None)
+            man.pop("hash_tails", None)
+            if last_hashes:
+                man["last_hashes"] = last_hashes
+                man["hash_tails"] = tails
+
+            seqc = F.col(self.table.seq_col)
+            cond = (seqc >= F.lit(seq_lo)) & (seqc <= F.lit(seq_hi))
+            if self.tenant_col is not None:
+                cond = cond & (
+                    F.col(self.tenant_col)
+                    == F.lit(self.tenant_id).cast(self._tenant_field.dataType)
+                )
+                self.table.delete_keys_where(
+                    cond,
+                    seq_at_least=seq_lo,
+                    properties_update={self._tenant_man_key: json.dumps(man)},
+                )
+            else:
+                self.table.delete_keys_where(
+                    cond, seq_at_least=seq_lo, manifest=man
+                )
+            return self.run()
+        finally:
+            self.table.refresh()
+            self.table.update_properties({lock_key: None})
 
     def _committed_floor(self) -> int:
         """The epoch up to which the WHOLE output set is durably committed:

@@ -62,6 +62,14 @@ def main() -> None:
                     help="catch-up grouping cap: rollback-free epochs merged per commit")
     ap.add_argument("--expire-keep-last", type=int, default=0,
                     help="after the run, expire snapshots beyond the newest K and vacuum orphans")
+    ap.add_argument("--repair", default=None, metavar="LO..HI",
+                    help="re-verify + re-drive a committed epoch range "
+                         "(single-runner locked; 'LO..HI' or 'LO' alone "
+                         "repairs LO through the committed head), then "
+                         "continue the normal replay to the log head")
+    ap.add_argument("--repair-lock-ttl", type=float, default=3600.0,
+                    help="seconds before a crashed runner's repair lock may "
+                         "be taken over")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -135,7 +143,25 @@ def main() -> None:
         sinks.append(view_sink)
 
     t0 = time.monotonic()
-    if args.streaming:
+    if args.repair is not None:
+        if args.streaming:
+            ap.error("--repair uses the batch controller; drop --streaming")
+        from hemera_indexer_spark.streaming import StreamController
+
+        part = args.repair.split("..")
+        lo = int(part[0])
+        hi = int(part[1]) if len(part) > 1 and part[1] else None
+        stats = StreamController(
+            spark, table, args.log_dir, args.partitions,
+            merge_strategy=args.strategy,
+            compact_max_deltas=args.compact_max_deltas,
+            max_batch_epochs=args.max_batch_epochs,
+            fact_table=fact_table,
+            sinks=sinks,
+            confirmation_lag=args.confirmation_lag,
+        ).repair_range(lo, hi, lock_ttl_s=args.repair_lock_ttl)
+        events = stats.total_events
+    elif args.streaming:
         if fact_table is not None or any(s is not view_sink for s in sinks):
             # fail loudly rather than silently materializing only STATE;
             # the view sink IS streamable (StructuredIngest refreshes it

@@ -337,3 +337,106 @@ def test_multi_tenant_controllers_share_tables(spark, tmp_path):
     s2 = ctl(2).run()
     assert all(e.skipped for e in s1.epochs) or not s1.epochs
     assert all(e.skipped for e in s2.epochs) or not s2.epochs
+
+
+# ------------------------------------------------------ repair command
+def _oracle_match(table, log_dir, n_partitions):
+    from hemera_indexer_spark.oracle import expected_live_rows
+
+    exp = expected_live_rows(log_dir, n_partitions)
+    got = sorted(
+        (r.asDict(recursive=True) for r in table.current_state().collect()),
+        key=lambda d: d["doc_id"],
+    )
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert g["doc_id"] == e["doc_id"] and g["tokens"] == e["tokens"]
+
+
+def test_repair_range_restores_corrupted_history(spark, tiny_log, tmp_path):
+    """Corrupt a mid-history range (bogus payload swap + a vanished key),
+    run --repair, state equals the oracle again; the cursor, chain tails
+    and fences all return to the head."""
+    from hemera_indexer_spark.streaming.controller import RepairLockHeld
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    ctl = StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions
+    )
+    ctl.run()
+    head = table.committed_epoch()
+    _oracle_match(table, tiny_log.out_dir, tiny_log.spec.n_partitions)
+
+    # --- corrupt two keys whose winners sit mid-history (epochs 2..3) ---
+    lo, hi = 2, 3
+    files = [f for e in (lo, hi) for f in ctl._epoch_files(e)]
+    metas = [ctl._epoch_meta(ctl._epoch_files(e)) for e in (lo, hi)]
+    seq_lo = min(r["mn"] for m in metas for r in m["lineage"])
+    seq_hi = max(r["mx"] for m in metas for r in m["lineage"])
+    victims = [
+        r["doc_id"]
+        for r in table.current_state()
+        .where(F.col("seq").between(seq_lo, seq_hi))
+        .orderBy("doc_id")
+        .limit(2)
+        .collect()
+    ]
+    assert len(victims) == 2, "fixture must have winners inside the range"
+    # victim 0: payload swapped in place (hand-edit / writer-bug shape)
+    v0 = table.lookup(victims[0]).collect()[0]
+    bogus = spark.createDataFrame(
+        [(victims[0], [999_999], 1, "corrupt", int(v0["seq"]))],
+        "doc_id string, tokens array<int>, n_tok int, source string, seq long",
+    ).withColumn("op", F.lit("update"))
+    table.delete_keys_where(F.col("doc_id") == victims[0], seq_at_least=0)
+    table.merge_upsert(bogus)
+    # victim 1: vanished row (partial manual delete shape)
+    table.delete_keys_where(F.col("doc_id") == victims[1], seq_at_least=0)
+    assert table.lookup(victims[0]).collect()[0]["tokens"] == [999_999]
+    assert table.lookup(victims[1]).count() == 0
+
+    # --- a held lock blocks a second runner ---
+    import json as _json
+    import time as _time
+
+    table.refresh()
+    table.update_properties(
+        {"repair_lock": _json.dumps({"runner": "other", "ts": _time.time()})}
+    )
+    with pytest.raises(RepairLockHeld):
+        StreamController(
+            spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions
+        ).repair_range(lo, hi)
+    # ... but a stale lock (crashed runner) is taken over
+    ctl2 = StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions
+    )
+    ctl2.repair_range(lo, hi, lock_ttl_s=0.0)
+
+    table.refresh()
+    _oracle_match(table, tiny_log.out_dir, tiny_log.spec.n_partitions)
+    assert table.committed_epoch() == head
+    assert "repair_lock" not in table.snapshot["properties"]
+    # fenced after repair: a fresh run is a no-op
+    s = StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions
+    ).run()
+    assert not s.epochs or all(e.skipped for e in s.epochs)
+
+
+def test_repair_range_validations(spark, tiny_log, tmp_path):
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    ctl = StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions
+    )
+    with pytest.raises(ValueError, match="committed history"):
+        ctl.repair_range(0)  # nothing committed yet
+    ctl.run(max_epochs=2)
+    with pytest.raises(ValueError, match="committed history"):
+        ctl.repair_range(5)  # beyond the fence
+    with pytest.raises(ValueError, match="empty repair range"):
+        ctl.repair_range(1, 0)
