@@ -33,6 +33,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _t_rows(sf_dir: str, name: str) -> int:
+    """Metadata-only row count from the parquet footer — scalar query
+    config (max_df thresholds, IDF N) must not cost a table scan per
+    query build (the LakeTable.stats_row_count analog for raw files)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, f"{name}.parquet")).num_rows
+
+
 def _dec(c, scale: int = 6):
     return F.col(c).cast(f"decimal(18,{scale})") if isinstance(c, str) else c.cast(
         f"decimal(18,{scale})"
@@ -494,7 +503,7 @@ def q_dedup_jaccard(spark, sf):
     from hemera_indexer_spark.operators.dedup import jaccard_pairs
 
     docs = _t(spark, sf, "documents")
-    max_df = max(5, docs.count() // 100)
+    max_df = max(5, _t_rows(sf, "documents") // 100)
     return jaccard_pairs(
         docs, "doc_id", "text", n=2, threshold=0.6, max_df=max_df
     )
@@ -528,7 +537,7 @@ def q_dedup_clusters_cc(spark, sf):
     )
 
     docs = _t(spark, sf, "documents")
-    max_df = max(5, docs.count() // 100)
+    max_df = max(5, _t_rows(sf, "documents") // 100)
     pairs = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.6, max_df=max_df)
     return keep_drop_from_cc(connected_components_auto(pairs))
 
@@ -915,7 +924,7 @@ def q_tfidf_topk(spark, sf):
     from pyspark.sql import Window
 
     docs = _t(spark, sf, "documents")
-    n_docs = docs.count()
+    n_docs = _t_rows(sf, "documents")
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("term"),

@@ -440,3 +440,44 @@ def test_repair_range_validations(spark, tiny_log, tmp_path):
         ctl.repair_range(5)  # beyond the fence
     with pytest.raises(ValueError, match="empty repair range"):
         ctl.repair_range(1, 0)
+
+
+# ------------------------------------------------- cached hot dimension
+def test_cached_dimension_ttl_and_broadcast(spark):
+    from hemera_indexer_spark.plans.dimension import CachedDimension
+
+    calls = {"n": 0}
+
+    def loader(s):
+        calls["n"] += 1
+        return s.createDataFrame(
+            [("tok_a", 18, "Alpha"), ("tok_b", 6, "Beta")],
+            "token_addr string, decimals int, symbol string",
+        )
+
+    dim = CachedDimension(loader, ttl_s=3600.0)
+    facts = spark.createDataFrame(
+        [(1, "tok_a"), (2, "tok_b"), (3, "tok_x")],
+        "transfer_id int, token_addr string",
+    )
+    out = dim.enrich(facts, on="token_addr", prefix="tok_")
+    rows = {r["transfer_id"]: r for r in out.collect()}
+    assert rows[1]["tok_symbol"] == "Alpha"
+    assert rows[3]["tok_symbol"] is None  # left join keeps unknown tokens
+    # the join must be broadcast (no shuffle of the fact side)
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    # TTL window: repeated enriches reuse the persisted snapshot
+    dim.enrich(facts, on="token_addr").collect()
+    dim.enrich(facts, on="token_addr").collect()
+    assert dim.load_count == 1 and calls["n"] == 1
+    # invalidate (new token discovered) forces a reload
+    dim.invalidate()
+    dim.get(spark)
+    assert dim.load_count == 2
+    # ttl expiry path
+    dim2 = CachedDimension(loader, ttl_s=0.0)
+    dim2.get(spark)
+    dim2.get(spark)
+    assert dim2.load_count == 2
+    dim.release()
+    dim2.release()
