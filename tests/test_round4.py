@@ -481,3 +481,87 @@ def test_cached_dimension_ttl_and_broadcast(spark):
     assert dim2.load_count == 2
     dim.release()
     dim2.release()
+
+
+# ------------------------------------------------- tenant-mode repair
+def test_repair_range_tenant_scoped(spark, tmp_path):
+    """Repair in multi-tenant mode: rewinds ONLY the repairing tenant's
+    namespaced fence/manifest and deletes only its rows — the other
+    tenant's state and cursor are untouched."""
+    from hemera_indexer_spark.oracle import expected_live_rows
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    logs = {}
+    for tenant in (1, 2):
+        spec = ChangelogSpec(
+            n_docs=120,
+            n_epochs=4,
+            events_per_epoch=200,
+            n_partitions=4,
+            seed=300 + tenant,
+            schema_evolution_epoch=2,
+            rollback_epochs=(),
+            doc_prefix=f"t{tenant}_doc",
+        )
+        logs[tenant] = generate_changelog(str(tmp_path / f"log{tenant}"), spec)
+
+    def ctl(tenant):
+        return StreamController(
+            spark,
+            table,
+            logs[tenant].out_dir,
+            4,
+            tenant_col="chain_id",
+            tenant_id=tenant,
+        )
+
+    ctl(1).run()
+    ctl(2).run()
+    t2_before = sorted(
+        tuple(r)
+        for r in table.current_state()
+        .where(F.col("chain_id") == 2)
+        .select("doc_id", "seq")
+        .collect()
+    )
+    # corrupt tenant 1: vanish one of its rows whose winner is mid-history
+    victim = (
+        table.current_state()
+        .where(F.col("chain_id") == 1)
+        .select("doc_id")
+        .first()[0]
+    )
+    table.delete_keys_where(F.col("doc_id") == victim, seq_at_least=0)
+    ctl(1).repair_range(0)
+    table.refresh()
+    # tenant 1 matches its oracle again
+    exp = expected_live_rows(logs[1].out_dir, 4)
+    got = sorted(
+        (
+            r.asDict(recursive=True)
+            for r in table.current_state()
+            .where(F.col("chain_id") == 1)
+            .collect()
+        ),
+        key=lambda d: d["doc_id"],
+    )
+    assert len(got) == len(exp)
+    assert all(g["tokens"] == e["tokens"] for g, e in zip(got, exp))
+    # tenant 2 rows and cursor untouched by tenant 1's repair
+    t2_after = sorted(
+        tuple(r)
+        for r in table.current_state()
+        .where(F.col("chain_id") == 2)
+        .select("doc_id", "seq")
+        .collect()
+    )
+    assert t2_after == t2_before
+    assert ctl(2)._state_committed_epoch() == 3
+    s2 = ctl(2).run()
+    assert not s2.epochs or all(e.skipped for e in s2.epochs)
