@@ -1006,6 +1006,79 @@ def q_token_budget(spark, sf):
     )
 
 
+def q_repetition_ratio(spark, sf):
+    """Intra-doc repeated-bigram fraction (the Gopher/MassiveText
+    repetition quality signal): 1 - distinct/total word bigrams per doc.
+    One map-only shingle explode + one groupBy(doc)."""
+    from hemera_indexer_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    out = repetition_stats(docs, "doc_id", "text", n=2)
+    return out.select(
+        "doc_id", "n_ngrams", "n_uniq",
+        F.col("rep_ratio").cast("decimal(18,6)").alias("rep_ratio"),
+    )
+
+
+def q_gopher_filter(spark, sf):
+    """Gopher-rule document quality filter (word-count bounds, mean word
+    length band, >=2 stopwords, punctuation ratio cap) — per-rule flags
+    plus the keep conjunction, as 0/1 ints for the hash gate. All Column
+    algebra fused into the scan stage."""
+    from hemera_indexer_spark.operators.text import with_gopher_flags
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    out = with_gopher_flags(docs.select("doc_id", "text"))
+    return out.select(
+        "doc_id", "n_words", "stop_hits",
+        *[
+            F.col(c).cast("int").alias(c)
+            for c in ("ok_word_count", "ok_avg_word_len", "ok_stopwords",
+                      "ok_punct", "keep")
+        ],
+    )
+
+
+def q_length_band(spark, sf):
+    """Per-source length-percentile band filter (drop the tails, a standard
+    pretraining length cut): keep docs whose percent_rank by n_chars within
+    their source lies in [0.05, 0.95]; report per-source kept stats. One
+    window shuffle on source."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    pr = F.percent_rank().over(w)
+    kept = docs.withColumn("_pr", pr).where(
+        (F.col("_pr") >= 0.05) & (F.col("_pr") <= 0.95)
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def q_source_lang_matrix(spark, sf):
+    """Source × language composition matrix (mixture audit): per-source
+    doc counts pivoted over the language set. groupBy+pivot = ONE shuffle;
+    the pivot values are declared, so no discovery pass."""
+    docs = _t(spark, sf, "documents")
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", ["de", "en", "es", "fr", "zh"])
+        .agg(F.count(F.lit(1)))
+    )
+    for lang in ("de", "en", "es", "fr", "zh"):
+        out = out.withColumn(
+            f"n_{lang}", F.coalesce(F.col(lang), F.lit(0)).cast("long")
+        ).drop(lang)
+    return out.withColumn(
+        "n_total",
+        sum(F.col(f"n_{lang}") for lang in ("de", "en", "es", "fr", "zh")),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1062,6 +1135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "vocab_histogram": q_vocab_histogram,
         "token_budget": q_token_budget,
+        "repetition_ratio": q_repetition_ratio,
+        "gopher_filter": q_gopher_filter,
+        "length_band": q_length_band,
+        "source_lang_matrix": q_source_lang_matrix,
     }
 
 
@@ -1953,6 +2030,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, n_docs, n_tokens,
                    ROUND(n_tokens / SUM(n_tokens) OVER (), 6) AS share
             FROM g
+        """,
+        "repetition_ratio": """
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest([w[i] || '_' || w[i+1] for i in range(1, len(w))]) AS shingle
+                FROM (
+                    SELECT doc_id,
+                           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                    FROM documents WHERE doc_id < 200
+                )
+            )
+            SELECT doc_id, COUNT(*) AS n_ngrams,
+                   COUNT(DISTINCT shingle) AS n_uniq,
+                   CAST(ROUND(1.0 - COUNT(DISTINCT shingle)::DOUBLE / COUNT(*), 6)
+                        AS DECIMAL(18,6)) AS rep_ratio
+            FROM sh GROUP BY doc_id
+        """,
+        "gopher_filter": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS wl
+                FROM documents WHERE doc_id < 300
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(w) AS n_words,
+                       ROUND(list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                             / GREATEST(len(w), 1), 6) AS awl,
+                       len(list_filter(wl, x -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is','it'], x)))
+                           AS stop_hits,
+                       ROUND((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+                             / GREATEST(length(text), 1), 6) AS pr
+                FROM t
+            )
+            SELECT doc_id, n_words, stop_hits,
+                   CAST(n_words >= 5 AND n_words <= 10000 AS INT) AS ok_word_count,
+                   CAST(awl >= 2.0 AND awl <= 12.0 AS INT) AS ok_avg_word_len,
+                   CAST(stop_hits >= 2 AS INT) AS ok_stopwords,
+                   CAST(pr <= 0.3 AS INT) AS ok_punct,
+                   CAST(n_words >= 5 AND n_words <= 10000
+                        AND awl >= 2.0 AND awl <= 12.0
+                        AND stop_hits >= 2 AND pr <= 0.3 AS INT) AS keep
+            FROM m
+        """,
+        "length_band": """
+            WITH r AS (
+                SELECT source, n_chars,
+                       percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+                FROM documents
+            )
+            SELECT source, COUNT(*) AS n_kept,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+            FROM r WHERE pr >= 0.05 AND pr <= 0.95
+            GROUP BY source
+        """,
+        "source_lang_matrix": """
+            SELECT source,
+                   CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                   CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+                   CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+                   CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+                   CAST(SUM(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_total
+            FROM documents GROUP BY source
         """,
     }
 

@@ -99,6 +99,75 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(text)), "\\s+", " "))
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Intra-document repetition (the Gopher/MassiveText repeated-n-gram
+    quality signal, Rae et al. 2021 §A1.1): per doc, the fraction of word
+    n-grams that are repeats of an earlier n-gram in the SAME doc —
+    ``1 - distinct/total``. Returns (doc_id, n_ngrams, n_uniq, rep_ratio).
+
+    One map-only shingle explode (shared ``word_shingles`` builder — the
+    CSE-safe zip_with form) + one groupBy(doc). The exact countDistinct
+    here is per-DOC (partial aggregation carries (doc, shingle) pairs,
+    i.e. the ngram stream itself) — at corpus scale this shuffle is
+    O(ngrams), the same order as any shingle pipeline stage, and the
+    groupBy key (doc_id) is perfectly spreadable."""
+    from hemera_indexer_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(df, id_col, text_col, n=n, distinct=False)
+    return sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.countDistinct("shingle").alias("n_uniq"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("shingle") / F.count("*"), 6
+        ).alias("rep_ratio"),
+    )
+
+
+#: Gopher-rule thresholds (Rae et al. 2021, Table A1) — pinned so the
+#: oracle can mirror them verbatim.
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 10_000
+GOPHER_MIN_AVG_WORD_LEN = 2.0
+GOPHER_MAX_AVG_WORD_LEN = 12.0
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_PUNCT_RATIO = 0.3
+
+
+def stopword_hits(text: Column) -> Column:
+    w = words(F.lower(text))
+    return F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+
+
+def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality filter: each rule as a named boolean
+    column plus the conjunction ``keep`` — kept as columns (not a filter)
+    so pipelines can audit per-rule rejection rates. Pure Column algebra,
+    codegen-fused with the scan."""
+    t = F.col(text_col)
+    n_words = token_count_ws(t)
+    awl = avg_word_len(t)
+    hits = stopword_hits(t)
+    pr = punct_ratio(t)
+    flag_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    flag_awl = (awl >= GOPHER_MIN_AVG_WORD_LEN) & (
+        awl <= GOPHER_MAX_AVG_WORD_LEN
+    )
+    flag_stop = hits >= GOPHER_MIN_STOP_HITS
+    flag_punct = pr <= GOPHER_MAX_PUNCT_RATIO
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        hits.alias("stop_hits"),
+        flag_wc.alias("ok_word_count"),
+        flag_awl.alias("ok_avg_word_len"),
+        flag_stop.alias("ok_stopwords"),
+        flag_punct.alias("ok_punct"),
+        (flag_wc & flag_awl & flag_stop & flag_punct).alias("keep"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.select(
