@@ -77,6 +77,13 @@ class FactSink:
                 ),
             )
 
+    def evolve_schema(self, new_fields) -> None:
+        # additive evolution propagates to the HISTORY table too: without
+        # this, a column evolving mid-stream (lang at epoch k) would be
+        # silently dropped from fact rows — insert_if_absent selects the
+        # fact schema's columns — while the state table kept it.
+        self.table.evolve_schema(new_fields)
+
     def rollback(self, cond: Column, seq_at_least: int):
         # facts are append-only history: a plain row-level delete suffices
         # (nothing to resurrect)

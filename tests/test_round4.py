@@ -565,3 +565,32 @@ def test_repair_range_tenant_scoped(spark, tmp_path):
     assert ctl(2)._state_committed_epoch() == 3
     s2 = ctl(2).run()
     assert not s2.epochs or all(e.skipped for e in s2.epochs)
+
+
+# --------------------------------------- fact-table schema evolution
+def test_fact_table_carries_evolved_columns(spark, tiny_log, tmp_path):
+    """A column evolving mid-stream must reach the HISTORY table too:
+    post-evolution fact rows carry the value, pre-evolution rows read
+    NULL (previously insert_if_absent silently dropped the column)."""
+    from hemera_indexer_spark.schemas import FACTS_SCHEMA
+
+    state = LakeTable.create(
+        spark, str(tmp_path / "state"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    facts = LakeTable.create(
+        spark, str(tmp_path / "facts"), FACTS_SCHEMA, num_buckets=8,
+        properties={"table_type": "fact"},
+    )
+    StreamController(
+        spark, state, tiny_log.out_dir, tiny_log.spec.n_partitions,
+        fact_table=facts,
+    ).run()
+    assert "lang" in facts.schema.fieldNames()
+    # seqs are assigned sequentially from 1: epochs before the evolution
+    # epoch cover seq <= evo * events_per_epoch
+    boundary = tiny_log.spec.schema_evolution_epoch * tiny_log.spec.events_per_epoch
+    rows = facts.read().select("seq", "lang", "op").collect()
+    post = [r for r in rows if r["seq"] > boundary and r["op"] != "delete"]
+    pre = [r for r in rows if r["seq"] <= boundary]
+    assert post and any(r["lang"] is not None for r in post)
+    assert all(r["lang"] is None for r in pre)
