@@ -1079,6 +1079,31 @@ def q_source_lang_matrix(spark, sf):
     )
 
 
+def q_dedup_keep_best(spark, sf):
+    """Quality-aware cluster resolution: near-dup clusters (jaccard -> CC)
+    keep their HIGHEST-quality member (ties -> min doc_id) instead of the
+    min id — the keep rule a training-data curation pipeline actually
+    wants. Shares the pair/CC machinery with dedup_clusters_cc; adds one
+    broadcast-sized join + a per-cluster window."""
+    from hemera_indexer_spark.operators.dedup import (
+        connected_components_auto,
+        jaccard_pairs,
+        keep_best_from_cc,
+    )
+    from hemera_indexer_spark.operators.text import quality_score
+
+    docs = _t(spark, sf, "documents")
+    max_df = max(5, _t_rows(sf, "documents") // 100)
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.6, max_df=max_df)
+    cc = connected_components_auto(pairs)
+    scores = docs.select("doc_id", quality_score(F.col("text")).alias("q"))
+    out = keep_best_from_cc(cc, scores, "q")
+    return out.select(
+        "doc_id", "cluster_id",
+        F.col("q").cast("decimal(18,6)").alias("q"), "keep",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1139,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "length_band": q_length_band,
         "source_lang_matrix": q_source_lang_matrix,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -2086,6 +2112,43 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
             FROM r WHERE pr >= 0.05 AND pr <= 0.95
             GROUP BY source
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            {_JACCARD_SCORED_CTES},
+            cedges AS (
+                SELECT doc_a AS a, doc_b AS b FROM jscored
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM jscored
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM cedges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a
+            ),
+            labels AS (
+                SELECT a AS node, LEAST(a, MIN(b)) AS cluster_id
+                FROM reach GROUP BY a
+            ),
+            q AS (
+                SELECT doc_id,
+                       ROUND(0.4 * least(len(w) / 20.0, 1.0)
+                           + 0.3 * (1.0 - ROUND(len(list_filter(wl, x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+                                                / greatest(len(wl), 1), 6))
+                           + 0.3 * (1.0 - ROUND((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                                / greatest(length(text), 1), 6)), 6) AS q
+                FROM (
+                    SELECT doc_id, text,
+                           string_split(trim(text), ' ') AS w,
+                           string_split(trim(lower(text)), ' ') AS wl
+                    FROM documents
+                )
+            )
+            SELECT l.node AS doc_id, l.cluster_id,
+                   CAST(q.q AS DECIMAL(18,6)) AS q,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                                      ORDER BY q.q DESC, l.node ASC) = 1 AS keep
+            FROM labels l JOIN q ON q.doc_id = l.node
         """,
         "source_lang_matrix": """
             SELECT source,

@@ -581,6 +581,26 @@ def keep_drop_from_cc(cc: DataFrame) -> DataFrame:
     )
 
 
+def keep_best_from_cc(
+    cc: DataFrame, scores: DataFrame, score_col: str = "score"
+) -> DataFrame:
+    """Production keep rule: within each duplicate cluster keep the
+    HIGHEST-scoring doc (quality, length, recency — whatever ``scores``
+    carries), ties broken by min doc_id. ``keep_drop_from_cc`` keeps the
+    min id — fine for determinism, but a pipeline curating training data
+    wants the best representative, not the lowest id. Input: cc =
+    (doc_id, cluster_id) from any connected-components variant; scores =
+    (doc_id, score_col). One equi-join + one window partitioned by
+    cluster — clusters are tiny, so the window never skews."""
+    from pyspark.sql import Window
+
+    labeled = cc.join(scores, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    return labeled.withColumn("keep", F.row_number().over(w) == 1)
+
+
 def dedup_keep_drop(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
     """Keep/drop decision per clustered doc: keep the cluster's min id, drop
     the rest. Returns (doc_id, cluster_id, keep:boolean)."""
