@@ -594,3 +594,69 @@ def test_fact_table_carries_evolved_columns(spark, tiny_log, tmp_path):
     pre = [r for r in rows if r["seq"] <= boundary]
     assert post and any(r["lang"] is not None for r in post)
     assert all(r["lang"] is None for r in pre)
+
+
+# ------------------------------------------------ run_ingest.py CLI e2e
+def test_run_ingest_cli_and_repair(spark, tmp_path):
+    """The operator surface end-to-end in subprocesses: ingest a log via
+    scripts/run_ingest.py (auto-resume JSON report), corrupt a row, repair
+    via --repair 0, verify the final state against the oracle."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from hemera_indexer_spark.oracle import expected_live_rows
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = ChangelogSpec(
+        n_docs=120,
+        n_epochs=4,
+        events_per_epoch=200,
+        n_partitions=4,
+        seed=11,
+        schema_evolution_epoch=2,
+        rollback_epochs=(3,),
+    )
+    log_dir = str(tmp_path / "log")
+    root = str(tmp_path / "lake")
+    generate_changelog(log_dir, spec)
+
+    def cli(*extra):
+        res = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "scripts", "run_ingest.py"),
+                "--log-dir", log_dir, "--table-root", root,
+                "--partitions", "4", "--num-buckets", "8", "--cores", "2",
+                *extra,
+            ],
+            capture_output=True, text=True, cwd=repo, timeout=300,
+        )
+        lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
+        assert lines, res.stdout[-1500:] + "\n" + res.stderr[-3000:]
+        return _json.loads(lines[-1])
+
+    out = cli()
+    assert out["committed_epoch"] == spec.n_epochs - 1
+    assert out["events"] > 0 and out["lineage"]
+
+    # corrupt a row in-process, then repair from the CLI
+    table = LakeTable.load(spark, root)
+    victim = table.current_state().select("doc_id").first()[0]
+    table.delete_keys_where(F.col("doc_id") == victim, seq_at_least=0)
+
+    out2 = cli("--repair", "0")
+    assert out2["committed_epoch"] == spec.n_epochs - 1
+
+    exp = expected_live_rows(log_dir, 4)
+    table = LakeTable.load(spark, root)
+    got = sorted(
+        (r.asDict(recursive=True) for r in table.current_state().collect()),
+        key=lambda d: d["doc_id"],
+    )
+    assert len(got) == len(exp)
+    assert all(g["tokens"] == e["tokens"] for g, e in zip(got, exp))
