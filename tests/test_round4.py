@@ -660,3 +660,68 @@ def test_run_ingest_cli_and_repair(spark, tmp_path):
     )
     assert len(got) == len(exp)
     assert all(g["tokens"] == e["tokens"] for g, e in zip(got, exp))
+
+
+# ------------------------------------- repair over a hash-chained log
+def test_repair_range_trims_chain_tails(spark, tmp_path):
+    """Repairing a consensus-checked (hash-chained) log must rewind the
+    stored chain tips/tails below the repair point: the first re-driven
+    batch checks its parent hashes against the trimmed tail and must NOT
+    flag divergence (no synthetic rollbacks during repair replay)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = str(tmp_path / "log")
+
+    def write_epoch(epoch, rows):
+        # rows: (seq, doc_id, tokens, chain_hash, parent_hash)
+        n = len(rows)
+        cols = {
+            "seq": pa.array([r[0] for r in rows], pa.int64()),
+            "epoch": pa.array([epoch] * n, pa.int64()),
+            "partition": pa.array([0] * n, pa.int32()),
+            "doc_id": pa.array([r[1] for r in rows]),
+            "op": pa.array(["insert"] * n),
+            "tokens": pa.array([r[2] for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[2]) for r in rows], pa.int32()),
+            "source": pa.array(["web"] * n),
+            "rollback_to_seq": pa.array([None] * n, pa.int64()),
+            "chain_hash": pa.array([r[3] for r in rows]),
+            "parent_hash": pa.array([r[4] for r in rows]),
+        }
+        d = os.path.join(log, f"epoch={epoch:05d}", "partition=000")
+        os.makedirs(d)
+        pq.write_table(pa.table(cols), os.path.join(d, "events.parquet"))
+
+    # 9 chained events over 3 epochs, distinct docs (log partition of
+    # doc_{i} is i % 1 = 0 for n_partitions=1)
+    hashes = [f"h{i}" for i in range(10)]  # h0 unused genesis
+    rows = [
+        (i, f"doc_{i:08d}", [i], hashes[i], hashes[i - 1] if i > 1 else None)
+        for i in range(1, 10)
+    ]
+    for e in range(3):
+        write_epoch(e, rows[e * 3:(e + 1) * 3])
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    ctl = StreamController(spark, table, log, 1, max_batch_epochs=1)
+    ctl.run()
+    man = table.snapshot["manifest"]
+    assert man.get("last_hashes", {}).get("0") == "h9"
+
+    # corrupt a doc whose winner lies in epoch 1 (seq 4..6)
+    table.delete_keys_where(F.col("doc_id") == "doc_00000005", seq_at_least=0)
+    stats = StreamController(spark, table, log, 1, max_batch_epochs=1).repair_range(1)
+
+    # no synthetic rollbacks were flagged during the repair replay
+    assert all(e.rollbacks == 0 for e in stats.epochs)
+    table.refresh()
+    docs = {r["doc_id"]: r for r in table.current_state().collect()}
+    assert len(docs) == 9 and docs["doc_00000005"]["tokens"] == [5]
+    man = table.snapshot["manifest"]
+    assert man["last_hashes"]["0"] == "h9"
+    assert man["epoch_id"] == 2
