@@ -545,8 +545,21 @@ class StreamController:
                 )
             return self.run()
         finally:
-            self.table.refresh()
-            self.table.update_properties({lock_key: None})
+            # release must not be lost to a CAS race with a concurrent
+            # commit (another sink/tenant landing a snapshot between our
+            # refresh and the release) — retry a few times; a still-stuck
+            # lock degrades to the TTL takeover path, never a deadlock.
+            from hemera_indexer_spark.lake.table import ConcurrentCommitError
+
+            for attempt in range(5):
+                try:
+                    self.table.refresh()
+                    self.table.update_properties({lock_key: None})
+                    break
+                except ConcurrentCommitError:
+                    if attempt == 4:
+                        raise
+                    time.sleep(0.1 * (attempt + 1))
 
     def _committed_floor(self) -> int:
         """The epoch up to which the WHOLE output set is durably committed:

@@ -725,3 +725,62 @@ def test_repair_range_trims_chain_tails(spark, tmp_path):
     man = table.snapshot["manifest"]
     assert man["last_hashes"]["0"] == "h9"
     assert man["epoch_id"] == 2
+
+
+# ---------------------------------------------- repair fuzz (3 seeds)
+@pytest.mark.parametrize("seed", [5, 17, 23])
+def test_repair_range_fuzz(spark, tmp_path, seed):
+    """Randomized corruption sweep: for varied logs (rollbacks + schema
+    evolution included), vanish/garble several random mid-history rows,
+    repair from epoch 1, state equals the oracle."""
+    import random
+
+    from hemera_indexer_spark.oracle import expected_live_rows
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    rng = random.Random(seed)
+    spec = ChangelogSpec(
+        n_docs=100,
+        n_epochs=5,
+        events_per_epoch=150,
+        n_partitions=4,
+        seed=seed,
+        schema_evolution_epoch=rng.choice([2, 3]),
+        rollback_epochs=(rng.choice([3, 4]),),
+    )
+    log = str(tmp_path / "log")
+    gen = generate_changelog(log, spec)
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    StreamController(spark, table, log, 4).run()
+
+    live = [r["doc_id"] for r in table.current_state().select("doc_id").collect()]
+    victims = rng.sample(live, min(4, len(live)))
+    # mix of corruption shapes: vanish two, garble two in place
+    for v in victims[:2]:
+        table.delete_keys_where(F.col("doc_id") == v, seq_at_least=0)
+    for v in victims[2:]:
+        cur = table.lookup(v).collect()[0]
+        table.delete_keys_where(F.col("doc_id") == v, seq_at_least=0)
+        bogus = spark.createDataFrame(
+            [(v, [123456], 1, "corrupt", int(cur["seq"]))],
+            "doc_id string, tokens array<int>, n_tok int, source string, seq long",
+        ).withColumn("op", F.lit("update"))
+        table.merge_upsert(bogus)
+
+    StreamController(spark, table, log, 4).repair_range(0)
+    table.refresh()
+    exp = expected_live_rows(log, 4)
+    got = sorted(
+        (r.asDict(recursive=True) for r in table.current_state().collect()),
+        key=lambda d: d["doc_id"],
+    )
+    assert len(got) == len(exp), seed
+    for g, e in zip(got, exp):
+        assert g["doc_id"] == e["doc_id"] and g["tokens"] == e["tokens"], (
+            seed, g["doc_id"],
+        )
