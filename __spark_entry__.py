@@ -1582,8 +1582,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": """
             WITH base AS (
                 SELECT doc_id, text,
-                       string_split(trim(text), ' ') AS w,
-                       string_split(trim(lower(text)), ' ') AS wl
+                       string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS wl
                 FROM documents
             )
             SELECT doc_id,
@@ -2139,8 +2139,8 @@ def oracle_sql() -> dict[str, str]:
                                                 / greatest(length(text), 1), 6)), 6) AS q
                 FROM (
                     SELECT doc_id, text,
-                           string_split(trim(text), ' ') AS w,
-                           string_split(trim(lower(text)), ' ') AS wl
+                           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w,
+                           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS wl
                     FROM documents
                 )
             )

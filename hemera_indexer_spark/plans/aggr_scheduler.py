@@ -89,10 +89,13 @@ class AggrScheduler:
             else:
                 import warnings
 
+                # day discovery from the RAW events' date column — the
+                # full (day, user) aggregation would otherwise run twice
+                # (once here, once in the guarded write below)
                 present = sorted(
                     r["day"]
-                    for r in agg.select(
-                        F.col("day").cast("string").alias("day")
+                    for r in events.select(
+                        F.to_date("ts").cast("string").alias("day")
                     )
                     .distinct()
                     .collect()

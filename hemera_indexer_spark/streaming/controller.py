@@ -229,13 +229,29 @@ class StreamController:
                 )
             dt = T.LongType() if isinstance(tenant_id, int) else T.StringType()
             self._tenant_field = T.StructField(tenant_col, dt, True)
-            self.table.evolve_schema([self._tenant_field])
+            targets = [self.table] + [
+                st
+                for s in self.sinks
+                if (st := getattr(s, "table", None)) is not None
+                and hasattr(st, "evolve_schema")
+            ]
+            from hemera_indexer_spark.lake.table import ConcurrentCommitError
+
+            for st in targets:
+                # several tenant controllers may evolve the shared column
+                # concurrently; refresh-and-retry — after a refresh the
+                # already-present column makes evolve a commit-free no-op
+                for attempt in range(3):
+                    try:
+                        st.refresh()
+                        st.evolve_schema([self._tenant_field])
+                        break
+                    except ConcurrentCommitError:
+                        if attempt == 2:
+                            raise
+            # a LakeTable-backed sink sharing a table between tenants must
+            # fence per tenant too (see _state_manifest below)
             for s in self.sinks:
-                st = getattr(s, "table", None)
-                if st is not None and hasattr(st, "evolve_schema"):
-                    st.evolve_schema([self._tenant_field])
-                # a LakeTable-backed sink sharing a table between tenants
-                # must fence per tenant too (see _state_manifest below)
                 if hasattr(s, "fence_key") and s.fence_key is None:
                     s.fence_key = f"tenant_fence:{tenant_id}"
 
@@ -467,6 +483,10 @@ class StreamController:
         done guards, so repair re-drives the STATE table only — re-point
         or rewind sink fences separately if a sink needs the same repair.
         """
+        # refresh FIRST: validating against a stale cached snapshot could
+        # silently clamp the repair below a fence another runner advanced
+        # (epochs beyond the stale fence would never be re-verified)
+        self.table.refresh()
         committed = self._state_committed_epoch()
         if lo_epoch < 0 or lo_epoch > committed:
             raise ValueError(
@@ -478,9 +498,27 @@ class StreamController:
         if hi < lo_epoch:
             raise ValueError(f"empty repair range {lo_epoch}..{hi}")
 
+        # Seq span of the range — computed from the IMMUTABLE log, so it
+        # happens before the lock (a stats error can never strand a lock).
+        #
+        # seq_lo must follow the (epoch, seq) discipline, NOT epoch lo's
+        # raw footer min: a later epoch may carry re-delivered DUPLICATES
+        # of earlier events at their original (lower) seqs, which would
+        # drag a min-of-epoch-lo bound into pre-range history — deleting
+        # winners the replay (which starts at epoch lo) never restores.
+        # Original deliveries are seq-monotone across epochs (the log
+        # contract; only duplicates violate it), so the true range start
+        # is 1 + max(seq over epochs < lo).
+        if lo_epoch == 0:
+            seq_lo = self._span_seq_bound(range(0, hi + 1), "min")
+        else:
+            seq_lo = self._span_seq_bound(range(0, lo_epoch), "max") + 1
+        seq_hi = None if hi == committed else self._span_seq_bound(
+            range(lo_epoch, hi + 1), "max"
+        )
+
         lock_key = "repair_lock"
         me = runner or f"{os.uname().nodename}:{os.getpid()}"
-        self.table.refresh()
         held = self.table.snapshot["properties"].get(lock_key)
         if held:
             h = json.loads(held)
@@ -495,15 +533,6 @@ class StreamController:
             {lock_key: json.dumps({"runner": me, "ts": time.time()})}
         )
         try:
-            lo_meta = self._epoch_meta(self._epoch_files(lo_epoch))
-            hi_meta = self._epoch_meta(self._epoch_files(hi))
-            seq_lo = min(
-                r["mn"] for r in lo_meta["lineage"] if r["mn"] is not None
-            )
-            seq_hi = max(
-                r["mx"] for r in hi_meta["lineage"] if r["mx"] is not None
-            )
-
             man = json.loads(json.dumps(self._state_manifest()))
             man["epoch_id"] = lo_epoch - 1
             man["offsets"] = {
@@ -528,7 +557,11 @@ class StreamController:
                 man["hash_tails"] = tails
 
             seqc = F.col(self.table.seq_col)
-            cond = (seqc >= F.lit(seq_lo)) & (seqc <= F.lit(seq_hi))
+            cond = seqc >= F.lit(seq_lo)
+            if seq_hi is not None:
+                # partial range: rows whose winner lies beyond hi survive
+                # the delete and win their LWW ties during the re-drive
+                cond = cond & (seqc <= F.lit(seq_hi))
             if self.tenant_col is not None:
                 cond = cond & (
                     F.col(self.tenant_col)
@@ -545,21 +578,69 @@ class StreamController:
                 )
             return self.run()
         finally:
-            # release must not be lost to a CAS race with a concurrent
-            # commit (another sink/tenant landing a snapshot between our
-            # refresh and the release) — retry a few times; a still-stuck
-            # lock degrades to the TTL takeover path, never a deadlock.
+            # Release ONLY a lock we still own: if this run exceeded
+            # lock_ttl_s another runner may have legitimately taken over,
+            # and unconditionally deleting would unlock THEIR live lock
+            # (letting a third runner race two concurrent repairs).
+            # Release must also not be lost to a CAS race with a
+            # concurrent commit — retry a few times; a still-stuck lock
+            # degrades to the TTL takeover path, never a deadlock.
             from hemera_indexer_spark.lake.table import ConcurrentCommitError
 
             for attempt in range(5):
                 try:
                     self.table.refresh()
-                    self.table.update_properties({lock_key: None})
+                    cur = self.table.snapshot["properties"].get(lock_key)
+                    if cur is not None and json.loads(cur).get("runner") != me:
+                        break  # taken over; not ours to release
+                    if cur is not None:
+                        self.table.update_properties({lock_key: None})
                     break
                 except ConcurrentCommitError:
                     if attempt == 4:
                         raise
                     time.sleep(0.1 * (attempt + 1))
+
+    def _span_seq_bound(self, epochs, kind: str) -> int:
+        """Min/max event seq across the given log epochs — footer column
+        stats with ONE pruned Spark aggregate fallback for files whose
+        writer emitted no stats (mirrors _build_manifest's fallback; a
+        missing-stats epoch must neither crash the bound nor silently
+        shrink the repair span)."""
+        agg_key = "mn" if kind == "min" else "mx"
+        best = None
+        missing: list[str] = []
+        for e in epochs:
+            files = self._epoch_files(e)
+            meta = self._epoch_meta(files)
+            vals = [
+                r[agg_key] for r in meta["lineage"] if r[agg_key] is not None
+            ]
+            if vals:
+                v = min(vals) if kind == "min" else max(vals)
+                best = v if best is None else (
+                    min(best, v) if kind == "min" else max(best, v)
+                )
+            if any(r[agg_key] is None and r["cnt"] for r in meta["lineage"]):
+                missing.extend(files)
+        if missing:
+            fn = F.min if kind == "min" else F.max
+            v = (
+                self.spark.read.parquet(*missing)
+                .agg(fn("seq").alias("v"))
+                .first()["v"]
+            )
+            if v is not None:
+                v = int(v)
+                best = v if best is None else (
+                    min(best, v) if kind == "min" else max(best, v)
+                )
+        if best is None:
+            raise ValueError(
+                f"no events found in epochs {list(epochs)}; cannot derive "
+                f"the repair seq span"
+            )
+        return int(best)
 
     def _committed_floor(self) -> int:
         """The epoch up to which the WHOLE output set is durably committed:
@@ -582,6 +663,8 @@ class StreamController:
         """Merge a batch of consecutive epochs (one commit), with bounded
         retries for transient failures. Safe to retry: every commit inside is
         either fenced by epoch id or an idempotent LWW re-merge."""
+        from hemera_indexer_spark.lake.table import ConcurrentCommitError
+
         attempt = 0
         while True:
             try:
@@ -590,7 +673,20 @@ class StreamController:
                     s.retries = attempt
                 return out
             except Exception as exc:
-                if attempt >= self.max_retries or not is_retriable(exc):
+                # In tenant mode several controllers legitimately share one
+                # table, so a snapshot CAS race (another tenant committing
+                # between our refresh and our commit) is EXPECTED traffic,
+                # not an accidental double-runner: refresh and re-drive
+                # (idempotent by contract). Single-tenant keeps the loud
+                # failure — there the CAS exists to catch exactly that
+                # accident.
+                tenant_cas = (
+                    self.tenant_col is not None
+                    and isinstance(exc, ConcurrentCommitError)
+                )
+                if attempt >= self.max_retries or not (
+                    tenant_cas or is_retriable(exc)
+                ):
                     raise
                 attempt += 1
                 time.sleep(self.retry_backoff_s * attempt)

@@ -5,9 +5,11 @@ pure CPU from N to 4N parallel workers?
 Two workloads, each run with P concurrent processes (no shared state, no
 synchronization inside the timed region):
 
-- ``bw``: repeated numpy memcpy of a 256 MB buffer — DRAM-bandwidth-bound
-  (the regime of shuffle sort/spill, UnsafeRow traffic, parquet encode,
-  tmpfs writes).
+- ``bw``: repeated numpy memcpy of a 64 MB buffer (128 MB working set per
+  worker; at every measured level the AGGREGATE working set — 512 MB at
+  P=4 and up — far exceeds any last-level cache, so the loop is
+  DRAM-bound): the regime of shuffle sort/spill, UnsafeRow traffic,
+  parquet encode, tmpfs writes.
 - ``cpu``: iterated xxhash-style integer mixing over a small (L1-resident)
   array — core-bound, touches almost no DRAM.
 

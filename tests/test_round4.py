@@ -784,3 +784,169 @@ def test_repair_range_fuzz(spark, tmp_path, seed):
         assert g["doc_id"] == e["doc_id"] and g["tokens"] == e["tokens"], (
             seed, g["doc_id"],
         )
+
+
+# ----------------------------- review fixes: repair span + lock + CAS
+def _write_plain_epoch(log, epoch, rows):
+    """rows: (seq, doc_id, tokens)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(rows)
+    cols = {
+        "seq": pa.array([r[0] for r in rows], pa.int64()),
+        "epoch": pa.array([epoch] * n, pa.int64()),
+        "partition": pa.array([0] * n, pa.int32()),
+        "doc_id": pa.array([r[1] for r in rows]),
+        "op": pa.array(["insert"] * n),
+        "tokens": pa.array([r[2] for r in rows], pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r[2]) for r in rows], pa.int32()),
+        "source": pa.array(["web"] * n),
+        "rollback_to_seq": pa.array([None] * n, pa.int64()),
+    }
+    d = os.path.join(log, f"epoch={epoch:05d}", "partition=000")
+    os.makedirs(d)
+    pq.write_table(pa.table(cols), os.path.join(d, "events.parquet"))
+
+
+def test_repair_span_survives_redelivered_duplicates(spark, tmp_path):
+    """A re-delivered duplicate in the repair range's first epoch carries
+    its ORIGINAL low seq; the delete span must not be dragged into
+    pre-range history (a key last written before the range, never
+    re-delivered, would be deleted and never restored)."""
+    log = str(tmp_path / "log")
+    docs = {i: f"doc_{i:08d}" for i in range(1, 6)}
+    _write_plain_epoch(log, 0, [(1, docs[1], [1]), (2, docs[2], [2]),
+                                (3, docs[3], [3])])
+    # epoch 1 re-delivers seq 2 (a duplicate) alongside its own seq 4
+    _write_plain_epoch(log, 1, [(2, docs[2], [2]), (4, docs[4], [4])])
+    _write_plain_epoch(log, 2, [(5, docs[5], [5])])
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    StreamController(spark, table, log, 1, max_batch_epochs=1).run()
+    assert table.current_state().count() == 5
+
+    StreamController(spark, table, log, 1, max_batch_epochs=1).repair_range(1)
+    table.refresh()
+    got = {r["doc_id"]: r["tokens"] for r in table.current_state().collect()}
+    # doc_3 (winner seq 3, epoch 0, never re-delivered) must survive:
+    # the naive min-of-epoch-1-footers span (seq_lo=2) would delete it
+    assert got == {docs[i]: [i] for i in range(1, 6)}
+
+
+def test_repair_lock_release_respects_takeover(spark, tiny_log, tmp_path):
+    """If another runner takes the lock over mid-repair (our run exceeded
+    the TTL), our release must NOT delete their live lock."""
+    import json as _json
+    import time as _time
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    ctl = StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions
+    )
+    ctl.run()
+
+    orig_run = ctl.run
+
+    def hijacked_run(*a, **kw):
+        # simulate a takeover happening while our replay runs
+        ctl.table.refresh()
+        ctl.table.update_properties(
+            {"repair_lock": _json.dumps({"runner": "other", "ts": _time.time()})}
+        )
+        return orig_run(*a, **kw)
+
+    ctl.run = hijacked_run
+    ctl.repair_range(0)
+    table.refresh()
+    held = table.snapshot["properties"].get("repair_lock")
+    assert held is not None and _json.loads(held)["runner"] == "other"
+    table.update_properties({"repair_lock": None})  # cleanup
+
+
+def test_tenant_commit_retries_concurrent_cas(spark, tmp_path):
+    """Two tenant controllers sharing one table: a commit from a STALE
+    handle (the other tenant committed after this handle's snapshot load)
+    must retry the snapshot CAS and converge, not crash."""
+    from hemera_indexer_spark.oracle import expected_live_rows
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    root = str(tmp_path / "lake")
+    t_fresh = LakeTable.create(spark, root, SEQUENCES_SCHEMA, num_buckets=4)
+    logs = {}
+    for tenant in (1, 2):
+        spec = ChangelogSpec(
+            n_docs=60, n_epochs=3, events_per_epoch=100, n_partitions=2,
+            seed=400 + tenant, schema_evolution_epoch=None,
+            rollback_epochs=(), doc_prefix=f"t{tenant}_doc",
+        )
+        logs[tenant] = generate_changelog(str(tmp_path / f"log{tenant}"), spec)
+
+    t_stale = LakeTable.load(spark, root)  # snapshot cached NOW
+    ctl2 = StreamController(
+        spark, t_stale, logs[2].out_dir, 2,
+        tenant_col="chain_id", tenant_id=2,
+    )
+    # tenant 1 commits via the fresh handle -> ctl2's handle is now stale
+    StreamController(
+        spark, t_fresh, logs[1].out_dir, 2,
+        tenant_col="chain_id", tenant_id=1,
+    ).run()
+    stats = ctl2.run()  # first commit CAS-fails, must retry and converge
+    assert any(e.retries > 0 for e in stats.epochs)
+    t = LakeTable.load(spark, root)
+    for tenant in (1, 2):
+        exp = expected_live_rows(logs[tenant].out_dir, 2)
+        got = sorted(
+            (r.asDict(recursive=True)
+             for r in t.current_state()
+             .where(F.col("chain_id") == tenant).collect()),
+            key=lambda d: d["doc_id"],
+        )
+        assert len(got) == len(exp)
+        assert all(g["tokens"] == e["tokens"] for g, e in zip(got, exp))
+
+
+def test_span_seq_bound_stats_fallback(spark, tmp_path):
+    """Footerless parquet (writer without column stats) must fall back to
+    a Spark aggregate, not crash or silently shrink the repair span."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = str(tmp_path / "log")
+    d = os.path.join(log, "epoch=00000", "partition=000")
+    os.makedirs(d)
+    cols = {
+        "seq": pa.array([7, 8, 9], pa.int64()),
+        "epoch": pa.array([0] * 3, pa.int64()),
+        "partition": pa.array([0] * 3, pa.int32()),
+        "doc_id": pa.array(["doc_1", "doc_2", "doc_3"]),
+        "op": pa.array(["insert"] * 3),
+        "tokens": pa.array([[1], [2], [3]], pa.list_(pa.int32())),
+        "n_tok": pa.array([1, 1, 1], pa.int32()),
+        "source": pa.array(["web"] * 3),
+        "rollback_to_seq": pa.array([None] * 3, pa.int64()),
+    }
+    pq.write_table(
+        pa.table(cols), os.path.join(d, "events.parquet"),
+        write_statistics=False,
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    ctl = StreamController(spark, table, log, 1)
+    assert ctl._span_seq_bound([0], "min") == 7
+    assert ctl._span_seq_bound([0], "max") == 9
+    with pytest.raises(ValueError, match="no events"):
+        ctl._span_seq_bound([], "max")
