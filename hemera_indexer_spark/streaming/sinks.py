@@ -167,10 +167,25 @@ class IncrementalAggSink:
     behind, the controller re-drives the group from the committed floor,
     and the recompute-and-replace refresh is idempotent."""
 
-    #: partial-aggregate functions that are combinable ACROSS buckets with
-    #: the same function (sum of sums, min of mins, max of maxes) — the
+    #: partial-aggregate functions combinable ACROSS buckets — the
     #: bucket-decomposability requirement; avg = derive from sum + count.
-    _MERGEABLE = {"sum": F.sum, "min": F.min, "max": F.max}
+    #: Each entry is (partial_fn(col) for the per-bucket store,
+    #: merge_fn(stored_col) for the view). ``approx_distinct`` stores a
+    #: binary HLL sketch per (bucket, group) — sketches UNION losslessly,
+    #: so the view merges them with hll_union_agg and estimates (~2%
+    #: default error). Deletes need no sketch subtraction (HLL can't):
+    #: the refresh recomputes each TOUCHED bucket's sketch from its live
+    #: rows, which is exactly why bucket-granular recompute is the right
+    #: IVM granule for sketch aggregates.
+    _MERGEABLE = {
+        "sum": (F.sum, F.sum),
+        "min": (F.min, F.min),
+        "max": (F.max, F.max),
+        "approx_distinct": (
+            F.hll_sketch_agg,
+            lambda n: F.hll_sketch_estimate(F.hll_union_agg(n)),
+        ),
+    }
 
     def __init__(
         self,
@@ -264,7 +279,7 @@ class IncrementalAggSink:
                 F.count("*").alias("n_rows"),
                 *[F.sum(c).cast("long").alias(f"sum_{c}") for c in self.sum_cols],
                 *[
-                    self._MERGEABLE[fn](c).alias(name)
+                    self._MERGEABLE[fn][0](c).alias(name)
                     for name, (fn, c) in self.aggs.items()
                 ],
             )
@@ -323,7 +338,7 @@ class IncrementalAggSink:
                 for c in self.sum_cols
             ],
             *[
-                self._MERGEABLE[fn](name).alias(name)
+                self._MERGEABLE[fn][1](name).alias(name)
                 for name, (fn, _) in self.aggs.items()
             ],
         )

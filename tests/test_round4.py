@@ -950,3 +950,58 @@ def test_span_seq_bound_stats_fallback(spark, tmp_path):
     assert ctl._span_seq_bound([0], "max") == 9
     with pytest.raises(ValueError, match="no events"):
         ctl._span_seq_bound([], "max")
+
+
+# ---------------------------------- IVM approx-distinct (HLL sketches)
+def test_ivm_approx_distinct_tracks_exact(spark, tiny_log, tmp_path):
+    """Incrementally-maintained approx distinct count per group: HLL
+    sketches stored per bucket union losslessly in the view; deletes are
+    handled by the bucket recompute (no sketch subtraction exists). The
+    estimate must track exact countDistinct within HLL tolerance through
+    replay, delete and compaction."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    sink = IncrementalAggSink(
+        table,
+        str(tmp_path / "view"),
+        aggs={"n_docs_approx": ("approx_distinct", "doc_id")},
+    )
+    StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions, sinks=[sink]
+    ).run()
+
+    def check():
+        exact = {
+            r["source"]: r["n"]
+            for r in table.current_state()
+            .groupBy("source")
+            .agg(F.countDistinct("doc_id").alias("n"))
+            .collect()
+        }
+        got = {
+            r["source"]: r["n_docs_approx"] for r in sink.view().collect()
+        }
+        assert set(got) == set(exact)
+        for src, n in exact.items():
+            assert abs(got[src] - n) <= max(2, int(0.05 * n)), (src, got[src], n)
+
+    check()
+    # delete a key -> touched-bucket recompute must re-derive the sketch
+    victim = table.current_state().select("doc_id").first()[0]
+    table.delete_keys_where(F.col("doc_id") == victim, seq_at_least=0)
+    sink.refresh(table.committed_epoch())
+    check()
+    if table.compact():
+        sink.refresh(table.committed_epoch())
+        check()
+
+
+def test_ivm_rejects_non_decomposable_agg(spark, tmp_path):
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    with pytest.raises(ValueError, match="not bucket-decomposable"):
+        IncrementalAggSink(
+            table, str(tmp_path / "v"), aggs={"bad": ("median", "n_tok")}
+        )
