@@ -49,6 +49,7 @@ class StructuredIngest:
         max_files_per_trigger: int | None = None,
         compact_max_deltas: int = 8,
         view_sink=None,
+        fact_table: LakeTable | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -64,6 +65,11 @@ class StructuredIngest:
         # optional IncrementalAggSink: refreshed after each fenced batch
         # (metadata-fingerprint diff -> bucket-pruned recompute)
         self.view_sink = view_sink
+        # optional append-only history table (state+facts dual output, the
+        # FactSink analog): insert_if_absent per segment is idempotent by
+        # (key, seq), so at-least-once replayed micro-batches converge
+        # without a separate fact fence
+        self.fact_table = fact_table
 
     # -------------------------------------------------------------- sink
     @property
@@ -86,12 +92,17 @@ class StructuredIngest:
         batch's final merge (replayed batches after a crash are no-ops)."""
         if batch_id <= self.stream_hwm():
             # replayed batch after a crash: the state is fenced, but the
-            # view flip may have been lost — refresh converges it (no-op
-            # when the bucket fingerprints already match). The view fence
-            # lives in the LOG-epoch domain (the table's committed epoch),
-            # never the per-checkpoint stream batch_id counter — mixing the
-            # two could move the fence forward past epochs a later batch
-            # controller still needs to drive through this sink.
+            # view flip / fact apply may have been lost — both converge
+            # idempotently (fingerprint no-op / (key, seq) dedup). The view
+            # fence lives in the LOG-epoch domain (the table's committed
+            # epoch), never the per-checkpoint stream batch_id counter —
+            # mixing the two could move the fence forward past epochs a
+            # later batch controller still needs to drive through this sink.
+            if self.fact_table is not None:
+                self.fact_table.refresh()
+                self.fact_table.insert_if_absent(
+                    batch_df.where(F.col("op") != "rollback")
+                )
             if self.view_sink is not None:
                 self.view_sink.refresh(self.table.committed_epoch())
             return
@@ -117,6 +128,12 @@ class StructuredIngest:
         def _pos(rb):
             return F.struct(F.lit(rb["epoch"]).alias("epoch"), F.lit(rb["seq"]).alias("seq"))
 
+        # fact dedup-scan pruning hint: one tiny action over the batch
+        min_seq = None
+        if self.fact_table is not None:
+            row = updates.agg(F.min("seq").alias("mn")).first()
+            min_seq = int(row["mn"]) if row["mn"] is not None else None
+
         ev_pos = F.struct(F.col("epoch"), F.col("seq"))
         bounds = list(rollbacks) + [None]
         lo = None
@@ -126,6 +143,8 @@ class StructuredIngest:
                 seg = seg.where(ev_pos > _pos(lo))
             if rb is not None:
                 seg = seg.where(ev_pos < _pos(rb))
+            if self.fact_table is not None:
+                self.fact_table.insert_if_absent(seg, min_seq=min_seq)
             if rb is None:
                 self.table.merge_upsert(
                     seg,
@@ -134,14 +153,20 @@ class StructuredIngest:
                 )
             else:
                 self.table.merge_upsert(seg, strategy=self.merge_strategy)
+                cond = (
+                    log_partition_col(F.col("doc_id"), self.n_partitions)
+                    == F.lit(rb["partition"])
+                ) & (F.col("seq") >= F.lit(rb["rollback_to_seq"]))
                 self.table.delete_keys_where(
-                    (
-                        log_partition_col(F.col("doc_id"), self.n_partitions)
-                        == F.lit(rb["partition"])
-                    )
-                    & (F.col("seq") >= F.lit(rb["rollback_to_seq"])),
-                    seq_at_least=rb["rollback_to_seq"],
+                    cond, seq_at_least=rb["rollback_to_seq"]
                 )
+                if self.fact_table is not None:
+                    # the FactSink rollback analog: history rows of the
+                    # invalidated range are removed (nothing to resurrect
+                    # in an append-only log)
+                    self.fact_table.delete_where(
+                        cond, seq_at_least=rb["rollback_to_seq"]
+                    )
                 lo = rb
         self.table.maybe_compact(
             max_deltas=self.compact_max_deltas, strategy=self.merge_strategy

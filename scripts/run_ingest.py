@@ -162,13 +162,12 @@ def main() -> None:
         ).repair_range(lo, hi, lock_ttl_s=args.repair_lock_ttl)
         events = stats.total_events
     elif args.streaming:
-        if fact_table is not None or any(s is not view_sink for s in sinks):
+        if any(s is not view_sink for s in sinks):
             # fail loudly rather than silently materializing only STATE;
-            # the view sink IS streamable (StructuredIngest refreshes it
-            # per fenced micro-batch)
+            # the view sink and the fact table ARE streamable
             ap.error(
-                "--streaming drives the STATE sink (plus --view-dir) only; "
-                "drop FACTS/EXPORTS or use the batch loop"
+                "--streaming drives STATE (plus --view-dir and "
+                "--fact-table-root) only; drop EXPORTS or use the batch loop"
             )
         from hemera_indexer_spark.streaming.structured import StructuredIngest
 
@@ -178,6 +177,7 @@ def main() -> None:
             merge_strategy=args.strategy,
             compact_max_deltas=args.compact_max_deltas,
             view_sink=view_sink,
+            fact_table=fact_table,
         ).start(available_now=True)
         q.awaitTermination()
         events = None

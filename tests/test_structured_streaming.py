@@ -199,3 +199,67 @@ def test_streaming_rollback_with_cross_epoch_redelivery(spark, tmp_path):
     )
     assert len(got) == len(exp) == 1
     assert got[0]["tokens"] == exp[0]["tokens"] == [3, 4]
+
+
+def test_structured_ingest_with_fact_table(spark, tmp_path):
+    """Streaming state+history dual output: the fact table driven by
+    StructuredIngest must equal the batch controller's FactSink result on
+    the same log (including the rollback delete), and a restart must not
+    duplicate history rows."""
+    import pyspark.sql.functions as F
+
+    from hemera_indexer_spark.schemas import FACTS_SCHEMA
+    from hemera_indexer_spark.streaming import StreamController
+
+    spec = ChangelogSpec(
+        n_docs=200,
+        n_epochs=4,
+        events_per_epoch=400,
+        n_partitions=4,
+        seed=19,
+        schema_evolution_epoch=None,
+        rollback_epochs=(2,),
+    )
+    log_dir = str(tmp_path / "log")
+    generate_changelog(log_dir, spec)
+
+    # reference result: batch controller with FactSink
+    b_state = LakeTable.create(
+        spark, str(tmp_path / "b_state"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    b_facts = LakeTable.create(
+        spark, str(tmp_path / "b_facts"), FACTS_SCHEMA, num_buckets=8,
+        properties={"table_type": "fact"},
+    )
+    StreamController(
+        spark, b_state, log_dir, spec.n_partitions, fact_table=b_facts
+    ).run()
+
+    s_state = LakeTable.create(
+        spark, str(tmp_path / "s_state"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    s_facts = LakeTable.create(
+        spark, str(tmp_path / "s_facts"), FACTS_SCHEMA, num_buckets=8,
+        properties={"table_type": "fact"},
+    )
+    ingest = StructuredIngest(
+        spark, s_state, log_dir, spec.n_partitions,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=5,
+        fact_table=s_facts,
+    )
+    ingest.start(available_now=True).awaitTermination(300)
+
+    def fact_rows(t):
+        t.refresh()
+        return sorted(
+            (r["doc_id"], r["seq"], r["op"], tuple(r["tokens"] or []))
+            for r in t.read().collect()
+        )
+
+    assert fact_rows(s_facts) == fact_rows(b_facts)
+
+    # restart with nothing new: replayed batches must not duplicate facts
+    before = fact_rows(s_facts)
+    ingest.start(available_now=True).awaitTermination(300)
+    assert fact_rows(s_facts) == before
