@@ -1104,6 +1104,66 @@ def q_dedup_keep_best(spark, sf):
     )
 
 
+def q_unigram_logprob(spark, sf):
+    """CCNet-shape LM quality scoring: each doc scored by its average
+    unigram log10-probability under the corpus's own word distribution —
+    low scores = rare-word/gibberish docs, the standard perplexity-filter
+    proxy. The vocabulary (distinct words ≪ corpus) broadcasts onto the
+    map-only exploded word stream; per-token scores round to 6dp and sum
+    as decimal(18,6) so the fold is order-independent (bit-identical to
+    any oracle regardless of partitioning)."""
+    docs = _t(spark, sf, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    freqs = words.groupBy("w").agg(F.count("*").alias("n"))
+    total = words.count()
+    scored = words.join(F.broadcast(freqs), "w").select(
+        "doc_id",
+        F.round(F.log10(F.col("n") / F.lit(float(total))), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round((F.sum("lp") / F.count("*")).cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias("avg_logprob"),
+        )
+        .where(F.col("doc_id") < 200)
+    )
+
+
+def q_label_centroids(spark, sf):
+    """Per-label embedding centroids (classifier prototypes / cluster
+    means): element-wise mean via posexplode + groupBy(label, dim) — ONE
+    shuffle keyed by (label, dim), embarrassingly parallel, no vector
+    ever assembled driver-side. Emits the EXACT decimal component sum +
+    count (mean = sum/n downstream) — order-independent and free of the
+    fixed-precision half-boundary rounding a mean would hit."""
+    emb = _t(spark, sf, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding")).alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            # EXACT decimal sum — the mean (sum/n) is a half-boundary
+            # trap at fixed precision (one cell of this very dataset
+            # lands exactly on .0000005 and Spark/DuckDB round it in
+            # opposite directions); exact sums sidestep rounding entirely
+            F.sum(F.col("v").cast("double").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("sum_v"),
+        )
+        .where(F.col("dim") < 8)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1165,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_band": q_length_band,
         "source_lang_matrix": q_source_lang_matrix,
         "dedup_keep_best": q_dedup_keep_best,
+        "unigram_logprob": q_unigram_logprob,
+        "label_centroids": q_label_centroids,
     }
 
 
@@ -2160,6 +2222,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_total
             FROM documents GROUP BY source
+        """,
+        "unigram_logprob": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+                FROM documents
+            ),
+            words AS (SELECT * FROM w WHERE w <> ''),
+            freqs AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+            total AS (SELECT COUNT(*) AS t FROM words),
+            scored AS (
+                SELECT words.doc_id,
+                       CAST(ROUND(log10(freqs.n / (SELECT t::DOUBLE FROM total)), 6)
+                            AS DECIMAL(18,6)) AS lp
+                FROM words JOIN freqs USING (w)
+            )
+            SELECT doc_id, COUNT(*) AS n_words,
+                   CAST(ROUND((SUM(lp) / COUNT(*))::DOUBLE, 6) AS DECIMAL(18,6))
+                       AS avg_logprob
+            FROM scored WHERE doc_id < 200 GROUP BY doc_id
+        """,
+        "label_centroids": """
+            WITH ex AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings
+            )
+            SELECT label, dim, COUNT(*) AS n_vecs,
+                   CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) AS sum_v
+            FROM ex WHERE dim < 8 GROUP BY label, dim
         """,
     }
 
