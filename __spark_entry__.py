@@ -1113,10 +1113,19 @@ def q_unigram_logprob(spark, sf):
     as decimal(18,6) so the fold is order-independent (bit-identical to
     any oracle regardless of partitioning)."""
     docs = _t(spark, sf, "documents")
-    words = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("w"),
-    ).where(F.col("w") != "")
+    # the word stream feeds THREE consumers (corpus total, frequency
+    # build, per-doc scoring join) — cache the shared branch once, same
+    # rule as the dedup pipeline's shared shingle branch
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+            ).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .cache()
+    )
     freqs = words.groupBy("w").agg(F.count("*").alias("n"))
     total = words.count()
     scored = words.join(F.broadcast(freqs), "w").select(
