@@ -52,6 +52,7 @@ import glob
 import json
 import os
 import time
+import zlib
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -149,6 +150,7 @@ class StreamController:
         fact_table: LakeTable | None = None,
         max_retries: int = 2,
         retry_backoff_s: float = 0.5,
+        tenant_cas_retries: int = 64,
         confirmation_lag: int = 0,
         hash_tail_len: int = 64,
         sinks: list | None = None,
@@ -192,6 +194,9 @@ class StreamController:
             self.sinks.append(FactSink(fact_table))
         self.max_retries = max_retries
         self.retry_backoff_s = retry_backoff_s
+        # Separate budget for tenant-mode snapshot CAS contention (expected
+        # traffic when N controllers share a table) — see _process_group.
+        self.tenant_cas_retries = tenant_cas_retries
         # confirmation delay: stay this many epochs behind the log head (the
         # reference's --delay lag behind the chain head,
         # /root/reference/cli/stream.py:222-229) so shallow forks resolve
@@ -519,19 +524,37 @@ class StreamController:
 
         lock_key = "repair_lock"
         me = runner or f"{os.uname().nodename}:{os.getpid()}"
-        held = self.table.snapshot["properties"].get(lock_key)
-        if held:
-            h = json.loads(held)
-            if time.time() - h["ts"] < lock_ttl_s:
-                raise RepairLockHeld(
-                    f"repair already running ({h['runner']}, "
-                    f"{time.time() - h['ts']:.0f}s ago); pass a smaller "
-                    f"lock_ttl_s to take over a crashed runner"
+        # Acquisition loop: the span computation above can take a while on
+        # a long log, so an ordinary commit (live ingest, another tenant)
+        # may land between our refresh and the CAS — that is routine
+        # traffic, not a second repair runner. Re-refresh, re-check the
+        # held lock, and retry the CAS; only a LIVE lock held by someone
+        # else raises RepairLockHeld. Two concurrent acquirers still
+        # serialize: exactly one CAS wins per snapshot, the loser re-reads
+        # the winner's lock and raises.
+        from hemera_indexer_spark.lake.table import ConcurrentCommitError
+
+        for attempt in range(5):
+            self.table.refresh()
+            held = self.table.snapshot["properties"].get(lock_key)
+            if held:
+                h = json.loads(held)
+                if h.get("runner") != me and time.time() - h["ts"] < lock_ttl_s:
+                    raise RepairLockHeld(
+                        f"repair already running ({h['runner']}, "
+                        f"{time.time() - h['ts']:.0f}s ago); pass a smaller "
+                        f"lock_ttl_s to take over a crashed runner"
+                    )
+            try:
+                # CAS acquisition: a concurrent acquirer loses the race
+                self.table.update_properties(
+                    {lock_key: json.dumps({"runner": me, "ts": time.time()})}
                 )
-        # CAS acquisition: a concurrent acquirer loses the snapshot race
-        self.table.update_properties(
-            {lock_key: json.dumps({"runner": me, "ts": time.time()})}
-        )
+                break
+            except ConcurrentCommitError:
+                if attempt == 4:
+                    raise
+                time.sleep(0.1 * (attempt + 1))
         try:
             man = json.loads(json.dumps(self._state_manifest()))
             man["epoch_id"] = lo_epoch - 1
@@ -585,8 +608,6 @@ class StreamController:
             # Release must also not be lost to a CAS race with a
             # concurrent commit — retry a few times; a still-stuck lock
             # degrades to the TTL takeover path, never a deadlock.
-            from hemera_indexer_spark.lake.table import ConcurrentCommitError
-
             for attempt in range(5):
                 try:
                     self.table.refresh()
@@ -601,43 +622,93 @@ class StreamController:
                         raise
                     time.sleep(0.1 * (attempt + 1))
 
-    def _span_seq_bound(self, epochs, kind: str) -> int:
-        """Min/max event seq across the given log epochs — footer column
-        stats with ONE pruned Spark aggregate fallback for files whose
-        writer emitted no stats (mirrors _build_manifest's fallback; a
-        missing-stats epoch must neither crash the bound nor silently
-        shrink the repair span)."""
-        agg_key = "mn" if kind == "min" else "mx"
-        best = None
-        missing: list[str] = []
-        for e in epochs:
-            files = self._epoch_files(e)
-            meta = self._epoch_meta(files)
-            vals = [
-                r[agg_key] for r in meta["lineage"] if r[agg_key] is not None
-            ]
-            if vals:
-                v = min(vals) if kind == "min" else max(vals)
-                best = v if best is None else (
-                    min(best, v) if kind == "min" else max(best, v)
-                )
-            if any(r[agg_key] is None and r["cnt"] for r in meta["lineage"]):
-                missing.extend(files)
+    def _epoch_file_seq_stats(self, epoch: int) -> tuple[int | None, int | None]:
+        """(min, max) event seq of one epoch, FILE-granular: every file's
+        footer is inspected individually, and files whose writer emitted no
+        seq stats (on any row group) fall back to ONE Spark aggregate over
+        exactly those files. Per-file granularity matters: a partition
+        holding one stats-bearing and one stats-less file must not let the
+        stats-bearing one mask the other — a masked file could silently
+        shrink a repair delete span onto pre-range winners."""
+        files = self._epoch_files(epoch)
+
+        def one(f: str):
+            md = pq.read_metadata(f)
+            if md.num_rows == 0:
+                return (None, None, False)
+            names = md.schema.to_arrow_schema().names
+            idx = names.index("seq")
+            mn, mx, incomplete = None, None, False
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    incomplete = True
+                    continue
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            return (mn, mx, incomplete)
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            stats = list(ex.map(one, files))
+        mn = min((s[0] for s in stats if s[0] is not None), default=None)
+        mx = max((s[1] for s in stats if s[1] is not None), default=None)
+        missing = [f for f, s in zip(files, stats) if s[2]]
         if missing:
-            fn = F.min if kind == "min" else F.max
-            v = (
+            row = (
                 self.spark.read.parquet(*missing)
-                .agg(fn("seq").alias("v"))
-                .first()["v"]
+                .agg(F.min("seq").alias("mn"), F.max("seq").alias("mx"))
+                .first()
             )
-            if v is not None:
-                v = int(v)
-                best = v if best is None else (
-                    min(best, v) if kind == "min" else max(best, v)
-                )
+            if row["mn"] is not None:
+                v = int(row["mn"])
+                mn = v if mn is None else min(mn, v)
+            if row["mx"] is not None:
+                v = int(row["mx"])
+                mx = v if mx is None else max(mx, v)
+        return mn, mx
+
+    def _span_seq_bound(
+        self, epochs, kind: str, walk_tolerance: int | None = 8
+    ) -> int:
+        """Min/max event seq across the given log epochs (footer
+        metadata; file-granular stats with Spark fallback, see
+        ``_epoch_file_seq_stats``).
+
+        ``kind='max'`` walks the epochs BACKWARD with early stop: because
+        original deliveries are seq-monotone across epochs, any epoch
+        containing at least one original dominates every earlier epoch,
+        so the running max stabilizes after the newest original-bearing
+        epoch — repair of a recent range costs O(few epochs) of footer
+        reads, not O(log history). The walk is exact unless MORE THAN
+        ``walk_tolerance`` consecutive epochs contain only re-delivered
+        duplicates (a pathological log; pass ``walk_tolerance=None`` to
+        force the exact full scan)."""
+        eps = list(epochs)
+        if kind == "min":
+            best = None
+            for e in eps:
+                mn, _ = self._epoch_file_seq_stats(e)
+                if mn is not None:
+                    best = mn if best is None else min(best, mn)
+        else:
+            best = None
+            streak = 0
+            for e in reversed(eps):
+                _, mx = self._epoch_file_seq_stats(e)
+                if mx is not None and (best is None or mx > best):
+                    best = mx
+                    streak = 0
+                else:
+                    streak += 1
+                    if (
+                        walk_tolerance is not None
+                        and best is not None
+                        and streak >= walk_tolerance
+                    ):
+                        break
         if best is None:
             raise ValueError(
-                f"no events found in epochs {list(epochs)}; cannot derive "
+                f"no events found in epochs {eps}; cannot derive "
                 f"the repair seq span"
             )
         return int(best)
@@ -666,11 +737,12 @@ class StreamController:
         from hemera_indexer_spark.lake.table import ConcurrentCommitError
 
         attempt = 0
+        cas_attempt = 0
         while True:
             try:
                 out = self._process_group_once(group, metas)
                 for s in out:
-                    s.retries = attempt
+                    s.retries = attempt + cas_attempt
                 return out
             except Exception as exc:
                 # In tenant mode several controllers legitimately share one
@@ -679,17 +751,32 @@ class StreamController:
                 # not an accidental double-runner: refresh and re-drive
                 # (idempotent by contract). Single-tenant keeps the loud
                 # failure — there the CAS exists to catch exactly that
-                # accident.
+                # accident. Expected contention gets its OWN budget
+                # (tenant_cas_retries, sized for N-way tenant fan-in),
+                # never the small transient-failure budget: with 3+ tenant
+                # controllers every commit attempt can legitimately lose
+                # the race, and 2 transient retries would crash a healthy
+                # run mid-backlog.
                 tenant_cas = (
                     self.tenant_col is not None
                     and isinstance(exc, ConcurrentCommitError)
                 )
-                if attempt >= self.max_retries or not (
-                    tenant_cas or is_retriable(exc)
-                ):
+                if tenant_cas:
+                    if cas_attempt >= self.tenant_cas_retries:
+                        raise
+                    cas_attempt += 1
+                    # short linear backoff with a deterministic per-tenant
+                    # phase offset so N contending tenants fan out instead
+                    # of re-colliding in lockstep
+                    phase = (
+                        zlib.crc32(str(self.tenant_id).encode()) % 7
+                    ) / 100.0
+                    time.sleep(0.05 * cas_attempt + phase)
+                elif attempt >= self.max_retries or not is_retriable(exc):
                     raise
-                attempt += 1
-                time.sleep(self.retry_backoff_s * attempt)
+                else:
+                    attempt += 1
+                    time.sleep(self.retry_backoff_s * attempt)
                 self.table.refresh()  # partial commits may have landed
 
     def _process_group_once(

@@ -90,22 +90,25 @@ class StructuredIngest:
         """foreachBatch handler: segment at rollbacks, LWW-merge, fence by a
         per-checkpoint stream high-water mark committed atomically with the
         batch's final merge (replayed batches after a crash are no-ops)."""
-        if batch_id <= self.stream_hwm():
-            # replayed batch after a crash: the state is fenced, but the
-            # view flip / fact apply may have been lost — both converge
-            # idempotently (fingerprint no-op / (key, seq) dedup). The view
-            # fence lives in the LOG-epoch domain (the table's committed
-            # epoch), never the per-checkpoint stream batch_id counter —
-            # mixing the two could move the fence forward past epochs a
-            # later batch controller still needs to drive through this sink.
-            if self.fact_table is not None:
-                self.fact_table.refresh()
-                self.fact_table.insert_if_absent(
-                    batch_df.where(F.col("op") != "rollback")
-                )
+        # Replayed batch after a crash (state already fenced): the view
+        # flip / fact apply may have been lost — both converge by
+        # RE-RUNNING the same segmented loop below with the STATE
+        # mutations skipped. A flat "re-insert all non-rollback events"
+        # would resurrect rolled-back history: a replayed batch whose
+        # rollback invalidated seqs that were never re-delivered must
+        # re-apply the rollback DELETES too, exactly like the batch
+        # controller's full-loop re-drive. The view fence lives in the
+        # LOG-epoch domain (the table's committed epoch), never the
+        # per-checkpoint stream batch_id counter — mixing the two could
+        # move the fence forward past epochs a later batch controller
+        # still needs to drive through this sink.
+        state_done = batch_id <= self.stream_hwm()
+        if state_done and self.fact_table is None:
             if self.view_sink is not None:
                 self.view_sink.refresh(self.table.committed_epoch())
             return
+        if state_done:
+            self.fact_table.refresh()
         # Segment by (epoch, seq), NOT seq alone. The log's replay order is
         # epochs in order, seq within an epoch — a single streaming batch
         # can span several epochs, and a LATER epoch may legitimately carry
@@ -146,20 +149,23 @@ class StructuredIngest:
             if self.fact_table is not None:
                 self.fact_table.insert_if_absent(seg, min_seq=min_seq)
             if rb is None:
-                self.table.merge_upsert(
-                    seg,
-                    strategy=self.merge_strategy,
-                    properties_update={self._fence_key: batch_id},
-                )
+                if not state_done:
+                    self.table.merge_upsert(
+                        seg,
+                        strategy=self.merge_strategy,
+                        properties_update={self._fence_key: batch_id},
+                    )
             else:
-                self.table.merge_upsert(seg, strategy=self.merge_strategy)
+                if not state_done:
+                    self.table.merge_upsert(seg, strategy=self.merge_strategy)
                 cond = (
                     log_partition_col(F.col("doc_id"), self.n_partitions)
                     == F.lit(rb["partition"])
                 ) & (F.col("seq") >= F.lit(rb["rollback_to_seq"]))
-                self.table.delete_keys_where(
-                    cond, seq_at_least=rb["rollback_to_seq"]
-                )
+                if not state_done:
+                    self.table.delete_keys_where(
+                        cond, seq_at_least=rb["rollback_to_seq"]
+                    )
                 if self.fact_table is not None:
                     # the FactSink rollback analog: history rows of the
                     # invalidated range are removed (nothing to resurrect
@@ -168,9 +174,10 @@ class StructuredIngest:
                         cond, seq_at_least=rb["rollback_to_seq"]
                     )
                 lo = rb
-        self.table.maybe_compact(
-            max_deltas=self.compact_max_deltas, strategy=self.merge_strategy
-        )
+        if not state_done:
+            self.table.maybe_compact(
+                max_deltas=self.compact_max_deltas, strategy=self.merge_strategy
+            )
         if self.view_sink is not None:
             # same epoch domain as the batch controller's after_commit path
             self.view_sink.refresh(self.table.committed_epoch())

@@ -952,6 +952,109 @@ def test_span_seq_bound_stats_fallback(spark, tmp_path):
         ctl._span_seq_bound([], "max")
 
 
+def test_span_seq_bound_mixed_stats_files_not_masked(spark, tmp_path):
+    """FILE-granular stats: a partition holding one stats-bearing file
+    (seqs 10..20) and one stats-less file (seqs 21..30) must yield
+    max=30 — merging stats at partition granularity would let the
+    stats-bearing file mask the other, shrinking a repair delete span
+    onto pre-range winners (permanent data loss)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = str(tmp_path / "log")
+    d = os.path.join(log, "epoch=00000", "partition=000")
+    os.makedirs(d)
+
+    def cols(seqs):
+        n = len(seqs)
+        return {
+            "seq": pa.array(seqs, pa.int64()),
+            "epoch": pa.array([0] * n, pa.int64()),
+            "partition": pa.array([0] * n, pa.int32()),
+            "doc_id": pa.array([f"doc_{s}" for s in seqs]),
+            "op": pa.array(["insert"] * n),
+            "tokens": pa.array([[1]] * n, pa.list_(pa.int32())),
+            "n_tok": pa.array([1] * n, pa.int32()),
+            "source": pa.array(["web"] * n),
+            "rollback_to_seq": pa.array([None] * n, pa.int64()),
+        }
+
+    pq.write_table(pa.table(cols([10, 20])), os.path.join(d, "a.parquet"))
+    pq.write_table(
+        pa.table(cols([21, 30])), os.path.join(d, "b.parquet"),
+        write_statistics=False,
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    ctl = StreamController(spark, table, log, 1)
+    assert ctl._span_seq_bound([0], "max") == 30
+    assert ctl._span_seq_bound([0], "min") == 10
+
+
+def test_span_seq_bound_backward_walk_early_stop(spark, tmp_path):
+    """kind='max' walks epochs backward with early stop (originals are
+    seq-monotone across epochs): on a long log only the tail epochs are
+    read, and the result equals the exact full scan even when the newest
+    epochs carry only re-delivered low-seq duplicates."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = str(tmp_path / "log")
+
+    def write(epoch, seqs):
+        d = os.path.join(log, f"epoch={epoch:05d}", "partition=000")
+        os.makedirs(d)
+        n = len(seqs)
+        pq.write_table(
+            pa.table({
+                "seq": pa.array(seqs, pa.int64()),
+                "epoch": pa.array([epoch] * n, pa.int64()),
+                "partition": pa.array([0] * n, pa.int32()),
+                "doc_id": pa.array([f"doc_{s}" for s in seqs]),
+                "op": pa.array(["insert"] * n),
+                "tokens": pa.array([[1]] * n, pa.list_(pa.int32())),
+                "n_tok": pa.array([1] * n, pa.int32()),
+                "source": pa.array(["web"] * n),
+                "rollback_to_seq": pa.array([None] * n, pa.int64()),
+            }),
+            os.path.join(d, "events.parquet"),
+        )
+
+    n_epochs = 40
+    for e in range(n_epochs - 2):
+        write(e, [e * 10, e * 10 + 5])  # originals: monotone across epochs
+    # newest two epochs: ONLY re-delivered duplicates at original low seqs
+    write(n_epochs - 2, [15])
+    write(n_epochs - 1, [3])
+    true_max = (n_epochs - 3) * 10 + 5
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    ctl = StreamController(spark, table, log, 1)
+
+    calls = []
+    orig = ctl._epoch_file_seq_stats
+    ctl._epoch_file_seq_stats = lambda e: (calls.append(e), orig(e))[1]
+
+    assert ctl._span_seq_bound(range(n_epochs), "max") == true_max
+    # early stop: duplicate-tail epochs + the dominating epoch + the
+    # tolerance streak — far fewer than the full history
+    assert len(calls) <= 2 + 1 + 8 < n_epochs
+    # exact full scan agrees
+    calls.clear()
+    assert (
+        ctl._span_seq_bound(range(n_epochs), "max", walk_tolerance=None)
+        == true_max
+    )
+    assert len(calls) == n_epochs
+
+
 # ---------------------------------- IVM approx-distinct (HLL sketches)
 def test_ivm_approx_distinct_tracks_exact(spark, tiny_log, tmp_path):
     """Incrementally-maintained approx distinct count per group: HLL

@@ -263,3 +263,75 @@ def test_structured_ingest_with_fact_table(spark, tmp_path):
     before = fact_rows(s_facts)
     ingest.start(available_now=True).awaitTermination(300)
     assert fact_rows(s_facts) == before
+
+
+def test_fenced_replay_does_not_resurrect_rolled_back_facts(spark, tmp_path):
+    """Regression for the crash-replay branch: a micro-batch whose state
+    merge committed the stream HWM but whose streaming checkpoint was LOST
+    (crash between the fenced merge and the checkpoint commit) is replayed
+    by foreachBatch with ``batch_id <= stream_hwm()``. The replay must
+    re-run the FULL segmented loop for the fact table — inserts AND
+    rollback deletes. An earlier version flat-re-inserted every
+    non-rollback event, resurrecting history whose rollback invalidated
+    seqs that were never re-delivered. A clean availableNow restart replays
+    zero batches, so this invokes ``_apply_batch`` twice by hand, exactly
+    what the engine does on that crash window."""
+    from hemera_indexer_spark.schemas import CHANGE_EVENT_SCHEMA, FACTS_SCHEMA
+
+    state = LakeTable.create(
+        spark, str(tmp_path / "state"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    facts = LakeTable.create(
+        spark, str(tmp_path / "facts"), FACTS_SCHEMA, num_buckets=4,
+        properties={"table_type": "fact"},
+    )
+    ingest = StructuredIngest(
+        spark, state, str(tmp_path / "log"), 1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        fact_table=facts,
+    )
+    rows = [
+        # survives: below the rollback floor
+        {"seq": 3, "epoch": 0, "partition": 0, "doc_id": "doc_1",
+         "op": "insert", "tokens": [1], "n_tok": 1, "source": "web",
+         "rollback_to_seq": None},
+        # invalidated by the rollback, never re-delivered
+        {"seq": 5, "epoch": 0, "partition": 0, "doc_id": "doc_2",
+         "op": "insert", "tokens": [2], "n_tok": 1, "source": "web",
+         "rollback_to_seq": None},
+        {"seq": 7, "epoch": 0, "partition": 0, "doc_id": "doc_1",
+         "op": "update", "tokens": [9, 9], "n_tok": 2, "source": "web",
+         "rollback_to_seq": None},
+        {"seq": 11, "epoch": 0, "partition": 0, "doc_id": "doc_1",
+         "op": "rollback", "tokens": None, "n_tok": None, "source": "web",
+         "rollback_to_seq": 5},
+    ]
+    batch = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+    def snap():
+        state.refresh()
+        facts.refresh()
+        st = sorted(
+            (r["doc_id"], r["seq"], tuple(r["tokens"] or []))
+            for r in state.current_state().collect()
+        )
+        fc = sorted(
+            (r["doc_id"], r["seq"], r["op"])
+            for r in facts.read().collect()
+        )
+        return st, fc
+
+    ingest._apply_batch(batch, 0)
+    st1, fc1 = snap()
+    # state: doc_1's winner (seq 7) and doc_2 (seq 5) are invalidated by
+    # the rollback and never re-delivered, so no live rows remain (doc_1's
+    # seq-3 version was LWW-superseded before the rollback; only a
+    # re-delivery restores it — the engine's reorg contract). History:
+    # exactly the pre-rollback-floor facts survive.
+    assert st1 == []
+    assert fc1 == [("doc_1", 3, "insert")]
+    assert ingest.stream_hwm() == 0
+
+    # crash-window replay: state fenced, facts must converge (not resurrect)
+    ingest._apply_batch(batch, 0)
+    assert snap() == (st1, fc1)
