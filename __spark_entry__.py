@@ -569,6 +569,23 @@ def q_ann_lsh_topk(spark, sf):
     )
 
 
+def q_ivf_topk(spark, sf):
+    """IVF cell-probe ANN (the brief's 'IVF variant as the scale path'):
+    seeded coarse quantizer + one Lloyd refinement, queries probe their
+    nprobe nearest cells, exact cosine re-rank inside the probed cells.
+    See operators/similarity.py::ivf_topk for the scale/determinism
+    notes."""
+    from hemera_indexer_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf, "embeddings"),
+        query_ids=[0, 1, 2, 3, 4],
+        k=5,
+        ncells=16,
+        nprobe=4,
+    )
+
+
 # ------------------------------------------------------------ text suite
 def q_text_stats(spark, sf):
     from hemera_indexer_spark.operators.text import with_text_stats
@@ -1236,7 +1253,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "unigram_logprob": q_unigram_logprob,
         "label_centroids": q_label_centroids,
+        "ivf_topk": q_ivf_topk,
     }
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine-similarity expression between two list columns — the
+    same sequential double fold the Spark ``dot``/``norm`` helpers compute
+    (identical inputs + identical fold order = bit-identical doubles)."""
+    return f"""(
+        list_reduce(list_transform(generate_series(1, len({a})),
+                    i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE),
+                    (acc, x) -> acc + x)
+        / (sqrt(list_reduce(list_transform(generate_series(1, len({a})),
+                    i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE),
+                    (acc, x) -> acc + x))
+         * sqrt(list_reduce(list_transform(generate_series(1, len({b})),
+                    i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE),
+                    (acc, x) -> acc + x))))"""
 
 
 # --------------------------------------------------------------------------
@@ -1748,6 +1782,77 @@ def oracle_sql() -> dict[str, str]:
                        , 4) AS cos_sim
                 FROM emb e JOIN q ON e.bucket = q.qbucket
                 WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, rank, neighbor_id, cos_sim FROM (
+                SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        # IVF cell-probe ANN: seed quantizer = 16 smallest ids, one Lloyd
+        # refinement with EXACT decimal(18,6) component sums (order-free,
+        # so both engines build bit-identical refined centroids), probes =
+        # 4 nearest cells per query, exact cosine re-rank inside probed
+        # cells. Ties everywhere break on the smaller cell/neighbor id.
+        "ivf_topk": f"""
+            WITH seeds AS (
+                SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell,
+                       embedding AS sv
+                FROM (SELECT * FROM embeddings ORDER BY vec_id ASC LIMIT 16)
+            ),
+            a1 AS (
+                SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, s.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {_cos_sql('e.embedding', 's.sv')} DESC,
+                                        s.cell ASC) AS rn
+                    FROM embeddings e CROSS JOIN seeds s
+                ) WHERE rn = 1
+            ),
+            memb AS (
+                SELECT a1.cell AS cell,
+                       generate_subscripts(e.embedding, 1) - 1 AS dim,
+                       unnest(e.embedding) AS v
+                FROM embeddings e JOIN a1 USING (vec_id)
+            ),
+            comp AS (
+                SELECT cell, dim,
+                       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)))
+                            AS DOUBLE) / COUNT(*) AS c
+                FROM memb GROUP BY cell, dim
+            ),
+            refined AS (
+                SELECT cell, list(c ORDER BY dim) AS rv FROM comp GROUP BY cell
+            ),
+            a2 AS (
+                SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, r.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {_cos_sql('e.embedding', 'r.rv')} DESC,
+                                        r.cell ASC) AS rn
+                    FROM embeddings e CROSS JOIN refined r
+                ) WHERE rn = 1
+            ),
+            q AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id IN (0,1,2,3,4)
+            ),
+            probes AS (
+                SELECT query_id, qv, cell FROM (
+                    SELECT q.query_id, q.qv, r.cell,
+                           row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY {_cos_sql('q.qv', 'r.rv')} DESC,
+                                        r.cell ASC) AS pr
+                    FROM q CROSS JOIN refined r
+                ) WHERE pr <= 4
+            ),
+            scored AS (
+                SELECT p.query_id, e.vec_id AS neighbor_id,
+                       ROUND({_cos_sql('e.embedding', 'p.qv')}, 4) AS cos_sim
+                FROM embeddings e
+                JOIN a2 ON e.vec_id = a2.vec_id
+                JOIN probes p ON a2.cell = p.cell
+                WHERE e.vec_id <> p.query_id
             )
             SELECT query_id, rank, neighbor_id, cos_sim FROM (
                 SELECT *, row_number() OVER

@@ -238,3 +238,153 @@ def anchor_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def _argmax_cell(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, cell): each vector's nearest centroid by cosine (ties ->
+    smallest cell id). Centroids are broadcast; the argmax is a map-side
+    combinable ``max_by`` groupBy — ONE shuffle of N pre-reduced rows, no
+    window over the N x ncells cross product."""
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("_cell"),
+        cosine(F.col(vec_col), F.col("_cv")).alias("_cos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "_cell", F.struct(F.col("_cos"), (-F.col("_cell")).alias("_n"))
+        ).alias("cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    ncells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via an IVF (inverted-file) coarse quantizer — the cell-probe
+    counterpart to ``anchor_lsh_topk``'s hash-bucket path.
+
+    Build: seed centroids are the embeddings of the ``ncells`` smallest
+    ids (deterministic, oracle-derivable without a shared RNG), refined by
+    ONE Lloyd iteration: assign every vector to its nearest seed (max
+    cosine), then recompute each cell's centroid as the element-wise mean
+    of its members. Search: a query probes its ``nprobe`` nearest refined
+    cells; candidates are the vectors ASSIGNED to those cells (equi-join
+    on cell — never all-pairs); exact cosine re-ranks, top-k per query.
+
+    Scale shape: centroids are a bounded driver artifact (ncells x dim
+    doubles — the same thing any IVF build broadcasts as its quantizer);
+    both assignment passes are broadcast-join + map-side-combined argmax
+    (one N-row shuffle each); the centroid mean is ONE shuffle keyed by
+    (cell, dim); candidate generation shuffles on cell. Recall/cost knobs
+    are ncells (cell granularity) and nprobe (cells searched per query).
+
+    Cross-engine determinism: refined centroid components are the EXACT
+    decimal(18,6) sum of members divided by the member count — the
+    decimal sum is order-independent, so Spark and any SQL oracle build
+    bit-identical centroids, and every downstream cosine (a sequential
+    fold over identical doubles) is bit-identical too; assignment and
+    probe ties break on the smaller cell id. Result cos_sim rounds to 4dp
+    as in ``brute_force_topk``.
+    """
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    cent_schema = T.StructType(
+        [
+            T.StructField("_cell", T.IntegerType(), False),
+            T.StructField("_cv", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+    # seed quantizer: <= ncells rows by construction (bounded collect, the
+    # broadcast-small-side rule — identical shape to anchor_lsh_buckets)
+    seed_rows = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(ncells)
+        .select(vec_col)
+        .collect()
+    )
+    seeds = spark.createDataFrame(
+        [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)],
+        cent_schema,
+    )
+
+    # one Lloyd refinement: assign -> exact-decimal elementwise mean
+    assigned1 = _argmax_cell(emb, seeds, id_col, vec_col)
+    comp = (
+        emb.join(assigned1, emb[id_col] == assigned1["vec_id"])
+        .select("cell", F.posexplode(F.col(vec_col)).alias("dim", "_v"))
+        .groupBy("cell", "dim")
+        .agg(
+            (
+                F.sum(
+                    F.col("_v").cast("double").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    # ncells x dim doubles -> the refined quantizer (bounded collect)
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in comp.collect():
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = r["c"]
+    refined = spark.createDataFrame(
+        [
+            (c, [vs[d] for d in sorted(vs)])
+            for c, vs in sorted(by_cell.items())
+        ],
+        cent_schema,
+    )
+
+    assigned = _argmax_cell(emb, refined, id_col, vec_col)
+
+    # probe list: each query's nprobe nearest refined cells
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_pcos").desc(), F.col("_cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(refined))
+        .select(
+            "query_id",
+            "_qv",
+            F.col("_cell"),
+            cosine(F.col("_qv"), F.col("_cv")).alias("_pcos"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", F.col("_cell").alias("cell"))
+    )
+
+    # candidates: vectors assigned to a probed cell (equi-join on cell)
+    cands = (
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+        .join(assigned, F.col("neighbor_id") == assigned["vec_id"])
+        .join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_v"), F.col("_qv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
