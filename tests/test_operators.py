@@ -278,3 +278,39 @@ def test_sketch_scale_paths_within_error_bounds(spark):
         .collect()[0]
     )
     assert abs(approx_p - exact_p) / exact_p < 0.02
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """Pin the IVF cell-probe recall against exact brute force on the
+    driver's embeddings fixture, so the approximation is a measured
+    trade (same discipline as the sketch error-bound test). nprobe=4 of
+    ncells=16 searches ~1/4 of the corpus per query; random unit-ish
+    vectors are the WORST case for any partitioning ANN (no cluster
+    structure), so this is a floor, not a showcase."""
+    from hemera_indexer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = brute_force_topk(emb, query_ids=qids, k=5).collect()
+    approx = ivf_topk(emb, query_ids=qids, k=5, ncells=16, nprobe=4).collect()
+
+    def by_q(rows):
+        d = {}
+        for r in rows:
+            d.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return d
+
+    ex, ap = by_q(exact), by_q(approx)
+    assert set(ap) == set(qids)
+    # every approx hit must be a real vector with rank structure intact
+    for q in qids:
+        assert len(ap[q]) == 5
+    hits = sum(len(ex[q] & ap[q]) for q in qids)
+    recall = hits / sum(len(ex[q]) for q in qids)
+    # measured 0.84 on this fixture (1/4 of cells probed); pin a floor
+    # well above the 0.25 a random-subset search would give so
+    # regressions in cell assignment/probing are caught
+    assert recall >= 0.6, f"IVF recall collapsed: {recall}"
