@@ -70,7 +70,23 @@ def main() -> None:
     ap.add_argument("--repair-lock-ttl", type=float, default=3600.0,
                     help="seconds before a crashed runner's repair lock may "
                          "be taken over")
+    ap.add_argument("--tenant-col", default=None,
+                    help="multi-tenant mode: stamp every row of this run "
+                         "with TENANT-COL = TENANT-ID (the reference's "
+                         "chain_id); several tenant runs may share one "
+                         "table, each fenced independently")
+    ap.add_argument("--tenant-id", default=None,
+                    help="tenant value for --tenant-col; digits are stored "
+                         "as a LONG column, anything else as STRING")
     args = ap.parse_args()
+    tenant_kw = {}
+    if args.tenant_col is not None:
+        if args.tenant_id is None:
+            ap.error("--tenant-col requires --tenant-id")
+        tid = int(args.tenant_id) if args.tenant_id.isdigit() else args.tenant_id
+        tenant_kw = {"tenant_col": args.tenant_col, "tenant_id": tid}
+        if args.streaming:
+            ap.error("--tenant-col uses the batch controller; drop --streaming")
 
     from pyspark.sql import SparkSession
 
@@ -159,6 +175,7 @@ def main() -> None:
             fact_table=fact_table,
             sinks=sinks,
             confirmation_lag=args.confirmation_lag,
+            **tenant_kw,
         ).repair_range(lo, hi, lock_ttl_s=args.repair_lock_ttl)
         events = stats.total_events
     elif args.streaming:
@@ -192,6 +209,7 @@ def main() -> None:
             fact_table=fact_table,
             sinks=sinks,
             confirmation_lag=args.confirmation_lag,
+            **tenant_kw,
         ).run(max_epochs=args.max_epochs)
         events = stats.total_events
     wall = time.monotonic() - t0

@@ -1108,3 +1108,54 @@ def test_ivm_rejects_non_decomposable_agg(spark, tmp_path):
         IncrementalAggSink(
             table, str(tmp_path / "v"), aggs={"bad": ("median", "n_tok")}
         )
+
+
+def test_run_ingest_cli_tenant_mode(spark, tmp_path):
+    """The CLI surface of tenant mode: two `run_ingest.py --tenant-col
+    chain_id --tenant-id N` subprocess runs (separate Spark sessions,
+    exactly how per-chain runners deploy) share one table root; each
+    tenant's state must match its own log's oracle."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    from hemera_indexer_spark.oracle import expected_live_rows
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    logs = {}
+    for tenant in (1, 2):
+        spec = ChangelogSpec(
+            n_docs=120, n_epochs=3, events_per_epoch=200, n_partitions=2,
+            seed=200 + tenant, schema_evolution_epoch=None,
+            rollback_epochs=(), doc_prefix=f"t{tenant}_doc",
+        )
+        logs[tenant] = generate_changelog(str(tmp_path / f"log{tenant}"), spec)
+
+    for tenant in (1, 2):
+        r = subprocess.run(
+            [
+                _sys.executable, os.path.join(repo, "scripts", "run_ingest.py"),
+                "--log-dir", logs[tenant].out_dir,
+                "--table-root", str(tmp_path / "lake"),
+                "--partitions", "2", "--num-buckets", "4", "--cores", "2",
+                "--tenant-col", "chain_id", "--tenant-id", str(tenant),
+            ],
+            capture_output=True, text=True, cwd=repo, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    t = LakeTable.load(spark, str(tmp_path / "lake"))
+    state = t.current_state()
+    for tenant in (1, 2):
+        exp = expected_live_rows(logs[tenant].out_dir, 2)
+        got = sorted(
+            (r.asDict(recursive=True)
+             for r in state.where(F.col("chain_id") == tenant).collect()),
+            key=lambda d: d["doc_id"],
+        )
+        assert len(got) == len(exp), f"tenant {tenant} rows"
+        assert all(g["tokens"] == e["tokens"] for g, e in zip(got, exp))
