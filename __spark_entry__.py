@@ -1190,6 +1190,69 @@ def q_label_centroids(spark, sf):
     )
 
 
+def q_chunk_dedup(spark, sf):
+    """C4-style chunk-level (line) dedup accounting: global
+    first-occurrence wins over 8-word chunks; per-doc survival counts.
+    One window shuffle keyed by chunk text (operators/dedup.py
+    ``chunk_dedup_counts``)."""
+    from hemera_indexer_spark.operators.dedup import chunk_dedup_counts
+
+    docs = _t(spark, sf, "documents")
+    return chunk_dedup_counts(docs, "doc_id", "text", chunk_words=8).where(
+        F.col("doc_id") < 300
+    )
+
+
+def q_bigram_pmi(spark, sf):
+    """Collocation mining: top-40 adjacent-word pairs by PMI with a
+    min-count floor (operators/corpus.py ``bigram_pmi``) — bigram zip is
+    codegen, vocabulary side broadcast, totals ride a window over the
+    aggregate."""
+    from hemera_indexer_spark.operators.corpus import bigram_pmi
+
+    docs = _t(spark, sf, "documents")
+    return bigram_pmi(docs, "text", min_count=5, top_k=40)
+
+
+def q_vocab_coverage(spark, sf):
+    """Tokenizer-sizing curve: smallest vocab rank covering 50/90/99% of
+    token occurrences (operators/corpus.py ``vocab_coverage``)."""
+    from hemera_indexer_spark.operators.corpus import vocab_coverage
+
+    docs = _t(spark, sf, "documents")
+    return vocab_coverage(docs, "text", thresholds=(0.5, 0.9, 0.99))
+
+
+def q_source_kl(spark, sf):
+    """Mixture skew: KL(source unigram dist ‖ corpus dist) per source,
+    one occurrence-stream shuffle, per-term decimal rounding so the fold
+    is order-independent (operators/corpus.py ``source_kl``)."""
+    from hemera_indexer_spark.operators.corpus import source_kl
+
+    docs = _t(spark, sf, "documents")
+    return source_kl(docs, "source", "text")
+
+
+def q_zipf_slope(spark, sf):
+    """Distribution health: least-squares Zipf slope of log10(freq) vs
+    log10(rank) per language, computed from exact decimal sums
+    (operators/corpus.py ``zipf_slope``)."""
+    from hemera_indexer_spark.operators.corpus import zipf_slope
+
+    docs = _t(spark, sf, "documents")
+    return zipf_slope(docs, "text", group_col="lang")
+
+
+def q_source_sample(spark, sf):
+    """Deterministic inspection panel: 10 docs per source by md5(doc_id)
+    rank — same rows on every engine/cluster size/retry
+    (operators/corpus.py ``per_group_sample``)."""
+    from hemera_indexer_spark.operators.corpus import per_group_sample
+
+    docs = _t(spark, sf, "documents")
+    return per_group_sample(docs, "source", "doc_id", k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1252,6 +1315,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lang_matrix": q_source_lang_matrix,
         "dedup_keep_best": q_dedup_keep_best,
         "unigram_logprob": q_unigram_logprob,
+        "chunk_dedup": q_chunk_dedup,
+        "bigram_pmi": q_bigram_pmi,
+        "vocab_coverage": q_vocab_coverage,
+        "source_kl": q_source_kl,
+        "zipf_slope": q_zipf_slope,
+        "source_sample": q_source_sample,
         "label_centroids": q_label_centroids,
         "ivf_topk": q_ivf_topk,
     }
@@ -2355,6 +2424,142 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND((SUM(lp) / COUNT(*))::DOUBLE, 6) AS DECIMAL(18,6))
                        AS avg_logprob
             FROM scored WHERE doc_id < 200 GROUP BY doc_id
+        """,
+        "chunk_dedup": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+                FROM documents
+            ),
+            ch AS (
+                SELECT doc_id, t.i AS chunk_idx,
+                       array_to_string(ws[t.i*8+1 : t.i*8+8], ' ') AS chunk
+                FROM d, UNNEST(range(0, CAST(ceil(len(ws)/8.0) AS BIGINT))) AS t(i)
+                WHERE len(ws) > 0 AND ws[1] <> ''
+            ),
+            ranked AS (
+                SELECT doc_id, chunk,
+                       row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rk
+                FROM ch
+            )
+            SELECT doc_id, COUNT(*) AS n_chunks,
+                   CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+                   CAST(SUM(CASE WHEN rk = 1 THEN len(string_split(chunk, ' ')) ELSE 0 END)
+                        AS BIGINT) AS kept_words
+            FROM ranked WHERE doc_id < 300 GROUP BY doc_id
+        """,
+        "bigram_pmi": """
+            WITH d AS (
+                SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+                FROM documents
+            ),
+            bg AS (
+                SELECT ws[t.i] AS x, ws[t.i+1] AS y
+                FROM d, UNNEST(range(1, len(ws))) AS t(i)
+                WHERE len(ws) >= 2
+            ),
+            big0 AS (
+                SELECT x, y, COUNT(*) AS c_xy FROM bg
+                WHERE x <> '' AND y <> '' GROUP BY x, y
+            ),
+            big AS (
+                SELECT x, y, c_xy, SUM(c_xy) OVER () AS n_big FROM big0
+            ),
+            uni0 AS (
+                SELECT u.w AS w, COUNT(*) AS c
+                FROM d, UNNEST(d.ws) AS u(w) WHERE u.w <> '' GROUP BY u.w
+            ),
+            uni AS (SELECT w, c, SUM(c) OVER () AS n_uni FROM uni0)
+            SELECT big.x, big.y, big.c_xy,
+                   CAST(ROUND(ln((big.c_xy / big.n_big)
+                                 / ((ux.c / ux.n_uni) * (uy.c / uy.n_uni))), 6)
+                        AS DECIMAL(18,6)) AS pmi
+            FROM big
+            JOIN uni ux ON ux.w = big.x
+            JOIN uni uy ON uy.w = big.y
+            WHERE big.c_xy >= 5
+            ORDER BY pmi DESC, big.x, big.y LIMIT 40
+        """,
+        "vocab_coverage": """
+            WITH d AS (
+                SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+                FROM documents
+            ),
+            uni AS (
+                SELECT u.w AS w, COUNT(*) AS c
+                FROM d, UNNEST(d.ws) AS u(w) WHERE u.w <> '' GROUP BY u.w
+            ),
+            r AS (
+                SELECT row_number() OVER (ORDER BY c DESC, w) AS rank,
+                       SUM(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(c) OVER () AS total
+                FROM uni
+            )
+            SELECT CAST(t.threshold AS DECIMAL(18,6)) AS threshold,
+                   CAST(MIN(rank) AS INT) AS vocab_rank
+            FROM r, (VALUES (0.5), (0.9), (0.99)) AS t(threshold)
+            WHERE cum / total >= t.threshold - 1e-12
+            GROUP BY t.threshold
+        """,
+        "source_kl": """
+            WITH ws AS (
+                SELECT d.source, u.w AS w
+                FROM (SELECT source,
+                             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+                      FROM documents) d, UNNEST(d.arr) AS u(w)
+                WHERE u.w <> ''
+            ),
+            sc AS (SELECT source, w, COUNT(*) AS c_sw FROM ws GROUP BY source, w),
+            gc AS (SELECT w, SUM(c_sw) AS c_w FROM sc GROUP BY w),
+            gt AS (SELECT SUM(c_w) AS n_tot FROM gc),
+            st AS (SELECT source, SUM(c_sw) AS n_src FROM sc GROUP BY source),
+            term AS (
+                SELECT sc.source, st.n_src,
+                       CAST(ROUND((sc.c_sw / st.n_src)
+                                  * ln((sc.c_sw / st.n_src)
+                                       / (gc.c_w / (SELECT n_tot FROM gt))), 6)
+                            AS DECIMAL(18,6)) AS t
+                FROM sc JOIN gc USING (w) JOIN st USING (source)
+            )
+            SELECT source, CAST(MAX(n_src) AS BIGINT) AS n_words,
+                   CAST(SUM(t) AS DECIMAL(18,6)) AS kl
+            FROM term GROUP BY source
+        """,
+        "zipf_slope": """
+            WITH ws AS (
+                SELECT d.lang, u.w AS w
+                FROM (SELECT lang,
+                             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+                      FROM documents) d, UNNEST(d.arr) AS u(w)
+                WHERE u.w <> ''
+            ),
+            uni AS (SELECT lang, w, COUNT(*) AS c FROM ws GROUP BY lang, w),
+            xy AS (
+                SELECT lang,
+                       CAST(ROUND(log10(CAST(row_number() OVER
+                                (PARTITION BY lang ORDER BY c DESC, w) AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) AS x,
+                       CAST(ROUND(log10(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+                FROM uni
+            ),
+            agg AS (
+                SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x*y) AS sxy, SUM(x*x) AS sxx
+                FROM xy GROUP BY lang
+            )
+            SELECT lang, CAST(n AS BIGINT) AS n_types,
+                   CAST(ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                              / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+                        AS DECIMAL(18,6)) AS slope
+            FROM agg
+        """,
+        "source_sample": """
+            SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                FROM documents
+            ) WHERE rk <= 10
         """,
         "label_centroids": """
             WITH ex AS (

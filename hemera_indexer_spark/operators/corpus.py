@@ -1,0 +1,302 @@
+"""Corpus-distribution statistics for training-data curation — the
+aggregate views a data team reads before (and after) building a mixture:
+
+- bigram PMI collocations (phrase mining / tokenizer-merge candidates),
+- vocabulary coverage thresholds (how many types cover X% of tokens),
+- per-source KL divergence against the corpus unigram distribution
+  (mixture skew: which sources pull the distribution hardest),
+- Zipf slope per language (distribution health: natural text sits near
+  -1; spam / template farms flatten or steepen it),
+- deterministic per-group sampling (inspection panels, eval carve-outs).
+
+All pure DataFrame composition over a map-only exploded word stream;
+every aggregate is map-side combined and nothing crosses the Python
+boundary. Floating outputs follow the repo's oracle discipline: per-row
+terms are rounded to 6dp and cast to decimal(18,6) BEFORE any sum, so
+fold order (Spark partitioning, DuckDB vectorization) can never change
+the result.
+
+Reference anchor: the reference's aggregate jobs compute fixed daily
+rollups over indexed rows (/root/reference/cli/aggregates.py,
+indexer/aggr_jobs/*); these operators are the corpus-statistics analog
+over the materialized text corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "word_stream",
+    "bigram_pmi",
+    "vocab_coverage",
+    "source_kl",
+    "zipf_slope",
+    "per_group_sample",
+]
+
+
+def word_stream(
+    df: DataFrame, text_col: str = "text", *extra_cols: str
+) -> DataFrame:
+    """Map-only exploded word stream: one row per word occurrence, with
+    ``extra_cols`` carried along. Lowercased, whitespace-split, empties
+    dropped — the same normal form every text operator in the repo uses
+    (and every DuckDB oracle mirrors verbatim)."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    return (
+        df.select(*extra_cols, F.explode(w).alias("w"))
+        .where(F.col("w") != "")
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information:
+    ``pmi = ln( p(x,y) / (p(x)·p(y)) )`` with p(x,y) over the bigram
+    stream and p(x) over the unigram stream. The classic phrase-mining
+    score (Church & Hanks 1990); in an LLM pipeline it surfaces
+    tokenizer-merge candidates and template boilerplate.
+
+    Shape: the split word array is materialized into a column once (the
+    repo's no-CSE-inside-lambda rule), bigrams come from a zip of the
+    array against itself shifted by one (two O(len) slices + one
+    zip_with, all codegen), and both count tables are map-side-combined
+    groupBys. ``min_count`` prunes the bigram table BEFORE the joins;
+    the unigram (vocabulary) side is broadcast — vocabulary ≪ corpus is
+    the standing assumption of every text pipeline here. Totals ride an
+    unpartitioned window over the already-aggregated (tiny) tables, so
+    no second corpus scan.
+
+    Output ordering ties break on (x, y); the pmi used for ordering is
+    the rounded decimal, so rank is as reproducible as the values."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    base = df.select(w.alias("_w"))
+    arr = F.col("_w")
+    sz = F.size(arr)
+    pairs = (
+        base.where(sz >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, sz - 1),
+                    F.slice(arr, 2, sz - 1),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.x", "bg.y")
+        .where((F.col("x") != "") & (F.col("y") != ""))
+    )
+    big = pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    uni = (
+        base.select(F.explode(arr).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_big = F.sum("c_xy").over(Window.partitionBy())
+    n_uni = F.sum("c").over(Window.partitionBy())
+    # total BEFORE the min_count prune: p(x,y) is over all bigrams, not
+    # just the frequent ones
+    big = big.withColumn("n_big", n_big).where(F.col("c_xy") >= min_count)
+    uni = uni.withColumn("n_uni", n_uni)
+    ux = uni.select(
+        F.col("w").alias("x"), F.col("c").alias("c_x"), "n_uni"
+    )
+    uy = uni.select(F.col("w").alias("y"), F.col("c").alias("c_y"))
+    out = (
+        big.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("n_big"))
+                    / (
+                        (F.col("c_x") / F.col("n_uni"))
+                        * (F.col("c_y") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("pmi"),
+        )
+    )
+    return out.orderBy(F.desc("pmi"), F.asc("x"), F.asc("y")).limit(top_k)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """For each coverage threshold t: the smallest vocabulary rank (types
+    ordered by frequency desc, word asc) whose cumulative token share
+    reaches t — the "how big a vocab covers 99% of tokens" curve read
+    before sizing a tokenizer.
+
+    The corpus-sized work is one map-side-combined unigram count; the
+    cumulative window runs over the VOCABULARY (types, not tokens) in a
+    single unpartitioned sort — the standing vocabulary ≪ corpus
+    assumption (millions of types from a 100 TB corpus is a one-node
+    sort). The 3-row threshold table is broadcast onto it."""
+    uni = word_stream(df, text_col).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    wr = Window.orderBy(F.desc("c"), F.asc("w"))
+    cum = (
+        uni.withColumn("rank", F.row_number().over(wr))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("total", F.sum("c").over(Window.partitionBy()))
+    )
+    spark = df.sparkSession
+    thr = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    return (
+        cum.join(
+            F.broadcast(thr),
+            F.col("cum") / F.col("total")
+            >= F.col("threshold") - F.lit(1e-12),
+        )
+        .groupBy("threshold")
+        .agg(F.min("rank").alias("vocab_rank"))
+        .select(
+            F.col("threshold").cast("decimal(18,6)").alias("threshold"),
+            "vocab_rank",
+        )
+    )
+
+
+def source_kl(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source KL divergence of the source's unigram distribution from
+    the whole-corpus distribution: ``KL(p_s ‖ p_corpus) = Σ_w p_s(w) ·
+    ln(p_s(w)/p(w))`` — the mixture-skew score (which sources drag the
+    training distribution hardest; CCNet/Pile-style curation reads this
+    next to the token budget).
+
+    ONE corpus pass: per-(source, word) counts are the only
+    occurrence-stream shuffle; the global word counts are re-aggregated
+    FROM that table (vocabulary-sized input), not from a second scan.
+    Per-word terms round to decimal(18,6) before the per-source sum, so
+    the fold is order-independent (oracle-exact under any partitioning).
+    KL ≥ 0 up to that rounding."""
+    sc = (
+        word_stream(df, text_col, group_col)
+        .groupBy(group_col, "w")
+        .agg(F.count("*").alias("c_sw"))
+    )
+    gc = sc.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    gc = gc.withColumn("n_tot", F.sum("c_w").over(Window.partitionBy()))
+    sc = sc.withColumn(
+        "n_src",
+        F.sum("c_sw").over(Window.partitionBy(group_col)),
+    )
+    term = (
+        sc.join(F.broadcast(gc), "w")
+        .select(
+            group_col,
+            "n_src",
+            F.round(
+                (F.col("c_sw") / F.col("n_src"))
+                * F.log(
+                    (F.col("c_sw") / F.col("n_src"))
+                    / (F.col("c_w") / F.col("n_tot"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("t"),
+        )
+    )
+    return term.groupBy(group_col).agg(
+        F.first("n_src").alias("n_words"),
+        F.sum("t").cast("decimal(18,6)").alias("kl"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", group_col: str | None = None
+) -> DataFrame:
+    """Least-squares slope of log10(frequency) against log10(rank) per
+    group (rank by frequency desc, word asc): the Zipf exponent.
+    Natural-language corpora sit near -1; template/spam sources flatten
+    toward 0 or collapse steeply — a one-number distribution-health
+    probe per language or source.
+
+    Determinism: the slope is computed from the closed form
+    ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` where x = log10(rank) and
+    y = log10(freq) are rounded to decimal(18,6) PER ROW first — all
+    four sums are exact decimal folds (order-independent), and only the
+    final scalar expression runs in floating point. ``covar_pop`` /
+    ``regr_slope`` would fold doubles in partition order and flake
+    against the oracle at the last ulp.
+
+    The ranking window partitions by group (or runs unpartitioned for a
+    whole-corpus slope) over the vocabulary-sized count table."""
+    cols = [group_col] if group_col else []
+    uni = word_stream(df, text_col, *cols).groupBy(*cols, "w").agg(
+        F.count("*").alias("c")
+    )
+    wr = Window.partitionBy(*cols).orderBy(F.desc("c"), F.asc("w"))
+    xy = uni.select(
+        *cols,
+        F.round(F.log10(F.row_number().over(wr).cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log10(F.col("c").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    agg = xy.groupBy(*cols).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return agg.select(
+        *cols,
+        F.col("n").alias("n_types"),
+        F.round(slope, 6).cast("decimal(18,6)").alias("slope"),
+    )
+
+
+def per_group_sample(
+    df: DataFrame, group_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group by
+    ``md5(id)`` (id as tie-break) and keep the first k. The same rows
+    come back on every engine, cluster size, and retry — the property
+    ``df.sample`` cannot give — which is what eval carve-outs and
+    human-inspection panels need. One window shuffle keyed by the group
+    column; no skew beyond the group sizes themselves."""
+    wr = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= k)
+        .select(group_col, id_col, "rk")
+    )

@@ -16,7 +16,7 @@ verification would reject anyway, and they are exactly the skewed keys).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hemera_indexer_spark.operators.text import fingerprint
@@ -796,3 +796,59 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+# -------------------------------------------------- chunk-level (line) dedup
+def chunk_dedup_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """C4-style line-level exact dedup, counted: split each doc into
+    consecutive ``chunk_words``-word chunks (the corpus's "lines" — the
+    synthetic docs carry no newlines, so the line unit is a fixed word
+    window), keep only the GLOBALLY FIRST occurrence of every distinct
+    chunk (first by (doc, position)), and report per doc how much text
+    survives. C4 (Raffel et al. 2020 §2.2) removes any three-sentence
+    span seen before; this is the same keep-first-occurrence law at
+    chunk granularity.
+
+    Returns (doc_id, n_chunks, kept_chunks, kept_words).
+
+    Shape: the word array is materialized into a column once (no-CSE-in-
+    lambda rule), chunk texts come from an O(n_chunks) transform of
+    slices (all codegen), and the only shuffle is the first-occurrence
+    window keyed by the chunk text — O(total chunks) rows, the same
+    order as any line-dedup pass over a web crawl; chunk texts spread
+    uniformly so the key has no inherent skew. The per-doc rollup is a
+    map-side-combined groupBy."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), w.alias("_w")).where(
+        (F.size("_w") > 0) & (F.element_at("_w", 1) != "")
+    )
+    arr = F.col("_w")
+    cw = F.lit(chunk_words)
+    n_chunks = F.ceil(F.size(arr) / cw).cast("int")
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(arr, i * cw + 1, cw), " "),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    first = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    )
+    ranked = chunks.withColumn("rk", first)
+    kept = F.when(F.col("rk") == 1, F.lit(1)).otherwise(F.lit(0))
+    kept_words = F.when(
+        F.col("rk") == 1, F.size(F.split(F.col("chunk"), " "))
+    ).otherwise(F.lit(0))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(kept).cast("long").alias("kept_chunks"),
+        F.sum(kept_words).cast("long").alias("kept_words"),
+    )
