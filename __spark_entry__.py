@@ -1253,6 +1253,49 @@ def q_source_sample(spark, sf):
     return per_group_sample(docs, "source", "doc_id", k=10)
 
 
+def q_bigram_logprob(spark, sf):
+    """Bigram-LM doc scoring (perplexity-proxy one step up from
+    unigram): avg ln(c(x,y)/c(x·)) per doc; model tables broadcast,
+    bigram stream cached once (operators/corpus.py ``bigram_logprob``)."""
+    from hemera_indexer_spark.operators.corpus import bigram_logprob
+
+    docs = _t(spark, sf, "documents")
+    return bigram_logprob(docs, "doc_id", "text").where(F.col("doc_id") < 200)
+
+
+def q_source_overlap(spark, sf):
+    """Cross-source 3-gram contamination matrix: distinct shingles at
+    SOURCE granularity first, so the shingle self-join is bounded by
+    |sources|^2 per shingle (operators/corpus.py ``source_overlap``)."""
+    from hemera_indexer_spark.operators.corpus import source_overlap
+
+    docs = _t(spark, sf, "documents")
+    return source_overlap(docs, "source", "text", n=3)
+
+
+def q_dim_stats(spark, sf):
+    """Per-dimension embedding stats (whitening/PCA prep): exact decimal
+    sums + sum-of-squares, exact min/max (operators/embeddings.py
+    ``dim_stats``)."""
+    from hemera_indexer_spark.operators.embeddings import dim_stats
+
+    emb = _t(spark, sf, "embeddings")
+    return dim_stats(emb, "embedding")
+
+
+def q_quantize_embeddings(spark, sf):
+    """SQ8 scalar quantization: per-dim min/max params (dim-sized,
+    collected = broadcast-small-side rule) shipped as literal arrays
+    into an O(dim) map-only transform; floor, never round-half
+    (operators/embeddings.py ``quantize_embeddings``)."""
+    from hemera_indexer_spark.operators.embeddings import quantize_embeddings
+
+    emb = _t(spark, sf, "embeddings")
+    return quantize_embeddings(emb, "vec_id", "embedding", bits=8).where(
+        F.col("vec_id") < 200
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1321,6 +1364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl": q_source_kl,
         "zipf_slope": q_zipf_slope,
         "source_sample": q_source_sample,
+        "bigram_logprob": q_bigram_logprob,
+        "source_overlap": q_source_overlap,
+        "dim_stats": q_dim_stats,
+        "quantize_embeddings": q_quantize_embeddings,
         "label_centroids": q_label_centroids,
         "ivf_topk": q_ivf_topk,
     }
@@ -2560,6 +2607,90 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
                 FROM documents
             ) WHERE rk <= 10
+        """,
+        "bigram_logprob": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+                FROM documents
+            ),
+            bgf AS (
+                SELECT doc_id, ws[t.i] AS x, ws[t.i+1] AS y
+                FROM d, UNNEST(range(1, len(ws))) AS t(i)
+                WHERE len(ws) >= 2 AND ws[t.i] <> '' AND ws[t.i+1] <> ''
+            ),
+            big AS (SELECT x, y, COUNT(*) AS c_xy FROM bgf GROUP BY x, y),
+            pre AS (SELECT x, SUM(c_xy) AS c_x FROM big GROUP BY x),
+            scored AS (
+                SELECT bgf.doc_id,
+                       CAST(ROUND(ln(big.c_xy / pre.c_x), 6) AS DECIMAL(18,6)) AS lp
+                FROM bgf JOIN big USING (x, y) JOIN pre USING (x)
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   CAST(ROUND((SUM(lp) / COUNT(*))::DOUBLE, 6) AS DECIMAL(18,6))
+                       AS avg_logprob
+            FROM scored WHERE doc_id < 200 GROUP BY doc_id
+        """,
+        "source_overlap": """
+            WITH d AS (
+                SELECT source,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT source,
+                       ws[t.i] || '_' || ws[t.i+1] || '_' || ws[t.i+2] AS shingle
+                FROM d, UNNEST(range(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 3
+            ),
+            shf AS (SELECT * FROM sh WHERE shingle <> ''),
+            sizes AS (SELECT source, COUNT(*) AS n_sh FROM shf GROUP BY source),
+            common AS (
+                SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+                FROM shf a JOIN shf b
+                  ON a.shingle = b.shingle AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT src_a, src_b, n_common,
+                   CAST(ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
+                        AS DECIMAL(18,6)) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.source = common.src_a
+            JOIN sizes sb ON sb.source = common.src_b
+        """,
+        "dim_stats": """
+            WITH ex AS (
+                SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ),
+            dec AS (SELECT dim, v, CAST(v AS DECIMAL(18,6)) AS dv FROM ex)
+            SELECT dim, COUNT(*) AS n,
+                   CAST(SUM(dv) AS DECIMAL(18,6)) AS sum_v,
+                   CAST(SUM(dv * dv) AS DECIMAL(28,12)) AS sum_sq,
+                   CAST(ROUND(MIN(v), 6) AS DECIMAL(18,6)) AS min_v,
+                   CAST(ROUND(MAX(v), 6) AS DECIMAL(18,6)) AS max_v
+            FROM dec GROUP BY dim
+        """,
+        "quantize_embeddings": """
+            WITH ex AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ),
+            p AS (
+                SELECT dim, MIN(v) AS lo, MAX(v) - MIN(v) AS span
+                FROM ex GROUP BY dim
+            ),
+            q AS (
+                SELECT ex.vec_id, ex.dim,
+                       CASE WHEN p.span = 0 THEN 0
+                            ELSE LEAST(255, CAST(FLOOR((ex.v - p.lo) / p.span * 256)
+                                                 AS INT)) END AS qv
+                FROM ex JOIN p USING (dim)
+            )
+            SELECT vec_id, list(qv ORDER BY dim) AS qvec
+            FROM q WHERE vec_id < 200 GROUP BY vec_id
         """,
         "label_centroids": """
             WITH ex AS (

@@ -300,3 +300,116 @@ def per_group_sample(
         .where(F.col("rk") <= k)
         .select(group_col, id_col, "rk")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc average bigram conditional log-probability under the
+    corpus's own bigram LM: ``mean over adjacent pairs of
+    ln(c(x,y)/c(x·))`` where ``c(x·)`` counts x as a bigram PREFIX.
+    The next step up from the unigram perplexity proxy
+    (``q_unigram_logprob``): repetitive/templated docs score near 0,
+    incoherent word salad scores far negative. No smoothing is needed —
+    the model is fit on the corpus being scored, so every observed
+    bigram has count ≥ 1.
+
+    Shape mirrors ``bigram_pmi``: one materialized word array, zip-
+    shifted bigram stream, map-side-combined count tables with the
+    prefix side derived FROM the bigram table (no extra corpus pass),
+    both model tables broadcast onto the scoring stream. Per-pair terms
+    round to decimal(18,6) before the per-doc fold (order-independent).
+    """
+    w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
+    arr = F.col("_w")
+    sz = F.size(arr)
+    pairs = (
+        base.where(sz >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, sz - 1),
+                    F.slice(arr, 2, sz - 1),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.x", "bg.y")
+        .where((F.col("x") != "") & (F.col("y") != ""))
+    )
+    # the bigram stream feeds both model fitting and scoring — cache the
+    # shared branch once (same rule as the dedup shingle pipeline)
+    pairs = pairs.cache()
+    big = pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    pre = big.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    scored = (
+        pairs.join(F.broadcast(big), ["x", "y"])
+        .join(F.broadcast(pre), "x")
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c_xy") / F.col("c_x")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round((F.sum("lp") / F.count("*")).cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("avg_logprob"),
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair (a < b),
+    the count and Jaccard similarity of their distinct word-``n``-gram
+    sets — the pairwise generalization of benchmark decontamination
+    (which checks ONE eval set against the corpus; this checks every
+    source against every other, the view that catches mirror sites and
+    cross-source scrapes before they skew a mixture).
+
+    Scale shape: shingles are dedup'd TO SOURCE GRANULARITY first
+    (``word_shingles(distinct=True)`` keyed by source — one shuffle of
+    the occurrence stream), so the self-join on shingle produces at most
+    |sources|² rows PER DISTINCT SHINGLE — bounded by the source count,
+    not document frequency; no hot-shingle guard needed. The per-source
+    set sizes are a tiny broadcast."""
+    from hemera_indexer_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(df, group_col, text_col, n=n, distinct=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("src_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("src_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("src_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("src_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("jaccard"),
+        )
+    )

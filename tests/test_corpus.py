@@ -137,3 +137,86 @@ def test_per_group_sample_deterministic_across_partitionings(spark):
     for src, _, rk in a:
         per_src.setdefault(src, []).append(rk)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_src.values())
+
+
+def test_bigram_logprob_deterministic_doc_is_zero(spark):
+    # a corpus where every prefix has exactly ONE continuation ->
+    # every conditional prob is 1 -> avg logprob 0
+    d = _docs(spark, [(1, "s", "a b c"), (2, "s", "a b c")])
+    from hemera_indexer_spark.operators.corpus import bigram_logprob
+
+    for r in bigram_logprob(d).collect():
+        assert r["n_bigrams"] == 2
+        assert float(r["avg_logprob"]) == 0.0
+
+
+def test_bigram_logprob_branching_prefix_is_negative(spark):
+    # prefix 'a' continues to 'b' (once) and 'c' (once) -> each bigram
+    # scores ln(1/2)
+    d = _docs(spark, [(1, "s", "a b"), (2, "s", "a c")])
+    from hemera_indexer_spark.operators.corpus import bigram_logprob
+
+    out = {r["doc_id"]: float(r["avg_logprob"]) for r in bigram_logprob(d).collect()}
+    assert out[1] == pytest.approx(math.log(0.5), abs=1e-6)
+    assert out[2] == pytest.approx(math.log(0.5), abs=1e-6)
+
+
+def test_source_overlap_counts_and_jaccard(spark):
+    from hemera_indexer_spark.operators.corpus import source_overlap
+
+    # s1: trigrams {a_b_c, b_c_d}; s2: {b_c_d, c_d_e}; common = 1 of 3
+    d = _docs(spark, [(1, "s1", "a b c d"), (2, "s2", "b c d e")])
+    (r,) = source_overlap(d, n=3).collect()
+    assert (r["src_a"], r["src_b"], r["n_common"]) == ("s1", "s2", 1)
+    assert float(r["jaccard"]) == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_source_overlap_disjoint_sources_emit_no_row(spark):
+    from hemera_indexer_spark.operators.corpus import source_overlap
+
+    d = _docs(spark, [(1, "s1", "a b c"), (2, "s2", "x y z")])
+    assert source_overlap(d, n=3).count() == 0
+
+
+def test_dim_stats_known_values(spark):
+    from hemera_indexer_spark.operators.embeddings import dim_stats
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    out = {r["dim"]: r for r in dim_stats(df).collect()}
+    assert float(out[0]["sum_v"]) == 4.0 and float(out[0]["sum_sq"]) == 10.0
+    assert float(out[1]["min_v"]) == -2.0 and float(out[1]["max_v"]) == 4.0
+    assert out[0]["n"] == 2
+
+
+def test_quantize_embeddings_endpoints_and_constant_dim(spark):
+    from hemera_indexer_spark.operators.embeddings import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 7.0]), (2, [10.0, 7.0]), (3, [5.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(df).collect()}
+    # dim0: lo=0 hi=10 -> 0.0->0, 10.0->clamped 255, 5.0->floor(128)=128
+    assert out[1][0] == 0 and out[2][0] == 255 and out[3][0] == 128
+    # dim1 constant -> 0 everywhere
+    assert [out[i][1] for i in (1, 2, 3)] == [0, 0, 0]
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    import random
+
+    from hemera_indexer_spark.operators.embeddings import quantize_embeddings
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(df).collect()}
+    lo = [min(v[d] for _, v in rows) for d in range(8)]
+    hi = [max(v[d] for _, v in rows) for d in range(8)]
+    for i, vec in rows:
+        for d, v in enumerate(vec):
+            span = hi[d] - lo[d]
+            deq = lo[d] + (qv[i][d] + 0.5) * span / 256
+            assert abs(deq - v) <= span / 256  # half-bucket + boundary slack
