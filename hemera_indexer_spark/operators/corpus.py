@@ -341,24 +341,35 @@ def bigram_logprob(
         .select("doc_id", "bg.x", "bg.y")
         .where((F.col("x") != "") & (F.col("y") != ""))
     )
-    # the bigram stream feeds both model fitting and scoring — cache the
-    # shared branch once (same rule as the dedup shingle pipeline)
-    pairs = pairs.cache()
-    big = pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    # ONE pass over the corpus: pre-aggregate the bigram stream to
+    # (doc, x, y) occurrence counts — everything downstream (model
+    # tables, scoring, per-doc fold) derives from that aggregate, so the
+    # raw stream is never cached or re-scanned. The per-occurrence mean
+    # equals the count-weighted mean over distinct pairs because lp is a
+    # function of (x, y) alone.
+    dxy = pairs.groupBy("doc_id", "x", "y").agg(
+        F.count("*").alias("c_dxy")
+    )
+    big = dxy.groupBy("x", "y").agg(F.sum("c_dxy").alias("c_xy"))
     pre = big.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    lp = (
+        F.round(F.log(F.col("c_xy") / F.col("c_x")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp")
+    )
     scored = (
-        pairs.join(F.broadcast(big), ["x", "y"])
+        dxy.join(F.broadcast(big), ["x", "y"])
         .join(F.broadcast(pre), "x")
-        .select(
-            "doc_id",
-            F.round(F.log(F.col("c_xy") / F.col("c_x")), 6)
-            .cast("decimal(18,6)")
-            .alias("lp"),
-        )
+        .select("doc_id", "c_dxy", lp)
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round((F.sum("lp") / F.count("*")).cast("double"), 6)
+        F.sum("c_dxy").cast("long").alias("n_bigrams"),
+        F.round(
+            (F.sum(F.col("c_dxy") * F.col("lp")) / F.sum("c_dxy")).cast(
+                "double"
+            ),
+            6,
+        )
         .cast("decimal(18,6)")
         .alias("avg_logprob"),
     )
