@@ -1296,6 +1296,77 @@ def q_quantize_embeddings(spark, sf):
     )
 
 
+def q_doc_entropy(spark, sf):
+    """Per-doc unigram Shannon entropy (lexical diversity / boilerplate
+    signal): one (doc, word) shuffle, per-doc total rides a window over
+    the aggregate, per-term decimal rounding before the fold
+    (operators/corpus.py ``doc_entropy``)."""
+    from hemera_indexer_spark.operators.corpus import doc_entropy
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return doc_entropy(docs, "doc_id", "text")
+
+
+def q_hapax_ratio(spark, sf):
+    """Hapax-legomena fraction per source (second lexical-diversity lens:
+    template farms collapse it, OCR noise inflates it) — one
+    occurrence-stream shuffle (operators/corpus.py ``hapax_ratio``)."""
+    from hemera_indexer_spark.operators.corpus import hapax_ratio
+
+    docs = _t(spark, sf, "documents")
+    return hapax_ratio(docs, "source", "text")
+
+
+def q_source_exclusivity(spark, sf):
+    """Per-source trigram exclusivity — the summary dual of the pairwise
+    ``source_overlap`` matrix: what fraction of a source's distinct
+    3-grams no other source has (near-zero = mirror/re-scrape)
+    (operators/corpus.py ``source_exclusivity``)."""
+    from hemera_indexer_spark.operators.corpus import source_exclusivity
+
+    docs = _t(spark, sf, "documents")
+    return source_exclusivity(docs, "source", "text", n=3)
+
+
+def q_dist_drift(spark, sf):
+    """Unigram distribution drift (L1 distance over the union vocabulary)
+    between two document populations per language — the alarm statistic
+    an incremental pipeline compares across ingest epochs; here the
+    populations are the even/odd doc_id halves (stable at every sf)
+    (operators/corpus.py ``dist_drift``)."""
+    from hemera_indexer_spark.operators.corpus import dist_drift
+
+    docs = _t(spark, sf, "documents")
+    return dist_drift(docs, (F.col("doc_id") % 2) == 0, "text", "lang")
+
+
+def q_dedup_containment(spark, sf):
+    """Asymmetric n-gram containment pairs (|S(a)∩S(b)|/|S(a)| — catches
+    excerpt-inside-page duplication that symmetric Jaccard misses), same
+    hot-shingle cut as dedup_jaccard (operators/dedup.py
+    ``containment_pairs``)."""
+    from hemera_indexer_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf, "documents")
+    max_df = max(5, _t_rows(sf, "documents") // 100)
+    return containment_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.5, max_df=max_df
+    )
+
+
+def q_shard_ntile(spark, sf):
+    """Deterministic balanced shard assignment audit: ntile(8) per source
+    over the engine-portable md5(doc_id) hash order — equal-count,
+    unbiased output shards for a writer (operators/packing.py
+    ``ntile_shards``)."""
+    from hemera_indexer_spark.operators.packing import ntile_shards
+
+    docs = _t(spark, sf, "documents")
+    return ntile_shards(
+        docs, "source", "doc_id", n_shards=8, weight_col="n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1370,6 +1441,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "label_centroids": q_label_centroids,
         "ivf_topk": q_ivf_topk,
+        "doc_entropy": q_doc_entropy,
+        "hapax_ratio": q_hapax_ratio,
+        "source_exclusivity": q_source_exclusivity,
+        "dist_drift": q_dist_drift,
+        "dedup_containment": q_dedup_containment,
+        "shard_ntile": q_shard_ntile,
     }
 
 
@@ -2703,6 +2780,126 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6)))
                         AS DECIMAL(18,6)) AS sum_v
             FROM ex WHERE dim < 8 GROUP BY label, dim
+        """,
+        "doc_entropy": """
+            WITH ws AS (
+                SELECT d.doc_id, u.w AS w
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+                      FROM documents WHERE doc_id < 300) d, UNNEST(d.arr) AS u(w)
+                WHERE u.w <> ''
+            ),
+            tf AS (SELECT doc_id, w, COUNT(*) AS c FROM ws GROUP BY doc_id, w),
+            tot AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id),
+            term AS (
+                SELECT tf.doc_id, tot.n,
+                       CAST(ROUND(-(tf.c / CAST(tot.n AS DOUBLE))
+                                  * ln(tf.c / CAST(tot.n AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) AS t
+                FROM tf JOIN tot USING (doc_id)
+            )
+            SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_words,
+                   COUNT(*) AS n_types,
+                   CAST(SUM(t) AS DECIMAL(18,6)) AS entropy
+            FROM term GROUP BY doc_id
+        """,
+        "hapax_ratio": """
+            WITH ws AS (
+                SELECT d.source, u.w AS w
+                FROM (SELECT source,
+                             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+                      FROM documents) d, UNNEST(d.arr) AS u(w)
+                WHERE u.w <> ''
+            ),
+            uni AS (SELECT source, w, COUNT(*) AS c FROM ws GROUP BY source, w)
+            SELECT source, COUNT(*) AS n_types,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                   CAST(ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              / CAST(COUNT(*) AS DOUBLE), 6)
+                        AS DECIMAL(18,6)) AS hapax_ratio
+            FROM uni GROUP BY source
+        """,
+        "source_exclusivity": """
+            WITH sh3 AS (
+                SELECT DISTINCT source, shingle
+                FROM (
+                    SELECT source,
+                           unnest([w[i] || '_' || w[i+1] || '_' || w[i+2]
+                                   for i in range(1, len(w) - 1)]) AS shingle
+                    FROM (SELECT source,
+                                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                          FROM documents)
+                ) WHERE shingle <> ''
+            ),
+            ns AS (SELECT shingle, COUNT(*) AS n_src FROM sh3 GROUP BY shingle)
+            SELECT source, COUNT(*) AS n_shingles,
+                   CAST(SUM(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive,
+                   CAST(ROUND(SUM(CASE WHEN n_src = 1 THEN 1 ELSE 0 END)
+                              / CAST(COUNT(*) AS DOUBLE), 6)
+                        AS DECIMAL(18,6)) AS excl_ratio
+            FROM sh3 JOIN ns USING (shingle) GROUP BY source
+        """,
+        "dist_drift": """
+            WITH ws AS (
+                SELECT d.lang, d.fa, u.w AS w
+                FROM (SELECT lang, (doc_id % 2 = 0) AS fa,
+                             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+                      FROM documents) d, UNNEST(d.arr) AS u(w)
+                WHERE u.w <> ''
+            ),
+            cnt AS (SELECT lang, w,
+                           SUM(CASE WHEN fa THEN 1 ELSE 0 END) AS c_a,
+                           SUM(CASE WHEN NOT fa THEN 1 ELSE 0 END) AS c_b
+                    FROM ws GROUP BY lang, w),
+            tot AS (SELECT lang, SUM(c_a) AS na, SUM(c_b) AS nb FROM cnt GROUP BY lang),
+            term AS (
+                SELECT cnt.lang, tot.na, tot.nb,
+                       CAST(ROUND(ABS(cnt.c_a / CAST(tot.na AS DOUBLE)
+                                      - cnt.c_b / CAST(tot.nb AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) AS t
+                FROM cnt JOIN tot USING (lang)
+            )
+            SELECT lang, COUNT(*) AS n_types,
+                   CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+                   CAST(SUM(t) AS DECIMAL(18,6)) AS l1_dist
+            FROM term GROUP BY lang
+        """,
+        # ordered (asymmetric) pairs: same shingle/hot-cut CTEs as
+        # dedup_jaccard but a <> b and |S(a)|-normalized
+        "dedup_containment": f"""
+            WITH {_SHINGLES_CTE},
+            hot AS (
+                SELECT shingle FROM shingles GROUP BY shingle
+                HAVING COUNT(*) > (SELECT GREATEST(5, COUNT(*) // 100) FROM documents)
+            ),
+            sh AS (
+                SELECT s.doc_id, s.shingle FROM shingles s
+                ANTI JOIN hot h USING (shingle)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                WHERE a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT doc_a, doc_b, n_common,
+                       CAST(ROUND(n_common / CAST(sa.n_sh AS DOUBLE), 6)
+                            AS DECIMAL(18,6)) AS containment
+                FROM common JOIN sizes sa ON sa.doc_id = doc_a
+            )
+            SELECT doc_a, doc_b, n_common, containment
+            FROM scored WHERE containment >= 0.5
+        """,
+        "shard_ntile": """
+            SELECT source, CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_weight
+            FROM (SELECT source, n_chars,
+                         ntile(8) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS shard
+                  FROM documents)
+            GROUP BY source, shard
         """,
     }
 

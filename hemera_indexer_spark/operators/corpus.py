@@ -34,6 +34,10 @@ __all__ = [
     "source_kl",
     "zipf_slope",
     "per_group_sample",
+    "doc_entropy",
+    "hapax_ratio",
+    "source_exclusivity",
+    "dist_drift",
 ]
 
 
@@ -423,4 +427,165 @@ def source_overlap(
             .cast("decimal(18,6)")
             .alias("jaccard"),
         )
+    )
+
+
+def doc_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the lexical-diversity
+    quality signal (low entropy = template/boilerplate/keyword-stuffed
+    docs; the C4/Gopher pipelines threshold on signals of this family).
+
+    Returns (doc_id, n_words, n_types, entropy) with
+    ``entropy = -Σ_w (c_w/n)·ln(c_w/n)`` over the doc's word counts.
+
+    Shape: one map-only explode, ONE shuffle keyed by (doc, word), the
+    per-doc total rides a window over the already-aggregated count table
+    (no second corpus scan). Per-term values are rounded to 6dp and cast
+    to decimal(18,6) BEFORE the final per-doc sum, so the fold is
+    order-independent across engines and partitionings (repo oracle
+    discipline).
+
+    Reference anchor: the reference computes per-entity daily statistics
+    in its aggr jobs (/root/reference/indexer/aggr_jobs/*); this is the
+    per-document statistics analog over the text corpus."""
+    tf = (
+        word_stream(df, text_col, F.col(id_col).alias("_doc"))
+        .groupBy("_doc", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("_doc"))
+    p = F.col("c") / F.col("_n")
+    term = (
+        tf.withColumn("_n", n)
+        .select(
+            "_doc",
+            "_n",
+            F.round(-p * F.log(p), 6).cast("decimal(18,6)").alias("_t"),
+        )
+    )
+    return term.groupBy(F.col("_doc").alias(id_col)).agg(
+        F.max("_n").alias("n_words"),
+        F.count("*").alias("n_types"),
+        F.sum("_t").cast("decimal(18,6)").alias("entropy"),
+    )
+
+
+def hapax_ratio(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Hapax-legomena fraction per group: share of the group's vocabulary
+    that occurs exactly once. A second lexical-diversity lens — natural
+    text sits near 0.4-0.6; scraped template farms and deduplicated spam
+    collapse it, OCR noise inflates it.
+
+    Returns (group, n_types, n_hapax, hapax_ratio). One occurrence-stream
+    shuffle keyed by (group, word), then a tiny per-group aggregate."""
+    uni = (
+        word_stream(df, text_col, F.col(group_col).alias("_g"))
+        .groupBy("_g", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return uni.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count("*").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("bigint")).alias("n_hapax"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("bigint")) / F.count("*"), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("hapax_ratio"),
+    )
+
+
+def source_exclusivity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-source n-gram exclusivity: of each source's DISTINCT n-gram
+    shingles, what fraction appears in NO other source. The summary dual
+    of ``source_overlap``'s pairwise matrix — a source with near-zero
+    exclusivity is a mirror/re-scrape of the rest of the mixture and adds
+    no new text; near-one means unique (or noisy) content.
+
+    Returns (group, n_shingles, n_exclusive, excl_ratio).
+
+    Shape: shingles dedup to SOURCE granularity first (one shuffle of
+    the occurrence stream, same trick as ``source_overlap``), the
+    per-shingle source count rides a window over that distinct table
+    (second shuffle keyed by shingle — O(distinct shingles), not
+    occurrences), then a tiny per-source aggregate."""
+    from hemera_indexer_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(df, group_col, text_col, n=n, distinct=True)
+    n_src = F.count("*").over(Window.partitionBy("shingle"))
+    tagged = sh.withColumn("_ns", n_src)
+    return tagged.groupBy(F.col("doc_id").alias(group_col)).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum((F.col("_ns") == 1).cast("bigint")).alias("n_exclusive"),
+        F.round(
+            F.sum((F.col("_ns") == 1).cast("bigint")) / F.count("*"), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("excl_ratio"),
+    )
+
+
+def dist_drift(
+    df: DataFrame,
+    flag_col,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Unigram distribution drift between two document populations, per
+    group: the L1 distance ``Σ_w |p_A(w) - p_B(w)|`` over the union
+    vocabulary (2× the total-variation distance). The monitoring
+    statistic an incremental-ingest pipeline alarms on — compare this
+    epoch's (or shard's) token distribution against the committed
+    corpus; a jump means the upstream source changed under you.
+
+    ``flag_col`` is a boolean Column splitting rows into population A
+    (true) and B (false). Returns (group, n_types, n_a, n_b, l1_dist).
+
+    The raw L1 sum is published instead of TVD = L1/2: per-term values
+    are rounded to 6dp decimals before the sum (fold-order-independent),
+    and halving the decimal sum afterwards would land exactly on 7dp
+    half-boundaries where Spark and DuckDB round differently.
+
+    Shape: one occurrence-stream shuffle keyed by (group, word) with the
+    A/B split as two conditional counts in the SAME aggregate (absent
+    words are zero counts — the union vocabulary falls out for free);
+    population totals ride windows over the aggregated table."""
+    ws = word_stream(
+        df,
+        text_col,
+        F.col(group_col).alias("_g"),
+        flag_col.cast("boolean").alias("_fa"),
+    )
+    counts = ws.groupBy("_g", "w").agg(
+        F.sum(F.col("_fa").cast("bigint")).alias("c_a"),
+        F.sum((~F.col("_fa")).cast("bigint")).alias("c_b"),
+    )
+    wg = Window.partitionBy("_g")
+    term = counts.select(
+        "_g",
+        F.sum("c_a").over(wg).alias("_na"),
+        F.sum("c_b").over(wg).alias("_nb"),
+        F.round(
+            F.abs(
+                F.col("c_a") / F.sum("c_a").over(wg)
+                - F.col("c_b") / F.sum("c_b").over(wg)
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("_t"),
+    )
+    return term.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count("*").alias("n_types"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.sum("_t").cast("decimal(18,6)").alias("l1_dist"),
     )

@@ -852,3 +852,56 @@ def chunk_dedup_counts(
         F.sum(kept).cast("long").alias("kept_chunks"),
         F.sum(kept_words).cast("long").alias("kept_words"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram containment:
+    ``cont(a→b) = |S(a) ∩ S(b)| / |S(a)|`` — "a is (mostly) contained in
+    b". Catches what Jaccard misses: a paragraph quoted inside a much
+    longer page scores near 1.0 containment but tiny Jaccard (the union
+    is dominated by the long doc). The standard complement to symmetric
+    resemblance since Broder '97; in a training pipeline it flags
+    sub-document duplication (boilerplate wrappers, quote farms,
+    excerpt mirrors) that whole-doc dedup keeps.
+
+    Returns (doc_a, doc_b, n_common, containment) for ORDERED pairs
+    doc_a != doc_b with cont(a→b) >= threshold — both directions are
+    evaluated; usually only one side of an excerpt/page pair survives
+    the threshold, which is exactly the signal.
+
+    Same inverted-index shape as ``jaccard_pairs`` (shared-shingle
+    self-join + verification against the cached distinct-shingle table);
+    ``max_df`` drops hot shingles before the join — at corpus scale the
+    candidate generator MUST be LSH (``lsh_candidate_pairs``) with this
+    as the verify step; the exact self-join is the oracle-checkable
+    small-scale path."""
+    sh = _df_filter(word_shingles(df, id_col, text_col, n), max_df).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    return (
+        common.join(sa, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_a"), 6)
+            .cast("decimal(18,6)")
+            .alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

@@ -84,3 +84,45 @@ def pack_sequences(
     if drop_last:
         rows = rows.where(F.col("n_tokens") == seq_len)
     return rows
+
+
+def ntile_shards(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Deterministic balanced shard assignment per group: rows are ordered
+    by (md5(id), id) — the repo's engine-portable hash order, stable
+    across engines, cluster sizes and retries — and dealt into
+    ``n_shards`` equal-count shards with ``ntile``. The output-writing
+    step of a curation pipeline: N equal files per source/language, with
+    hash order guaranteeing each shard is an unbiased sample (a doc_id
+    range split would correlate with crawl time).
+
+    Returns the per-shard audit (group, shard, n_docs[, sum_weight]) a
+    writer validates before committing a shard layout.
+
+    Scale shape: one window shuffle keyed by group (the same bound as
+    ``pack_sequences`` — shard within storage groups, never globally) +
+    a map-side-combined count. ntile balances counts exactly (sizes
+    differ by at most 1); for token-balanced shards feed ``weight_col``
+    and read the audit — equal-count hash shards are already
+    token-balanced to O(1/sqrt(n)) by the CLT, which is why writers use
+    this instead of bin-packing."""
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order_key, F.col(id_col))
+    aggs = [F.count("*").alias("n_docs")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).alias("sum_weight"))
+    return (
+        df.select(
+            group_col,
+            id_col,
+            *( [weight_col] if weight_col else [] ),
+            F.ntile(n_shards).over(w).alias("shard"),
+        )
+        .groupBy(group_col, "shard")
+        .agg(*aggs)
+    )
