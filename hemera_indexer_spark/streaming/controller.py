@@ -92,6 +92,31 @@ _RETRIABLE_MARKERS = (
 )
 
 
+# The closed op domain of the change log (FIXTURES.md §2; the reference's
+# item-type dispatch rejects unknown domain types the same way,
+# /root/reference/indexer/utils/collection_utils.py).
+KNOWN_OPS = ("insert", "update", "delete", "rollback")
+
+
+def _malformed_reason() -> F.Column:
+    """NULL for a well-formed event; otherwise a short reason tag. The
+    checks mirror the engine's hard assumptions: ``doc_id`` is the LWW key,
+    ``seq`` drives ordering/fencing/rollback spans, ``op`` must be in the
+    closed domain, and a rollback without a target seq is unactionable."""
+    return (
+        F.when(F.col("doc_id").isNull(), F.lit("null_key"))
+        .when(F.col("seq").isNull(), F.lit("null_seq"))
+        .when(
+            F.col("op").isNull() | ~F.col("op").isin(*KNOWN_OPS),
+            F.lit("unknown_op"),
+        )
+        .when(
+            (F.col("op") == "rollback") & F.col("rollback_to_seq").isNull(),
+            F.lit("rollback_without_target"),
+        )
+    )
+
+
 class RepairLockHeld(RuntimeError):
     """Another runner holds the repair lock (the reference refuses to start
     a second fixing process the same way, reorg_controller.py:168-179)."""
@@ -121,6 +146,7 @@ class EpochStats:
     skipped: bool = False
     retries: int = 0
     strategy: str = ""  # physical merge used ('' for skipped groups)
+    quarantined: int = 0  # malformed events routed to the dead-letter dir
 
 
 @dataclass
@@ -156,7 +182,37 @@ class StreamController:
         sinks: list | None = None,
         tenant_col: str | None = None,
         tenant_id=None,
+        quarantine_dir: str | None = None,
+        quarantine_scan: str = "footer",
     ):
+        # Dead-letter quarantine (the reference logs-and-skips items its
+        # exporters cannot convert rather than poisoning the batch,
+        # /root/reference/indexer/exporters/postgres_item_exporter.py:
+        # 104-118): when ``quarantine_dir`` is set, malformed events (NULL
+        # doc_id/seq/op, unknown op, rollback without a target — see
+        # ``_malformed_reason``) are written to
+        # ``<quarantine_dir>/epoch=<fence>/`` with a ``quarantine_reason``
+        # column and EXCLUDED from the merge, rollback segmentation, and
+        # consensus, instead of producing undefined LWW/fence behavior.
+        # The write path is deterministic per group and mode=overwrite, so
+        # retries/re-drives are idempotent. ``quarantine_scan``:
+        #   'footer' (default) — the scan-and-divert pass only runs for
+        #     groups whose Parquet footers cannot PROVE identity columns
+        #     null-free (null_count stats), i.e. zero extra cost on clean
+        #     logs; op-DOMAIN violations (non-null unknown op strings) are
+        #     not footer-detectable and pass through as ordinary upserts.
+        #   'always' — every group pays one extra filtered scan and also
+        #     catches unknown-op / null-target-rollback rows.
+        # With quarantine_dir=None behavior is unchanged (malformed rows
+        # from a foreign writer surface loudly in merge_upsert's identity
+        # checks or fold into NULL-key groups — the pre-existing contract).
+        if quarantine_scan not in ("footer", "always"):
+            raise ValueError(
+                f"quarantine_scan must be 'footer' or 'always', "
+                f"got {quarantine_scan!r}"
+            )
+        self.quarantine_dir = quarantine_dir
+        self.quarantine_scan = quarantine_scan
         self.spark = spark
         self.table = table
         self.log_dir = log_dir
@@ -335,7 +391,13 @@ class StreamController:
             names = sch.names
             seq_i = names.index("seq")
             rb_i = names.index("rollback_to_seq")
+            id_cols = [
+                names.index(c) for c in ("seq", "doc_id", "op") if c in names
+            ]
             mn, mx, rb_nulls, rb_unknown = None, None, 0, False
+            # a file missing an identity column entirely reads as all-NULL
+            # under the declared schema — malformed by construction
+            maybe_malformed = len(id_cols) < 3
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(seq_i).statistics
                 if st is not None and st.has_min_max:
@@ -347,6 +409,19 @@ class StreamController:
                     rb_unknown = True  # missing stat: assume rollback possible
                 else:
                     rb_nulls += nc
+                # identity columns (key/seq/op): a null_count of exactly 0
+                # PROVES the row group has no null-identity event; anything
+                # else (nulls present, or the stat missing) flags the epoch
+                # for the quarantine scan.
+                for ci in id_cols:
+                    cst = md.row_group(rg).column(ci).statistics
+                    if (
+                        cst is None
+                        or not cst.has_null_count
+                        or cst.null_count > 0
+                    ):
+                        maybe_malformed = True
+                        break
             part = int(os.path.basename(os.path.dirname(f)).split("=")[1])
             return {
                 "partition": part,
@@ -354,6 +429,7 @@ class StreamController:
                 "min_seq": mn,
                 "max_seq": mx,
                 "maybe_rollback": rb_unknown or rb_nulls < md.num_rows,
+                "maybe_malformed": maybe_malformed,
                 "extra": extra,
                 "has_hash_chain": consensus.has_hash_chain(names),
             }
@@ -363,9 +439,11 @@ class StreamController:
         extra: dict[str, T.DataType] = {}
         per_part: dict[int, dict] = {}
         maybe_rollback = False
+        maybe_malformed = False
         has_hash_chain = bool(infos)
         for i in infos:
             extra.update(i["extra"])
+            maybe_malformed = maybe_malformed or i["maybe_malformed"]
             p = per_part.setdefault(
                 i["partition"],
                 {"partition": i["partition"], "cnt": 0, "mx": None, "mn": None},
@@ -384,6 +462,7 @@ class StreamController:
             "schema": T.StructType(fields),
             "lineage": list(per_part.values()),
             "maybe_rollback": maybe_rollback,
+            "maybe_malformed": maybe_malformed,
             "has_hash_chain": has_hash_chain,
         }
 
@@ -830,6 +909,32 @@ class StreamController:
 
         df = self.spark.read.schema(ev_schema).parquet(*files)
 
+        # Dead-letter quarantine (see __init__): divert malformed events
+        # BEFORE rollback segmentation / consensus / merge ever see them.
+        # Footer null-count stats prove most groups clean, so the extra
+        # scan is skipped entirely in the common case ('footer' mode).
+        n_quarantined = 0
+        if self.quarantine_dir is not None and (
+            self.quarantine_scan == "always"
+            or any(m.get("maybe_malformed") for m in metas)
+        ):
+            qdir = os.path.join(
+                self.quarantine_dir, f"epoch={last_epoch:05d}"
+            )
+            (
+                df.withColumn("quarantine_reason", _malformed_reason())
+                .where(F.col("quarantine_reason").isNotNull())
+                .write.mode("overwrite")
+                .parquet(qdir)
+            )
+            # count from the written files' footers — no second scan
+            n_quarantined = sum(
+                pq.read_metadata(f).num_rows
+                for f in glob.glob(os.path.join(qdir, "*.parquet"))
+            )
+            if n_quarantined:
+                df = df.where(_malformed_reason().isNull())
+
         # rollback events are rare and tiny; the footer pass proves their
         # absence for most epochs (rollback_to_seq all-null), so this scan —
         # pushed down to parquet row-group stats — only runs when one may
@@ -1056,6 +1161,7 @@ class StreamController:
                 n_rb if j == len(group) - 1 else 0,
                 max(wall // len(group), 1),
                 strategy=strategy,
+                quarantined=n_quarantined if j == len(group) - 1 else 0,
             )
             for j, e in enumerate(group)
         ]

@@ -78,8 +78,22 @@ def main() -> None:
     ap.add_argument("--tenant-id", default=None,
                     help="tenant value for --tenant-col; digits are stored "
                          "as a LONG column, anything else as STRING")
+    ap.add_argument("--quarantine-dir", default=None,
+                    help="dead-letter dir: malformed events (NULL "
+                         "key/seq/op, unknown op, rollback without target) "
+                         "are diverted here with a quarantine_reason column "
+                         "instead of poisoning the merge")
+    ap.add_argument("--quarantine-scan", default="footer",
+                    choices=["footer", "always"],
+                    help="'footer': divert pass only when Parquet footer "
+                         "null-counts cannot prove the group clean (free on "
+                         "clean logs); 'always': every group, also catches "
+                         "unknown-op strings")
     args = ap.parse_args()
     tenant_kw = {}
+    if args.quarantine_dir is not None:
+        tenant_kw["quarantine_dir"] = args.quarantine_dir
+        tenant_kw["quarantine_scan"] = args.quarantine_scan
     if args.tenant_col is not None:
         if args.tenant_id is None:
             ap.error("--tenant-col requires --tenant-id")
@@ -213,6 +227,9 @@ def main() -> None:
         ).run(max_epochs=args.max_epochs)
         events = stats.total_events
     wall = time.monotonic() - t0
+    quarantined = sum(
+        e.quarantined for e in stats.epochs
+    ) if not args.streaming else 0
 
     table.refresh()
     out = {
@@ -224,6 +241,8 @@ def main() -> None:
     if events:
         out["events"] = events
         out["events_per_sec"] = round(events / wall, 1)
+    if quarantined:
+        out["quarantined"] = quarantined
     if view_sink is not None and view_sink.committed_epoch() >= 0:
         out["view"] = [r.asDict() for r in view_sink.view().collect()]
     if args.expire_keep_last:

@@ -1,0 +1,180 @@
+"""Dead-letter quarantine: malformed events are diverted, never merged.
+
+The reference logs-and-skips items its exporters cannot convert rather than
+poisoning the batch (postgres_item_exporter.py:104-118); here the analog is
+a parquet dead-letter directory plus a footer-proof fast path that keeps the
+clean-log cost at zero.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hemera_indexer_spark.lake import LakeTable
+from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+from hemera_indexer_spark.sources.generator import (
+    ChangelogSpec,
+    generate_changelog,
+)
+from hemera_indexer_spark.streaming import StreamController
+
+SPEC = dict(
+    n_docs=200, n_epochs=4, events_per_epoch=300, n_partitions=2, seed=7
+)
+
+_EVENT_PA_SCHEMA = pa.schema(
+    [
+        pa.field("seq", pa.int64()),
+        pa.field("epoch", pa.int64()),
+        pa.field("partition", pa.int32()),
+        pa.field("doc_id", pa.string()),
+        pa.field("op", pa.string()),
+        pa.field("tokens", pa.list_(pa.int32())),
+        pa.field("n_tok", pa.int32()),
+        pa.field("source", pa.string()),
+        pa.field("rollback_to_seq", pa.int64()),
+    ]
+)
+
+
+def _inject(log_dir: str, epoch: int, rows: list[dict], name: str) -> None:
+    """Write a foreign-writer parquet file into one epoch/partition dir."""
+    part_dir = os.path.join(log_dir, f"epoch={epoch:05d}", "partition=000")
+    cols = {
+        f.name: pa.array([r.get(f.name) for r in rows], type=f.type)
+        for f in _EVENT_PA_SCHEMA
+    }
+    pq.write_table(
+        pa.table(cols, schema=_EVENT_PA_SCHEMA),
+        os.path.join(part_dir, name),
+    )
+
+
+def _replay(spark, log_dir, root, **kw):
+    table = LakeTable.create(spark, str(root), SEQUENCES_SCHEMA, num_buckets=4)
+    stats = StreamController(spark, table, log_dir, 2, **kw).run()
+    return table, stats
+
+
+def _state_rows(table):
+    return sorted(
+        (
+            r.asDict(recursive=True)
+            for r in table.current_state().collect()
+        ),
+        key=lambda d: d["doc_id"],
+    )
+
+
+def test_quarantine_diverts_malformed_and_preserves_state(spark, tmp_path):
+    clean = str(tmp_path / "log_clean")
+    dirty = str(tmp_path / "log_dirty")
+    generate_changelog(clean, ChangelogSpec(**SPEC))
+    generate_changelog(dirty, ChangelogSpec(**SPEC))
+    bad = [
+        # null LWW key
+        {"seq": 900001, "epoch": 2, "partition": 0, "doc_id": None,
+         "op": "update", "n_tok": 3},
+        # null seq (ordering/fencing undefined)
+        {"seq": None, "epoch": 2, "partition": 0, "doc_id": "doc-000x",
+         "op": "insert", "n_tok": 1},
+        # rollback with no target
+        {"seq": 900002, "epoch": 2, "partition": 0, "doc_id": "doc-000y",
+         "op": "rollback", "rollback_to_seq": None},
+    ]
+    _inject(dirty, 2, bad, "foreign-00000.parquet")
+
+    base, _ = _replay(spark, clean, tmp_path / "lake_clean")
+    qdir = str(tmp_path / "deadletter")
+    table, stats = _replay(
+        spark, dirty, tmp_path / "lake_dirty", quarantine_dir=qdir
+    )
+
+    # every malformed row diverted, tagged, none merged
+    assert sum(e.quarantined for e in stats.epochs) == 3
+    qfiles = glob.glob(os.path.join(qdir, "epoch=*", "*.parquet"))
+    assert qfiles
+    qrows = pa.concat_tables([pq.read_table(f) for f in qfiles]).to_pylist()
+    reasons = sorted(r["quarantine_reason"] for r in qrows)
+    assert reasons == ["null_key", "null_seq", "rollback_without_target"]
+    assert _state_rows(table) == _state_rows(base)
+
+
+def test_quarantine_footer_mode_free_on_clean_log(spark, tmp_path):
+    log = str(tmp_path / "log")
+    generate_changelog(log, ChangelogSpec(**SPEC))
+    qdir = str(tmp_path / "deadletter")
+    table, stats = _replay(
+        spark, log, tmp_path / "lake", quarantine_dir=qdir
+    )
+    # footer null-counts prove the log clean: the divert pass never ran,
+    # so the dead-letter dir was never even created
+    assert sum(e.quarantined for e in stats.epochs) == 0
+    assert not os.path.exists(qdir)
+
+
+def test_quarantine_scan_always_catches_unknown_op(spark, tmp_path):
+    # an unknown op STRING is footer-invisible (non-null everywhere) —
+    # 'footer' mode documents that it passes through; 'always' catches it
+    for mode, expect in (("footer", 0), ("always", 1)):
+        log = str(tmp_path / f"log_{mode}")
+        generate_changelog(log, ChangelogSpec(**SPEC))
+        _inject(
+            log, 1,
+            [{"seq": 900100, "epoch": 1, "partition": 0,
+              "doc_id": "doc-badop", "op": "frobnicate", "n_tok": 2}],
+            "foreign-00000.parquet",
+        )
+        qdir = str(tmp_path / f"dl_{mode}")
+        table, stats = _replay(
+            spark, log, tmp_path / f"lake_{mode}",
+            quarantine_dir=qdir, quarantine_scan=mode,
+        )
+        assert sum(e.quarantined for e in stats.epochs) == expect
+        live = {
+            r["doc_id"] for r in table.current_state().select("doc_id").collect()
+        }
+        # footer mode folds the row in as an ordinary upsert (documented);
+        # always mode keeps it out of the state entirely
+        assert ("doc-badop" in live) == (expect == 0)
+
+
+def test_quarantine_rerun_is_idempotent(spark, tmp_path):
+    # fenced re-drive of an already-committed group must not duplicate
+    # dead-letter rows (deterministic overwrite path)
+    log = str(tmp_path / "log")
+    generate_changelog(log, ChangelogSpec(**SPEC))
+    _inject(
+        log, 3,
+        [{"seq": None, "epoch": 3, "partition": 0, "doc_id": "doc-z",
+          "op": "insert"}],
+        "foreign-00000.parquet",
+    )
+    qdir = str(tmp_path / "dl")
+    table, stats = _replay(
+        spark, log, tmp_path / "lake", quarantine_dir=qdir
+    )
+    assert sum(e.quarantined for e in stats.epochs) == 1
+    # second controller over the same committed table: all epochs fenced
+    again = StreamController(
+        spark, table, log, 2, quarantine_dir=qdir
+    ).run()
+    assert all(e.skipped for e in again.epochs) or not again.epochs
+    qfiles = glob.glob(os.path.join(qdir, "epoch=*", "*.parquet"))
+    total = sum(pq.read_metadata(f).num_rows for f in qfiles)
+    assert total == 1
+
+
+def test_quarantine_scan_validation(spark, tmp_path):
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    with pytest.raises(ValueError, match="quarantine_scan"):
+        StreamController(
+            spark, table, str(tmp_path), 2, quarantine_scan="sometimes"
+        )
