@@ -991,6 +991,53 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_temperature_mixture(spark, sf):
+    """Temperature-based mixture sampling (the mT5/multilingual-LM
+    alpha-sampling rule, Xue et al. 2021: sample probability
+    q_s ∝ p_s^alpha with alpha=0.3): boosts rare sources, damps dominant
+    ones. Realized as a deterministic per-source KEEP RATE
+    min(1, q_s/p_s) over the engine-portable md5 bucket (select-only:
+    rate capped at 1 — physical upsampling is a repeat-read at training
+    time, not a data-curation concern). The source dimension is tiny, so
+    the normalizer is a documented bounded driver-side scalar (the
+    broadcast-small-side rule). Output: per-source audit."""
+    alpha = 0.3
+    docs = _t(spark, sf, "documents")
+    totals = docs.groupBy("source").agg(F.sum("n_chars").alias("chars_s"))
+    rows = totals.collect()  # bounded: one row per source
+    total = float(sum(r["chars_s"] for r in rows))
+    z = sum((r["chars_s"] / total) ** alpha for r in sorted(
+        rows, key=lambda r: r["source"]
+    ))
+    rates = totals.select(
+        "source",
+        "chars_s",
+        F.least(
+            F.lit(1.0),
+            F.pow(F.col("chars_s") / F.lit(total), F.lit(alpha - 1.0))
+            / F.lit(z),
+        ).alias("rate"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("temp"), F.col("doc_id"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    kept = docs.join(F.broadcast(rates.drop("chars_s")), "source").where(
+        bucket / F.lit(65536.0) < F.col("rate")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.round(F.first("rate"), 6).alias("rate"),
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+
+
 def q_vocab_histogram(spark, sf):
     """Token-frequency histogram over the corpus's token arrays (toy
     tokenizer = word lengths, engine-portable): one map-only explode +
@@ -1354,6 +1401,23 @@ def q_dedup_containment(spark, sf):
     )
 
 
+def q_winnow_dedup(spark, sf):
+    """Winnowing shared-passage pairs (Schleimer/Wilkes/Aiken SIGMOD'03,
+    the MOSS fingerprinting algorithm): k-gram rolling hashes, per-window
+    minima (density ~2/(w+1)), inverted-index equi-join on the fingerprint
+    key, hot-fingerprint cut before the join (operators/dedup.py
+    ``winnow_pairs``). Unlike MinHash-LSH (whole-doc Jaccard bound) the
+    guarantee is LOCAL: any shared run of >= w+k-1 tokens shares a
+    fingerprint."""
+    from hemera_indexer_spark.operators.dedup import winnow_pairs
+
+    docs = _t(spark, sf, "documents")
+    max_df = max(5, _t_rows(sf, "documents") // 100)
+    return winnow_pairs(
+        docs, "doc_id", "text", k=5, w=4, min_shared=2, max_df=max_df
+    )
+
+
 def q_shard_ntile(spark, sf):
     """Deterministic balanced shard assignment audit: ntile(8) per source
     over the engine-portable md5(doc_id) hash order — equal-count,
@@ -1421,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_stats": q_quantile_stats,
         "tfidf_topk": q_tfidf_topk,
         "mixture_sample": q_mixture_sample,
+        "temperature_mixture": q_temperature_mixture,
         "vocab_histogram": q_vocab_histogram,
         "token_budget": q_token_budget,
         "repetition_ratio": q_repetition_ratio,
@@ -1446,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_exclusivity": q_source_exclusivity,
         "dist_drift": q_dist_drift,
         "dedup_containment": q_dedup_containment,
+        "winnow_dedup": q_winnow_dedup,
         "shard_ntile": q_shard_ntile,
     }
 
@@ -2360,6 +2426,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rk <= 3 AND doc_id < 100
         """,
+        "temperature_mixture": """
+            WITH totals AS (
+                SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS chars_s
+                FROM documents GROUP BY source
+            ),
+            tot AS (SELECT SUM(chars_s) AS total FROM totals),
+            z AS (
+                SELECT SUM(POW(chars_s / total, 0.3)) AS z
+                FROM totals, tot
+            ),
+            rates AS (
+                SELECT source,
+                       LEAST(1.0, POW(chars_s / total, 0.3 - 1.0) / z) AS rate
+                FROM totals, tot, z
+            ),
+            h AS (
+                SELECT doc_id, source, n_chars,
+                       md5('temp|' || doc_id) AS m
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, source, n_chars,
+                       (((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+                        + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+                        + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1))
+                       ) AS bucket
+                FROM h
+            )
+            SELECT b.source,
+                   ROUND(ANY_VALUE(r.rate), 6) AS rate,
+                   COUNT(*) AS n_kept,
+                   SUM(b.n_chars) AS kept_chars
+            FROM b JOIN rates r ON b.source = r.source
+            WHERE b.bucket / 65536.0 < r.rate
+            GROUP BY b.source
+        """,
         "mixture_sample": """
             WITH totals AS (
                 SELECT source, SUM(n_chars) AS chars_s
@@ -2891,6 +2994,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_a, doc_b, n_common, containment
             FROM scored WHERE containment >= 0.5
+        """,
+        "winnow_dedup": """
+            WITH base AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+            ),
+            sized AS (
+                SELECT doc_id, w, len(w) AS n FROM base WHERE len(w) >= 5 + 4 - 1
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       list_transform(range(1, n - 5 + 2),
+                                      i -> md5(array_to_string(w[i:i+4], ' '))) AS h,
+                       n - 5 + 1 AS m
+                FROM sized
+            ),
+            fp AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(range(1, m - 4 + 2),
+                              j -> list_aggregate(h[j:j+3], 'min')))) AS fp
+                FROM hashed
+            ),
+            hot AS (
+                SELECT fp FROM fp GROUP BY fp
+                HAVING COUNT(*) > (SELECT GREATEST(5, COUNT(*) // 100) FROM documents)
+            ),
+            kept AS (SELECT f.doc_id, f.fp FROM fp f ANTI JOIN hot h USING (fp))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+            FROM kept a JOIN kept b ON a.fp = b.fp
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
         """,
         "shard_ntile": """
             SELECT source, CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,

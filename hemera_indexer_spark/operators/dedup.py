@@ -905,3 +905,92 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+# -------------------------------------------------- winnowing fingerprints
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkes & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word ``k``-gram, then from
+    each window of ``w`` consecutive hashes keep the minimum. Guarantee:
+    any two documents sharing a run of at least ``w + k - 1`` tokens share
+    at least one fingerprint, while only ~``2/(w+1)`` of all k-gram hashes
+    are retained — a density-bounded alternative to full-shingle inverted
+    indexes with a LOCALITY guarantee MinHash doesn't give (MinHash bounds
+    whole-doc Jaccard; winnowing finds shared PASSAGES).
+
+    Returns ``(doc_id, fp)`` with per-doc-distinct fingerprints.
+    Docs shorter than ``w + k - 1`` words emit nothing (no full window).
+
+    Hashes are md5-hex compared lexicographically — engine-portable (the
+    DuckDB oracle shares them verbatim); winnowing only needs a total
+    order, not integer arithmetic. Ties select one VALUE (set semantics),
+    so the rightmost-min tie rule of the paper — which matters only for
+    positional density — does not affect the fingerprint set.
+
+    Scale shape: one map-only pass per doc (the k-gram hash array and the
+    window minima are array ops inside whole-stage codegen; both arrays
+    are MATERIALIZED columns first — Spark does not CSE expressions inside
+    higher-order-function lambdas, the 7x bug class in this file's header).
+    The explode multiplies rows by ~2·words/(w+1); downstream consumers
+    shuffle on the fingerprint key like every inverted index here."""
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.trim(F.lower(F.col(text_col))), "\\s+").alias("_w"),
+        )
+        .withColumn("_n", F.size("_w"))
+        .where(F.col("_n") >= k + w - 1)
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.col("_n") - k + 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i, k))),
+    )
+    hb = base.select(
+        "doc_id", hashes.alias("_h"), (F.col("_n") - k + 1).alias("_m")
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("_m") - w + 1),
+            lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
+        )
+    )
+    return hb.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints —
+    shared-passage detection. Inverted-index equi-join on the fingerprint
+    key (never an all-pairs product); ``max_df`` drops fingerprints hot
+    across more than that many docs BEFORE the join — they are exactly the
+    skewed keys, and (boilerplate passages) exactly the matches a curation
+    pass wants to ignore. Returns ``(doc_a, doc_b, shared_fps)`` with
+    ``doc_a < doc_b``."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    if max_df is not None:
+        hot = (
+            fp.groupBy("fp")
+            .count()
+            .where(F.col("count") > max_df)
+            .select("fp")
+        )
+        fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, F.col("a.fp") == F.col("b.fp"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

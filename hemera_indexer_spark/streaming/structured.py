@@ -50,6 +50,7 @@ class StructuredIngest:
         compact_max_deltas: int = 8,
         view_sink=None,
         fact_table: LakeTable | None = None,
+        quarantine_dir: str | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -70,6 +71,13 @@ class StructuredIngest:
         # (key, seq), so at-least-once replayed micro-batches converge
         # without a separate fact fence
         self.fact_table = fact_table
+        # dead-letter parity with the batch controller (see
+        # StreamController.__init__): malformed events diverted per
+        # micro-batch to <quarantine_dir>/batch=<id>/ and excluded from
+        # merge/rollback. A micro-batch exposes no Parquet footers, so
+        # there is no footer fast path here — enabling this costs one
+        # filtered scan per batch (the batch controller's 'always' mode).
+        self.quarantine_dir = quarantine_dir
 
     # -------------------------------------------------------------- sink
     @property
@@ -102,6 +110,21 @@ class StructuredIngest:
         # per-checkpoint stream batch_id counter — mixing the two could
         # move the fence forward past epochs a later batch controller
         # still needs to drive through this sink.
+        if self.quarantine_dir is not None:
+            from hemera_indexer_spark.streaming.controller import (
+                _malformed_reason,
+            )
+
+            # deterministic per-batch path + overwrite = idempotent under
+            # the engine's at-least-once batch replays
+            qdir = os.path.join(self.quarantine_dir, f"batch={batch_id:05d}")
+            (
+                batch_df.withColumn("quarantine_reason", _malformed_reason())
+                .where(F.col("quarantine_reason").isNotNull())
+                .write.mode("overwrite")
+                .parquet(qdir)
+            )
+            batch_df = batch_df.where(_malformed_reason().isNull())
         state_done = batch_id <= self.stream_hwm()
         if state_done and self.fact_table is None:
             if self.view_sink is not None:

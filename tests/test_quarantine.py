@@ -178,3 +178,45 @@ def test_quarantine_scan_validation(spark, tmp_path):
         StreamController(
             spark, table, str(tmp_path), 2, quarantine_scan="sometimes"
         )
+
+
+def test_structured_quarantine_parity(spark, tmp_path):
+    """Streaming front-end diverts the same malformed events (no footer
+    fast path — one filtered scan per micro-batch), and the dirty-log
+    replay still converges to the clean-log oracle."""
+    from hemera_indexer_spark.streaming.structured import StructuredIngest
+
+    spec = ChangelogSpec(
+        n_docs=200, n_epochs=4, events_per_epoch=300, n_partitions=2,
+        seed=7, schema_evolution_epoch=None,
+    )
+    clean = str(tmp_path / "log_clean")
+    dirty = str(tmp_path / "log_dirty")
+    generate_changelog(clean, spec)
+    generate_changelog(dirty, spec)
+    _inject(
+        dirty, 2,
+        [{"seq": 900001, "epoch": 2, "partition": 0, "doc_id": None,
+          "op": "update", "n_tok": 3},
+         {"seq": None, "epoch": 2, "partition": 0, "doc_id": "doc-000x",
+          "op": "insert", "n_tok": 1}],
+        "foreign-00000.parquet",
+    )
+    base, _ = _replay(spark, clean, tmp_path / "lake_clean")
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake_stream"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    qdir = str(tmp_path / "dl_stream")
+    q = StructuredIngest(
+        spark, table, dirty, 2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        quarantine_dir=qdir,
+    ).start(available_now=True)
+    q.awaitTermination(300)
+    table.refresh()
+    assert _state_rows(table) == _state_rows(base)
+    qfiles = glob.glob(os.path.join(qdir, "batch=*", "*.parquet"))
+    qrows = [r for f in qfiles for r in pq.read_table(f).to_pylist()]
+    assert sorted(r["quarantine_reason"] for r in qrows) == [
+        "null_key", "null_seq"
+    ]
