@@ -1025,8 +1025,14 @@ def q_temperature_mixture(spark, sf):
         16,
         10,
     ).cast("int")
+    # integer keep threshold: the float rate (libm pow + fold-order z) can
+    # differ between engines in the last ulp, and a raw `bucket/65536 <
+    # rate` comparison would flip membership at the boundary. Rounding the
+    # threshold to the bucket grid once makes the comparison exact-integer
+    # on both sides (residual risk only if rate*65536 sits within an ulp
+    # of a .5 — per-source, not per-doc).
     kept = docs.join(F.broadcast(rates.drop("chars_s")), "source").where(
-        bucket / F.lit(65536.0) < F.col("rate")
+        bucket < F.round(F.col("rate") * 65536).cast("int")
     )
     return (
         kept.groupBy("source")
@@ -2460,7 +2466,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_kept,
                    SUM(b.n_chars) AS kept_chars
             FROM b JOIN rates r ON b.source = r.source
-            WHERE b.bucket / 65536.0 < r.rate
+            WHERE b.bucket < CAST(ROUND(r.rate * 65536) AS INT)
             GROUP BY b.source
         """,
         "mixture_sample": """
@@ -2956,9 +2962,16 @@ def oracle_sql() -> dict[str, str]:
                     FROM ws GROUP BY lang, w),
             tot AS (SELECT lang, SUM(c_a) AS na, SUM(c_b) AS nb FROM cnt GROUP BY lang),
             term AS (
+                -- empty-population guard mirrors the operator: an empty
+                -- side is the zero measure, never a division by zero
                 SELECT cnt.lang, tot.na, tot.nb,
-                       CAST(ROUND(ABS(cnt.c_a / CAST(tot.na AS DOUBLE)
-                                      - cnt.c_b / CAST(tot.nb AS DOUBLE)), 6)
+                       CAST(ROUND(ABS(
+                           CASE WHEN tot.na > 0
+                                THEN cnt.c_a / CAST(tot.na AS DOUBLE)
+                                ELSE 0.0 END
+                         - CASE WHEN tot.nb > 0
+                                THEN cnt.c_b / CAST(tot.nb AS DOUBLE)
+                                ELSE 0.0 END), 6)
                             AS DECIMAL(18,6)) AS t
                 FROM cnt JOIN tot USING (lang)
             )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "word_stream",
+    "bigram_stream",
     "bigram_pmi",
     "vocab_coverage",
     "source_kl",
@@ -52,6 +53,39 @@ def word_stream(
     return (
         df.select(*extra_cols, F.explode(w).alias("w"))
         .where(F.col("w") != "")
+    )
+
+
+def bigram_stream(
+    df: DataFrame, text_col: str = "text", *extra_cols
+) -> DataFrame:
+    """Map-only adjacent-bigram stream: one row per (x, y) pair, with
+    ``extra_cols`` carried along — the bigram analog of ``word_stream``
+    and the single normal form shared by ``bigram_pmi`` and
+    ``bigram_logprob`` (one place to fix tokenization). The split word
+    array is materialized into a column first (the repo's
+    no-CSE-inside-lambda rule), bigrams come from a zip of the array
+    against itself shifted by one (two O(len) slices + one zip_with, all
+    codegen), empty tokens dropped on both sides."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    base = df.select(*extra_cols, w.alias("_w"))
+    keep = [c for c in base.columns if c != "_w"]
+    arr = F.col("_w")
+    sz = F.size(arr)
+    return (
+        base.where(sz >= 2)
+        .select(
+            *keep,
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, sz - 1),
+                    F.slice(arr, 2, sz - 1),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("bg"),
+        )
+        .select(*keep, "bg.x", "bg.y")
+        .where((F.col("x") != "") & (F.col("y") != ""))
     )
 
 
@@ -79,31 +113,9 @@ def bigram_pmi(
 
     Output ordering ties break on (x, y); the pmi used for ordering is
     the rounded decimal, so rank is as reproducible as the values."""
-    w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
-    base = df.select(w.alias("_w"))
-    arr = F.col("_w")
-    sz = F.size(arr)
-    pairs = (
-        base.where(sz >= 2)
-        .select(
-            F.explode(
-                F.zip_with(
-                    F.slice(arr, 1, sz - 1),
-                    F.slice(arr, 2, sz - 1),
-                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
-                )
-            ).alias("bg")
-        )
-        .select("bg.x", "bg.y")
-        .where((F.col("x") != "") & (F.col("y") != ""))
-    )
+    pairs = bigram_stream(df, text_col)
     big = pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
-    uni = (
-        base.select(F.explode(arr).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
-    )
+    uni = word_stream(df, text_col).groupBy("w").agg(F.count("*").alias("c"))
     n_big = F.sum("c_xy").over(Window.partitionBy())
     n_uni = F.sum("c").over(Window.partitionBy())
     # total BEFORE the min_count prune: p(x,y) is over all bigrams, not
@@ -326,25 +338,7 @@ def bigram_logprob(
     both model tables broadcast onto the scoring stream. Per-pair terms
     round to decimal(18,6) before the per-doc fold (order-independent).
     """
-    w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
-    base = df.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
-    arr = F.col("_w")
-    sz = F.size(arr)
-    pairs = (
-        base.where(sz >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.zip_with(
-                    F.slice(arr, 1, sz - 1),
-                    F.slice(arr, 2, sz - 1),
-                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", "bg.x", "bg.y")
-        .where((F.col("x") != "") & (F.col("y") != ""))
-    )
+    pairs = bigram_stream(df, text_col, F.col(id_col).alias("doc_id"))
     # ONE pass over the corpus: pre-aggregate the bigram stream to
     # (doc, x, y) occurrence counts — everything downstream (model
     # tables, scoring, per-doc fold) derives from that aggregate, so the
@@ -569,19 +563,21 @@ def dist_drift(
         F.sum((~F.col("_fa")).cast("bigint")).alias("c_b"),
     )
     wg = Window.partitionBy("_g")
+    # empty-population guard: a group whose words all fall in ONE
+    # population would divide by zero (NULL terms silently skipped by
+    # SUM — the most-drifted case reporting the least drift). Treat the
+    # empty population as the zero measure: its ratio is 0, the L1
+    # collapses to Σ p_other = 1.0, and n_a/n_b = 0 tells the consumer
+    # which side vanished.
+    na = F.sum("c_a").over(wg)
+    nb = F.sum("c_b").over(wg)
+    p_a = F.when(na > 0, F.col("c_a") / na).otherwise(F.lit(0.0))
+    p_b = F.when(nb > 0, F.col("c_b") / nb).otherwise(F.lit(0.0))
     term = counts.select(
         "_g",
-        F.sum("c_a").over(wg).alias("_na"),
-        F.sum("c_b").over(wg).alias("_nb"),
-        F.round(
-            F.abs(
-                F.col("c_a") / F.sum("c_a").over(wg)
-                - F.col("c_b") / F.sum("c_b").over(wg)
-            ),
-            6,
-        )
-        .cast("decimal(18,6)")
-        .alias("_t"),
+        na.alias("_na"),
+        nb.alias("_nb"),
+        F.round(F.abs(p_a - p_b), 6).cast("decimal(18,6)").alias("_t"),
     )
     return term.groupBy(F.col("_g").alias(group_col)).agg(
         F.count("*").alias("n_types"),

@@ -194,15 +194,25 @@ class StreamController:
         # ``<quarantine_dir>/epoch=<fence>/`` with a ``quarantine_reason``
         # column and EXCLUDED from the merge, rollback segmentation, and
         # consensus, instead of producing undefined LWW/fence behavior.
-        # The write path is deterministic per group and mode=overwrite, so
-        # retries/re-drives are idempotent. ``quarantine_scan``:
+        # The dead-letter layout is partitioned by SOURCE epoch (parsed
+        # from the file path) with dynamic partition overwrite, so
+        # retries/re-drives are idempotent even under a DIFFERENT epoch
+        # grouping; in tenant mode the dir is namespaced per tenant.
+        # ``quarantine_scan``:
         #   'footer' (default) — the scan-and-divert pass only runs for
         #     groups whose Parquet footers cannot PROVE identity columns
         #     null-free (null_count stats), i.e. zero extra cost on clean
-        #     logs; op-DOMAIN violations (non-null unknown op strings) are
-        #     not footer-detectable and pass through as ordinary upserts.
+        #     logs. Footer-INVISIBLE malformations (all identity columns
+        #     non-null) are NOT caught in this mode: an unknown op string
+        #     passes through as an ordinary upsert, and a rollback whose
+        #     rollback_to_seq is NULL is silently excluded from the merge
+        #     (the pre-existing no-quarantine behavior for both).
         #   'always' — every group pays one extra filtered scan and also
-        #     catches unknown-op / null-target-rollback rows.
+        #     catches those two footer-invisible classes.
+        # Hash-chained logs: a diverted event breaks chain continuity by
+        # construction, so quarantining from a consensus-checked log is
+        # refused loudly (see _process_group_once) rather than letting a
+        # false divergence degrade into a destructive synthetic rollback.
         # With quarantine_dir=None behavior is unchanged (malformed rows
         # from a foreign writer surface loudly in merge_upsert's identity
         # checks or fold into NULL-key groups — the pre-existing contract).
@@ -315,6 +325,13 @@ class StreamController:
             for s in self.sinks:
                 if hasattr(s, "fence_key") and s.fence_key is None:
                     s.fence_key = f"tenant_fence:{tenant_id}"
+            if self.quarantine_dir is not None:
+                # per-tenant namespace: dynamic epoch-partition overwrite
+                # would let two tenant controllers sharing one dir clobber
+                # each other's dead-letter rows
+                self.quarantine_dir = os.path.join(
+                    self.quarantine_dir, f"tenant={tenant_id}"
+                )
 
     # ------------------------------------------------- tenant-aware fencing
     # In multi-tenant mode several controllers (one per tenant log) share
@@ -918,20 +935,55 @@ class StreamController:
             self.quarantine_scan == "always"
             or any(m.get("maybe_malformed") for m in metas)
         ):
-            qdir = os.path.join(
-                self.quarantine_dir, f"epoch={last_epoch:05d}"
-            )
+            # The dead-letter layout is partitioned by the SOURCE epoch
+            # (parsed from the file path — grouping- and row-content-
+            # independent), with dynamic partition overwrite: a re-drive
+            # under a DIFFERENT epoch grouping (changed max_batch_epochs
+            # after a crash) rewrites exactly the epoch partitions it
+            # covers instead of duplicating rows under a new group-keyed
+            # dir. Keying by the row's own `epoch` column would trust the
+            # very writer that produced the malformed row.
+            src_epoch = F.regexp_extract(
+                F.input_file_name(), r"epoch=(\d+)", 1
+            ).cast("long")
             (
                 df.withColumn("quarantine_reason", _malformed_reason())
                 .where(F.col("quarantine_reason").isNotNull())
-                .write.mode("overwrite")
-                .parquet(qdir)
+                .withColumn("_src_epoch", src_epoch)
+                .write.partitionBy("_src_epoch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(self.quarantine_dir)
             )
-            # count from the written files' footers — no second scan
+            # count THIS group's rows from the written files' footers —
+            # no second scan, and other groups' partitions don't count
             n_quarantined = sum(
                 pq.read_metadata(f).num_rows
-                for f in glob.glob(os.path.join(qdir, "*.parquet"))
+                for e in group
+                for f in glob.glob(
+                    os.path.join(
+                        self.quarantine_dir, f"_src_epoch={e}", "*.parquet"
+                    )
+                )
             )
+            if n_quarantined and has_hash_chain:
+                # A hash-chained log guarantees per-partition continuity;
+                # a diverted event breaks the chain BY CONSTRUCTION, and
+                # letting consensus run over the gap would flag a false
+                # divergence whose fork-point lookup fails (the matching
+                # ancestor hash was quarantined) — degrading to a
+                # destructive partition-wide synthetic rollback. That is
+                # chain corruption, not skippable garbage: crash loudly,
+                # with the evidence already on disk in the dead-letter
+                # dir. Deterministic error — never retried.
+                raise ValueError(
+                    f"{n_quarantined} malformed event(s) inside a "
+                    f"hash-chained log (dead-lettered under "
+                    f"{self.quarantine_dir}): a missing event breaks "
+                    f"chain continuity, so this is upstream chain "
+                    f"corruption the quarantine cannot skip; repair the "
+                    f"log (or drop the consensus columns) and re-run"
+                )
             if n_quarantined:
                 df = df.where(_malformed_reason().isNull())
 

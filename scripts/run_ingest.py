@@ -87,8 +87,11 @@ def main() -> None:
                     choices=["footer", "always"],
                     help="'footer': divert pass only when Parquet footer "
                          "null-counts cannot prove the group clean (free on "
-                         "clean logs); 'always': every group, also catches "
-                         "unknown-op strings")
+                         "clean logs; footer-INVISIBLE malformations — "
+                         "unknown op strings, rollbacks with NULL target — "
+                         "pass through); 'always': every group pays one "
+                         "filtered scan and catches those too (streaming "
+                         "mode always behaves like 'always')")
     args = ap.parse_args()
     tenant_kw = {}
     if args.quarantine_dir is not None:
@@ -98,7 +101,8 @@ def main() -> None:
         if args.tenant_id is None:
             ap.error("--tenant-col requires --tenant-id")
         tid = int(args.tenant_id) if args.tenant_id.isdigit() else args.tenant_id
-        tenant_kw = {"tenant_col": args.tenant_col, "tenant_id": tid}
+        # update, never replace: the quarantine keys may already be set
+        tenant_kw.update({"tenant_col": args.tenant_col, "tenant_id": tid})
         if args.streaming:
             ap.error("--tenant-col uses the batch controller; drop --streaming")
 
@@ -209,6 +213,7 @@ def main() -> None:
             compact_max_deltas=args.compact_max_deltas,
             view_sink=view_sink,
             fact_table=fact_table,
+            quarantine_dir=args.quarantine_dir,
         ).start(available_now=True)
         q.awaitTermination()
         events = None

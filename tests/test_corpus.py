@@ -220,3 +220,24 @@ def test_quantize_roundtrip_error_bounded(spark):
             span = hi[d] - lo[d]
             deq = lo[d] + (qv[i][d] + 0.5) * span / 256
             assert abs(deq - v) <= span / 256  # half-bucket + boundary slack
+
+
+def test_dist_drift_empty_population_is_guarded(spark):
+    # every word of lang 'xx' falls in population A: the empty side is
+    # the zero measure (l1 = 1.0), never a NULL-skipping division by zero
+    from hemera_indexer_spark.operators.corpus import dist_drift
+
+    df = spark.createDataFrame(
+        [(0, "a b c", "xx"), (2, "a b", "xx"), (1, "a a b b", "yy"),
+         (2, "a b c d", "yy")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["lang"]: r.asDict()
+        for r in dist_drift(df, F.col("doc_id") % 2 == 0).collect()
+    }
+    assert out["xx"]["n_b"] == 0
+    assert float(out["xx"]["l1_dist"]) == pytest.approx(1.0, abs=2e-6)
+    # both populations present -> ordinary L1 in (0, 2]
+    assert out["yy"]["n_a"] > 0 and out["yy"]["n_b"] > 0
+    assert 0 < float(out["yy"]["l1_dist"]) <= 2.0

@@ -97,7 +97,7 @@ def test_quarantine_diverts_malformed_and_preserves_state(spark, tmp_path):
 
     # every malformed row diverted, tagged, none merged
     assert sum(e.quarantined for e in stats.epochs) == 3
-    qfiles = glob.glob(os.path.join(qdir, "epoch=*", "*.parquet"))
+    qfiles = glob.glob(os.path.join(qdir, "_src_epoch=*", "*.parquet"))
     assert qfiles
     qrows = pa.concat_tables([pq.read_table(f) for f in qfiles]).to_pylist()
     reasons = sorted(r["quarantine_reason"] for r in qrows)
@@ -165,9 +165,56 @@ def test_quarantine_rerun_is_idempotent(spark, tmp_path):
         spark, table, log, 2, quarantine_dir=qdir
     ).run()
     assert all(e.skipped for e in again.epochs) or not again.epochs
-    qfiles = glob.glob(os.path.join(qdir, "epoch=*", "*.parquet"))
+    qfiles = glob.glob(os.path.join(qdir, "_src_epoch=*", "*.parquet"))
     total = sum(pq.read_metadata(f).num_rows for f in qfiles)
     assert total == 1
+
+    # re-drive under a DIFFERENT epoch grouping (fresh table, same
+    # dead-letter dir): the source-epoch-partitioned dynamic overwrite
+    # must rewrite, never duplicate
+    _replay(
+        spark, log, tmp_path / "lake2",
+        quarantine_dir=qdir, max_batch_epochs=1,
+    )
+    qfiles = glob.glob(os.path.join(qdir, "_src_epoch=*", "*.parquet"))
+    total = sum(pq.read_metadata(f).num_rows for f in qfiles)
+    assert total == 1
+
+
+def test_quarantine_refuses_hash_chained_log(spark, tmp_path):
+    # a diverted event breaks chain continuity by construction — the
+    # controller must crash loudly instead of letting a false divergence
+    # wipe the partition via a synthetic rollback
+    log = str(tmp_path / "log")
+
+    def hash_epoch(epoch, rows):
+        # rows: (seq, doc_id, chain_hash, parent_hash)
+        n = len(rows)
+        cols = {
+            "seq": pa.array([r[0] for r in rows], pa.int64()),
+            "epoch": pa.array([epoch] * n, pa.int64()),
+            "partition": pa.array([0] * n, pa.int32()),
+            "doc_id": pa.array([r[1] for r in rows]),
+            "op": pa.array(["insert"] * n),
+            "tokens": pa.array([[1]] * n, pa.list_(pa.int32())),
+            "n_tok": pa.array([1] * n, pa.int32()),
+            "source": pa.array(["web"] * n),
+            "rollback_to_seq": pa.array([None] * n, pa.int64()),
+            "chain_hash": pa.array([r[2] for r in rows]),
+            "parent_hash": pa.array([r[3] for r in rows]),
+        }
+        d = os.path.join(log, f"epoch={epoch:05d}", "partition=000")
+        os.makedirs(d)
+        pq.write_table(pa.table(cols), os.path.join(d, "events.parquet"))
+
+    hash_epoch(0, [(1, "doc_1", "h1", "h0"), (2, "doc_2", "h2", "h1")])
+    # epoch 1: a malformed (NULL doc_id) event INSIDE the chain
+    hash_epoch(1, [(3, None, "h3", "h2"), (4, "doc_3", "h4", "h3")])
+    qdir = str(tmp_path / "dl")
+    with pytest.raises(ValueError, match="hash-chained"):
+        _replay(spark, log, tmp_path / "lake", quarantine_dir=qdir)
+    # the evidence is on disk even though the run crashed
+    assert glob.glob(os.path.join(qdir, "_src_epoch=*", "*.parquet"))
 
 
 def test_quarantine_scan_validation(spark, tmp_path):
