@@ -1424,6 +1424,21 @@ def q_winnow_dedup(spark, sf):
     )
 
 
+def q_heavy_hitters(spark, sf):
+    """Top-20 frequent words via the bounded-memory Misra-Gries sketch
+    (operators/sketches.py): mapInPandas partial summaries (<= capacity
+    counters per task), tiny groupBy-sum merge, deterministic top-k. At
+    this scale capacity (4096) exceeds the vocabulary, so the sketch is
+    provably EXACT and the DuckDB oracle checks it against plain
+    count(*) — the approximate regime is property-tested against the
+    N/(capacity+1) bound instead."""
+    from hemera_indexer_spark.operators.corpus import word_stream
+    from hemera_indexer_spark.operators.sketches import heavy_hitters
+
+    docs = _t(spark, sf, "documents")
+    return heavy_hitters(word_stream(docs), "w", capacity=4096, k=20)
+
+
 def q_shard_ntile(spark, sf):
     """Deterministic balanced shard assignment audit: ntile(8) per source
     over the engine-portable md5(doc_id) hash order — equal-count,
@@ -1518,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_drift": q_dist_drift,
         "dedup_containment": q_dedup_containment,
         "winnow_dedup": q_winnow_dedup,
+        "heavy_hitters": q_heavy_hitters,
         "shard_ntile": q_shard_ntile,
     }
 
@@ -3007,6 +3023,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_a, doc_b, n_common, containment
             FROM scored WHERE containment >= 0.5
+        """,
+        "heavy_hitters": """
+            SELECT item, est FROM (
+                SELECT w AS item, COUNT(*) AS est,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+                FROM (
+                    SELECT unnest(string_split(
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        ' ')) AS w
+                    FROM documents
+                )
+                WHERE w <> ''
+                GROUP BY w
+            ) WHERE rk <= 20
         """,
         "winnow_dedup": """
             WITH base AS (
