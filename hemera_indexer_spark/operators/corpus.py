@@ -66,10 +66,21 @@ def bigram_stream(
     array is materialized into a column first (the repo's
     no-CSE-inside-lambda rule), bigrams come from a zip of the array
     against itself shifted by one (two O(len) slices + one zip_with, all
-    codegen), empty tokens dropped on both sides."""
+    codegen), empty tokens dropped on both sides.
+
+    ``x``, ``y`` (the outputs) and ``_w``, ``bg`` (internals) are
+    RESERVED: an extra column under any of those names would collide
+    (duplicate/ambiguous columns downstream), so it is rejected here —
+    alias it before calling."""
     w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
     base = df.select(*extra_cols, w.alias("_w"))
     keep = [c for c in base.columns if c != "_w"]
+    reserved = {"x", "y", "_w", "bg"} & set(keep)
+    if reserved:
+        raise ValueError(
+            f"bigram_stream extra_cols collide with reserved names "
+            f"{sorted(reserved)}; alias them before calling"
+        )
     arr = F.col("_w")
     sz = F.size(arr)
     return (

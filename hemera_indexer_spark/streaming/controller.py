@@ -51,6 +51,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import time
 import zlib
 from concurrent.futures import ThreadPoolExecutor
@@ -946,6 +947,20 @@ class StreamController:
             src_epoch = F.regexp_extract(
                 F.input_file_name(), r"epoch=(\d+)", 1
             ).cast("long")
+            # Pre-clear THIS group's epoch partitions: the dead-letter
+            # state for an epoch must be exactly what the CURRENT log
+            # yields for it — dynamic overwrite alone writes (and cleans)
+            # nothing when the repaired log diverts zero rows, so a stale
+            # partition from a pre-repair run would be recounted forever
+            # (with a hash-chained log that re-raises the corruption
+            # error even after the operator followed its own recovery
+            # instructions). A crash between clear and write loses
+            # nothing durable: the rows re-derive from the immutable log
+            # on the next re-drive.
+            for e in group:
+                d = os.path.join(self.quarantine_dir, f"_src_epoch={e}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
             (
                 df.withColumn("quarantine_reason", _malformed_reason())
                 .where(F.col("quarantine_reason").isNotNull())

@@ -267,3 +267,48 @@ def test_structured_quarantine_parity(spark, tmp_path):
     assert sorted(r["quarantine_reason"] for r in qrows) == [
         "null_key", "null_seq"
     ]
+
+
+def test_quarantine_recovers_after_log_repair(spark, tmp_path):
+    """The error path's own prescribed recovery must work: after the
+    operator repairs the log (removes the foreign file), a re-run must
+    neither recount stale dead-letter rows nor re-raise — the group's
+    epoch partitions are re-derived from the CURRENT log."""
+    log = str(tmp_path / "log")
+    generate_changelog(log, ChangelogSpec(**SPEC))
+    foreign = os.path.join(
+        log, "epoch=00002", "partition=000", "foreign-00000.parquet"
+    )
+    _inject(
+        log, 2,
+        [{"seq": None, "epoch": 2, "partition": 0, "doc_id": "doc-q",
+          "op": "insert"}],
+        "foreign-00000.parquet",
+    )
+    qdir = str(tmp_path / "dl")
+    # 'always' mode: the divert pass runs every group, so the stale-count
+    # trap (footer mode would skip the scan post-repair) is fully armed
+    table, stats = _replay(
+        spark, log, tmp_path / "lake",
+        quarantine_dir=qdir, quarantine_scan="always",
+    )
+    assert sum(e.quarantined for e in stats.epochs) == 1
+    # operator repairs the log exactly as instructed
+    os.remove(foreign)
+    table2, stats2 = _replay(
+        spark, log, tmp_path / "lake_repaired",
+        quarantine_dir=qdir, quarantine_scan="always",
+    )
+    assert sum(e.quarantined for e in stats2.epochs) == 0
+    qfiles = glob.glob(os.path.join(qdir, "_src_epoch=*", "*.parquet"))
+    assert sum(pq.read_metadata(f).num_rows for f in qfiles) == 0
+
+
+def test_bigram_stream_reserved_name_collision(spark):
+    import pytest as _pytest
+
+    from hemera_indexer_spark.operators.corpus import bigram_stream
+
+    df = spark.createDataFrame([("a b c", 1)], "text string, x int")
+    with _pytest.raises(ValueError, match="reserved"):
+        bigram_stream(df, "text", "x")
