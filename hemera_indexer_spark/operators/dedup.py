@@ -975,7 +975,11 @@ def winnow_pairs(
     skewed keys, and (boilerplate passages) exactly the matches a curation
     pass wants to ignore. Returns ``(doc_a, doc_b, shared_fps)`` with
     ``doc_a < doc_b``."""
-    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    # cache the shared fingerprint stream: it feeds the hot-cut groupBy,
+    # the anti-join, and BOTH sides of the pair join — uncached, the
+    # md5-per-k-gram pass re-runs once per consumer (same rule as the
+    # jaccard/minhash shingle branch)
+    fp = winnow_fingerprints(df, id_col, text_col, k, w).cache()
     if max_df is not None:
         hot = (
             fp.groupBy("fp")
