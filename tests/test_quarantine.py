@@ -312,3 +312,50 @@ def test_bigram_stream_reserved_name_collision(spark):
     df = spark.createDataFrame([("a b c", 1)], "text string, x int")
     with _pytest.raises(ValueError, match="reserved"):
         bigram_stream(df, "text", "x")
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_quarantine_fuzz_random_malformed_mixes(spark, tmp_path, seed):
+    """Random malformed-row mixes across random epochs: state always
+    equals the clean twin, counts always equal the injected total."""
+    import random
+
+    rng = random.Random(seed)
+    spec = ChangelogSpec(**SPEC)
+    clean = str(tmp_path / "log_clean")
+    dirty = str(tmp_path / "log_dirty")
+    generate_changelog(clean, spec)
+    generate_changelog(dirty, spec)
+
+    kinds = [
+        lambda s: {"seq": s, "epoch": 0, "partition": 0, "doc_id": None,
+                   "op": "update"},
+        lambda s: {"seq": None, "epoch": 0, "partition": 0,
+                   "doc_id": f"doc-f{s}", "op": "insert"},
+        lambda s: {"seq": s, "epoch": 0, "partition": 0,
+                   "doc_id": f"doc-f{s}", "op": "rollback",
+                   "rollback_to_seq": None},
+        lambda s: {"seq": s, "epoch": 0, "partition": 0,
+                   "doc_id": f"doc-f{s}", "op": None},
+    ]
+    n_bad = rng.randint(1, 5)
+    per_epoch: dict[int, list] = {}
+    for i in range(n_bad):
+        e = rng.randrange(spec.n_epochs)
+        row = rng.choice(kinds)(900100 + i)
+        row["epoch"] = e
+        per_epoch.setdefault(e, []).append(row)
+    for e, rows in per_epoch.items():
+        _inject(dirty, e, rows, "foreign-00000.parquet")
+
+    base, _ = _replay(spark, clean, tmp_path / "lake_clean")
+    qdir = str(tmp_path / "dl")
+    table, stats = _replay(
+        spark, dirty, tmp_path / "lake_dirty",
+        quarantine_dir=qdir, quarantine_scan="always",
+        max_batch_epochs=rng.choice([1, 2, 8]),
+    )
+    assert sum(e.quarantined for e in stats.epochs) == n_bad
+    qfiles = glob.glob(os.path.join(qdir, "_src_epoch=*", "*.parquet"))
+    assert sum(pq.read_metadata(f).num_rows for f in qfiles) == n_bad
+    assert _state_rows(table) == _state_rows(base)
