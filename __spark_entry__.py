@@ -518,6 +518,24 @@ def q_dedup_minhash_lsh(spark, sf):
     )
 
 
+def q_dedup_incremental(spark, sf):
+    """Incremental near-dup check (operators/dedup_index.py): the md5-split
+    'train' partition plays the committed corpus, the val/test remainder
+    plays the incoming CDC batch; MinHash-band both sides and join NEW
+    buckets against BASE buckets only — base x base pairs are never
+    generated, which is what makes checking a micro-batch O(batch), the
+    reference's incremental-per-block-range discipline applied to dedup."""
+    from hemera_indexer_spark.operators.dedup import dataset_split
+    from hemera_indexer_spark.operators.dedup_index import incremental_lsh_pairs
+
+    s = dataset_split(_t(spark, sf, "documents"), "doc_id")
+    new = s.where(F.col("split") != "train")
+    base = s.where(F.col("split") == "train")
+    return incremental_lsh_pairs(
+        new, base, "doc_id", "text", n=2, k=16, bands=4, threshold=0.5
+    )
+
+
 def q_dedup_simhash(spark, sf):
     from hemera_indexer_spark.operators.dedup import simhash16
 
@@ -1483,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters_cc": q_dedup_clusters_cc,
         "dedup_embedding": q_dedup_embedding,
@@ -1909,6 +1928,57 @@ def oracle_sql() -> dict[str, str]:
             FROM common
             JOIN sizes za ON za.doc_id = doc_a
             JOIN sizes zb ON zb.doc_id = doc_b
+            WHERE n_common / (za.n_sh + zb.n_sh - n_common) >= 0.5
+        """,
+        "dedup_incremental": f"""
+            WITH {_SHINGLES_CTE},
+            hsplit AS (
+                SELECT doc_id,
+                       (((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+                        + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+                        + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 100
+                       ) AS bucket100
+                FROM (SELECT doc_id, md5('split|' || doc_id) AS m FROM documents)
+            ),
+            newdocs AS (SELECT doc_id FROM hsplit WHERE bucket100 >= 90),
+            basedocs AS (SELECT doc_id FROM hsplit WHERE bucket100 < 90),
+            seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+            sig AS (
+                SELECT doc_id, seed,
+                       MIN(substr(md5((seed // 4) || '|' || shingle),
+                                  (seed % 4) * 8 + 1, 8)) AS minhash
+                FROM shingles CROSS JOIN seeds
+                GROUP BY doc_id, seed
+            ),
+            bands AS (
+                SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                       string_agg(minhash, ',' ORDER BY seed) AS bucket
+                FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+            ),
+            -- asymmetric candidate join: new-side bands vs base-side bands
+            -- only (never base x base) — the incremental-check semantics
+            cand AS (
+                SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+                FROM bands a
+                JOIN newdocs n ON n.doc_id = a.doc_id
+                JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                JOIN basedocs s ON s.doc_id = b.doc_id
+                WHERE a.doc_id <> b.doc_id
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+            common AS (
+                SELECT c.new_id, c.base_id, COUNT(*) AS n_common
+                FROM cand c
+                JOIN shingles sa ON sa.doc_id = c.new_id
+                JOIN shingles sb ON sb.doc_id = c.base_id AND sb.shingle = sa.shingle
+                GROUP BY c.new_id, c.base_id
+            )
+            SELECT new_id, base_id,
+                   ROUND(n_common / (za.n_sh + zb.n_sh - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes za ON za.doc_id = new_id
+            JOIN sizes zb ON zb.doc_id = base_id
             WHERE n_common / (za.n_sh + zb.n_sh - n_common) >= 0.5
         """,
         "dedup_simhash": """

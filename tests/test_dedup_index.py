@@ -1,0 +1,186 @@
+"""Incremental dedup: pure new-vs-base LSH, the persisted SignatureIndex,
+and its CDC maintenance path (update_from_changes).
+
+Core law: checking a batch against the corpus incrementally must say
+exactly what a full-corpus run would have said about the crossing pairs."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+def _split(spark):
+    from hemera_indexer_spark.operators.dedup import dataset_split
+
+    s = dataset_split(_docs(spark), "doc_id")
+    return (
+        s.where(F.col("split") != "train").drop("split"),
+        s.where(F.col("split") == "train").drop("split"),
+    )
+
+
+def test_incremental_equals_full_run_cross_pairs(spark):
+    """incremental_lsh_pairs(new, base) == lsh_candidate_pairs(new U base)
+    restricted to pairs with one side in each split."""
+    from hemera_indexer_spark.operators.dedup import lsh_candidate_pairs
+    from hemera_indexer_spark.operators.dedup_index import incremental_lsh_pairs
+
+    new, base = _split(spark)
+    inc = {
+        (r["new_id"], r["base_id"], r["jaccard"])
+        for r in incremental_lsh_pairs(
+            new, base, "doc_id", "text", n=2, k=16, bands=4, threshold=0.5
+        ).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    cross = set()
+    for r in lsh_candidate_pairs(
+        _docs(spark), "doc_id", "text", n=2, k=16, bands=4, threshold=0.5
+    ).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if (a in new_ids) != (b in new_ids):
+            ni, bi = (a, b) if a in new_ids else (b, a)
+            cross.add((ni, bi, r["jaccard"]))
+    assert inc == cross
+    assert inc, "fixture produced no crossing near-dup pairs — test is vacuous"
+
+
+def test_signature_index_check_equals_pure_composition(spark, tmp_path):
+    from hemera_indexer_spark.operators.dedup_index import (
+        SignatureIndex,
+        incremental_lsh_pairs,
+    )
+
+    new, base = _split(spark)
+    idx = SignatureIndex.build(spark, str(tmp_path / "idx"), base)
+    got = {
+        tuple(r) for r in idx.check(new, base, threshold=0.5).collect()
+    }
+    want = {
+        tuple(r)
+        for r in incremental_lsh_pairs(
+            new, base, "doc_id", "text", n=2, k=16, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert got == want and got
+
+
+def _mk_source(spark, root):
+    from hemera_indexer_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return LakeTable.create(spark, root, schema, num_buckets=4)
+
+
+def _merge(table, spark, rows, epoch):
+    df = spark.createDataFrame(rows, "doc_id string, seq long, text string, op string")
+    assert table.merge_upsert(df, epoch_id=epoch)
+
+
+def test_update_from_changes_matches_fresh_rebuild(spark, tmp_path):
+    """After a mixed epoch (update-to-near-dup, delete, insert, update-to-
+    empty), the incrementally maintained index state equals an index built
+    fresh from the source's current state — including the emptied doc
+    DROPPING out (stale signatures must not survive a text rewrite)."""
+    from hemera_indexer_spark.operators.dedup_index import SignatureIndex
+
+    src = _mk_source(spark, str(tmp_path / "src"))
+    base_rows = [
+        ("a", 1, "the quick brown fox jumps over the lazy dog today", "update"),
+        ("b", 2, "completely different text about spark engines and parquet", "update"),
+        ("c", 3, "a third document with some middling unrelated content here", "update"),
+        ("e", 4, "target text that doc d will nearly duplicate verbatim soon", "update"),
+    ]
+    _merge(src, spark, base_rows, epoch=0)
+    idx = SignatureIndex.build_from_table(
+        spark, str(tmp_path / "idx"), src, text_col="text"
+    )
+    assert idx.synced_version() == src.snapshot["version"]
+    # epoch 1: a -> near-dup of e's text; c deleted; d inserted (near-dup of
+    # e); b emptied (whitespace only -> zero shingles)
+    _merge(
+        src,
+        spark,
+        [
+            ("a", 10, "target text that doc d will nearly duplicate verbatim now", "update"),
+            ("c", 11, None, "delete"),
+            ("d", 12, "target text that doc d will nearly duplicate verbatim soon ok", "update"),
+            ("b", 13, "   ", "update"),
+        ],
+        epoch=1,
+    )
+    assert idx.update_from_changes(src, text_col="text")
+    assert idx.synced_version() == src.snapshot["version"]
+    fresh = SignatureIndex.build(
+        spark, str(tmp_path / "idx2"), src.current_state(), text_col="text"
+    )
+    cols = ["doc_id", "b0", "b1", "b2", "b3"]
+    got = sorted(map(tuple, idx.table.current_state().select(*cols).collect()))
+    want = sorted(map(tuple, fresh.table.current_state().select(*cols).collect()))
+    assert got == want
+    ids = {t[0] for t in got}
+    assert "c" not in ids and "b" not in ids and "d" in ids
+    # re-driving when already synced is a no-op (idempotent)
+    assert idx.update_from_changes(src, text_col="text") is False
+    got2 = sorted(map(tuple, idx.table.current_state().select(*cols).collect()))
+    assert got2 == got
+
+
+def test_index_check_finds_new_near_dup_after_maintenance(spark, tmp_path):
+    from hemera_indexer_spark.operators.dedup_index import SignatureIndex
+
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _merge(
+        src,
+        spark,
+        [
+            ("a", 1, "the quick brown fox jumps over the lazy dog again today", "update"),
+            ("b", 2, "completely different text about spark engines and parquet", "update"),
+        ],
+        epoch=0,
+    )
+    idx = SignatureIndex.build(
+        spark, str(tmp_path / "idx"), src.current_state(), text_col="text"
+    )
+    batch = spark.createDataFrame(
+        [("n1", "the quick brown fox jumps over the lazy dog again today ok")],
+        "doc_id string, text string",
+    )
+    hits = idx.check(batch, src.current_state(), text_col="text", threshold=0.5).collect()
+    assert {(r["new_id"], r["base_id"]) for r in hits} == {("n1", "a")}
+
+
+def test_family_version_mismatch_raises(spark, tmp_path):
+    from hemera_indexer_spark.operators.dedup_index import (
+        IndexFamilyError,
+        SignatureIndex,
+    )
+
+    root = str(tmp_path / "idx")
+    idx = SignatureIndex.create(spark, root)
+    assert idx.table.update_properties({"minhash_family": "1"})
+    with pytest.raises(IndexFamilyError, match="family v1"):
+        SignatureIndex.load(spark, root)
+
+
+def test_non_index_table_raises(spark, tmp_path):
+    from hemera_indexer_spark.operators.dedup_index import (
+        IndexFamilyError,
+        SignatureIndex,
+    )
+
+    src = _mk_source(spark, str(tmp_path / "plain"))
+    with pytest.raises(IndexFamilyError, match="not a SignatureIndex"):
+        SignatureIndex(src)
