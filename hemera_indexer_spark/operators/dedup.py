@@ -47,8 +47,19 @@ def word_shingles(
     pipeline's biggest intermediate. Pass ``distinct=False`` whenever the
     consumer is duplicate-insensitive (MinHash ``min`` aggregation) or will
     prune to a tiny subset first (LSH verification dedups after the
-    candidate semi-join): the explode then stays map-only, no shuffle."""
-    w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    candidate semi-join): the explode then stays map-only, no shuffle.
+
+    ``text_col`` may also be an ARRAY column (pre-tokenized sequences, the
+    north-rule table's ``tokens:array<int>``): elements are stringified and
+    shingled directly — token-id n-grams instead of word n-grams, no
+    lower/trim normalization (token ids are already canonical)."""
+    import pyspark.sql.types as _T
+
+    dt = df.schema[text_col].dataType
+    if isinstance(dt, _T.ArrayType):
+        w = F.transform(F.col(text_col), lambda x: x.cast("string"))
+    else:
+        w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
     # MATERIALIZE the word array into a column before any per-element
     # access: expressions referenced inside a higher-order-function lambda
     # are not common-subexpression-eliminated, so element_at(split(...), i)

@@ -390,6 +390,7 @@ class SignatureIndex:
         since_version: int | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
+        properties_update: dict | None = None,
     ) -> bool:
         """Maintain the index from a source table's net change feed
         (``changes_since``): re-sign inserted/updated docs, drop deleted
@@ -439,7 +440,9 @@ class SignatureIndex:
             *null_bands,
         )
         return self.table.merge_upsert(
-            wide.unionByName(emptied).unionByName(dels), epoch_id=target
+            wide.unionByName(emptied).unionByName(dels),
+            epoch_id=target,
+            properties_update=properties_update,
         )
 
     # --------------------------------------------------------------- lookup

@@ -358,3 +358,65 @@ class ConsoleSink:
 
     def rollback(self, cond: Column, seq_at_least: int):
         pass
+
+
+class SignatureIndexSink:
+    """Near-dup signature index maintained as part of the exporter fan-out:
+    after each committed group, the :class:`~hemera_indexer_spark.operators.
+    dedup_index.SignatureIndex` syncs from the STATE table's net change feed
+    — so the ingest loop keeps a queryable "is this incoming doc a near-dup
+    of anything committed?" structure current at commit granularity, the
+    reference's derived-cache discipline (token caches refreshed as jobs
+    discover rows) applied to dedup.
+
+    Shape mirrors IncrementalAggSink: ``apply``/``rollback`` are no-ops
+    (the index derives from the MERGED state, where LWW ties, deletes and
+    rollbacks are already resolved; re-signing raw segments would re-apply
+    rows a rollback later retracts), and maintenance runs in ``after_commit``
+    on the main thread, where reading the state table is race-free.
+
+    Epoch domains are kept separate by construction — the trap ADVICE.md
+    round 3 flagged on IncrementalAggSink: the index's own manifest fence
+    stays in the SOURCE-SNAPSHOT-VERSION domain (its sync cursor), while the
+    controller-facing ``committed_epoch()`` reads a LOG-epoch table property
+    stamped atomically with each maintenance merge. Both are monotone."""
+
+    FENCE_PROP = "source_log_epoch"
+
+    def __init__(self, table: LakeTable, index, text_col: str = "tokens"):
+        # ``index``: a SignatureIndex built over ``table`` (typically
+        # build_from_table on the state table before the run, or a fresh
+        # empty-corpus build). text_col may be an array column — token-id
+        # n-grams (the north-rule tokens:array<int> case).
+        self.table = table
+        self.index = index
+        self.text_col = text_col
+
+    def apply(self, seg: DataFrame, group_epoch, seg_idx, fence, manifest, min_seq):
+        pass  # maintenance is change-feed-driven, after the state commit
+
+    def rollback(self, cond: Column, seq_at_least: int):
+        pass  # the rollback rewrites state files -> changes_since reports the net effect
+
+    def committed_epoch(self) -> int:
+        self.index.table.refresh()
+        return int(
+            self.index.table.snapshot["properties"].get(self.FENCE_PROP, -1)
+        )
+
+    def after_commit(self, group_epoch: int, is_last: bool):
+        if not is_last:
+            return
+        self.table.refresh()
+        fence = max(int(group_epoch), self.committed_epoch())  # monotone
+        synced = self.index.update_from_changes(
+            self.table,
+            id_col=self.table.key_col,
+            text_col=self.text_col,
+            properties_update={self.FENCE_PROP: fence},
+        )
+        if not synced and self.committed_epoch() < fence:
+            # state version unchanged (an all-fenced re-driven group) but the
+            # log fence lags: advance it alone so the controller's committed
+            # floor can't livelock on a group that will never change state
+            self.index.table.update_properties({self.FENCE_PROP: fence})

@@ -184,3 +184,64 @@ def test_non_index_table_raises(spark, tmp_path):
     src = _mk_source(spark, str(tmp_path / "plain"))
     with pytest.raises(IndexFamilyError, match="not a SignatureIndex"):
         SignatureIndex(src)
+
+
+def test_word_shingles_on_token_array_column(spark):
+    """Array columns shingle as token-id n-grams (no split/lower path)."""
+    from hemera_indexer_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [("a", [10, 20, 30])], "doc_id string, tokens array<int>"
+    )
+    got = sorted(
+        r["shingle"] for r in word_shingles(df, "doc_id", "tokens", n=2).collect()
+    )
+    assert got == ["10_20", "20_30"]
+
+
+def test_signature_index_sink_e2e(spark, tiny_log, tmp_path):
+    """Full CDC replay (rollback + schema evolution included) with a
+    SignatureIndexSink over the token arrays: after the run the maintained
+    index equals one built fresh from the final state, its log fence equals
+    the last epoch, and a re-driven controller leaves both unchanged."""
+    from hemera_indexer_spark.lake import LakeTable
+    from hemera_indexer_spark.operators.dedup_index import SignatureIndex
+    from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+    from hemera_indexer_spark.streaming import StreamController
+    from hemera_indexer_spark.streaming.sinks import SignatureIndexSink
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    idx = SignatureIndex.build_from_table(
+        spark, str(tmp_path / "idx"), table, text_col="tokens", k=8, bands=2
+    )
+    sink = SignatureIndexSink(table, idx, text_col="tokens")
+    ctl = StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions,
+        sinks=[sink],
+    )
+    stats = ctl.run()
+    last_epoch = max(e.epoch for e in stats.epochs)
+    assert sink.committed_epoch() == last_epoch
+    assert idx.synced_version() == table.snapshot["version"]
+
+    fresh = SignatureIndex.build_from_table(
+        spark, str(tmp_path / "idx2"), table, text_col="tokens", k=8, bands=2
+    )
+    cols = ["doc_id", "b0", "b1"]
+    got = sorted(map(tuple, idx.table.current_state().select(*cols).collect()))
+    want = sorted(map(tuple, fresh.table.current_state().select(*cols).collect()))
+    assert got == want and got
+
+    # re-drive: a second controller over the same fully-committed log must
+    # not move the index (fenced groups never reach the sink's merge)
+    v = idx.table.snapshot["version"]
+    StreamController(
+        spark, LakeTable.load(spark, str(tmp_path / "lake")),
+        tiny_log.out_dir, tiny_log.spec.n_partitions,
+        sinks=[SignatureIndexSink(table, idx, text_col="tokens")],
+    ).run()
+    idx.table.refresh()
+    assert idx.table.snapshot["version"] == v
+    assert sink.committed_epoch() == last_epoch
