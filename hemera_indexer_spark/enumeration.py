@@ -11,6 +11,8 @@ the indexer produces). Here the names resolve to the engine's sink set:
 - ``EXPORTS`` — range-file export stream (json/csv).
 - ``VIEWS``   — incrementally-maintained materialized aggregate
   (the aggr_jobs layer, commit-granular).
+- ``DEDUP_INDEX`` — CDC-maintained near-dup signature index over the
+  state table (operators/dedup_index.py, commit-granular).
 - ``ALL``     — everything.
 
 ``parse_entity_types("state,facts")`` → flags; unknown names raise with
@@ -26,8 +28,9 @@ class EntityType(IntFlag):
     FACTS = 2
     EXPORTS = 4
     VIEWS = 8
+    DEDUP_INDEX = 16
 
-    ALL = STATE | FACTS | EXPORTS | VIEWS
+    ALL = STATE | FACTS | EXPORTS | VIEWS | DEDUP_INDEX
 
 
 def parse_entity_types(spec: str) -> EntityType:

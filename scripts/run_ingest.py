@@ -56,6 +56,14 @@ def main() -> None:
                     help="comma list of GROUP BY columns for the view")
     ap.add_argument("--view-sum-cols", default="n_tok",
                     help="comma list of columns the view sums")
+    ap.add_argument("--dedup-index-dir", default=None,
+                    help="maintain a near-dup MinHash signature index over "
+                         "the state table at this root (SignatureIndexSink; "
+                         "loaded if it exists, else built from the current "
+                         "state before the run)")
+    ap.add_argument("--dedup-index-text-col", default="tokens",
+                    help="state column to shingle (array columns shingle as "
+                         "token-id n-grams)")
     ap.add_argument("--confirmation-lag", type=int, default=0,
                     help="stay this many epochs behind the log head (--delay analog)")
     ap.add_argument("--max-batch-epochs", type=int, default=8,
@@ -141,6 +149,8 @@ def main() -> None:
         entities |= EntityType.EXPORTS
     if args.view_dir:
         entities |= EntityType.VIEWS
+    if args.dedup_index_dir:
+        entities |= EntityType.DEDUP_INDEX
 
     fact_table = None
     if EntityType.FACTS in entities:
@@ -175,6 +185,24 @@ def main() -> None:
             sum_cols=tuple(c for c in args.view_sum_cols.split(",") if c),
         )
         sinks.append(view_sink)
+    index_sink = None
+    if EntityType.DEDUP_INDEX in entities:
+        if not args.dedup_index_dir:
+            ap.error("--entity-types DEDUP_INDEX requires --dedup-index-dir")
+        from hemera_indexer_spark.operators.dedup_index import SignatureIndex
+        from hemera_indexer_spark.streaming.sinks import SignatureIndexSink
+
+        if os.path.exists(os.path.join(args.dedup_index_dir, "meta", "VERSION")):
+            idx = SignatureIndex.load(spark, args.dedup_index_dir)
+        else:
+            idx = SignatureIndex.build_from_table(
+                spark, args.dedup_index_dir, table,
+                id_col=table.key_col, text_col=args.dedup_index_text_col,
+            )
+        index_sink = SignatureIndexSink(
+            table, idx, text_col=args.dedup_index_text_col
+        )
+        sinks.append(index_sink)
 
     t0 = time.monotonic()
     if args.repair is not None:
@@ -202,7 +230,8 @@ def main() -> None:
             # the view sink and the fact table ARE streamable
             ap.error(
                 "--streaming drives STATE (plus --view-dir and "
-                "--fact-table-root) only; drop EXPORTS or use the batch loop"
+                "--fact-table-root) only; drop EXPORTS/DEDUP_INDEX or use "
+                "the batch loop"
             )
         from hemera_indexer_spark.streaming.structured import StructuredIngest
 
@@ -250,6 +279,9 @@ def main() -> None:
         out["quarantined"] = quarantined
     if view_sink is not None and view_sink.committed_epoch() >= 0:
         out["view"] = [r.asDict() for r in view_sink.view().collect()]
+    if index_sink is not None:
+        out["dedup_index_epoch"] = index_sink.committed_epoch()
+        out["dedup_index_synced_version"] = index_sink.index.synced_version()
     if args.expire_keep_last:
         out["expired_snapshots"] = table.expire_snapshots(args.expire_keep_last)
         out["vacuumed_files"] = table.vacuum_orphans()
