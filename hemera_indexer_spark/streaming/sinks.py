@@ -383,14 +383,31 @@ class SignatureIndexSink:
 
     FENCE_PROP = "source_log_epoch"
 
-    def __init__(self, table: LakeTable, index, text_col: str = "tokens"):
+    def __init__(
+        self,
+        table: LakeTable,
+        index,
+        text_col: str = "tokens",
+        report_dir: str | None = None,
+        report_threshold: float = 0.5,
+    ):
         # ``index``: a SignatureIndex built over ``table`` (typically
         # build_from_table on the state table before the run, or a fresh
         # empty-corpus build). text_col may be an array column — token-id
         # n-grams (the north-rule tokens:array<int> case).
+        #
+        # ``report_dir``: opt-in near-dup ADMISSION report — before each
+        # sync, the group's inserted/updated docs are checked against the
+        # PREVIOUSLY committed corpus (the index as of the last sync) and
+        # verified pairs land under ``report_dir/epoch=<N>/`` as parquet
+        # (new_id, base_id, jaccard). Deterministic path, overwritten on
+        # re-drive — idempotent. Pairs against a doc deleted in the same
+        # group verify against nothing (its text is gone) and drop out.
         self.table = table
         self.index = index
         self.text_col = text_col
+        self.report_dir = report_dir
+        self.report_threshold = report_threshold
 
     def apply(self, seg: DataFrame, group_epoch, seg_idx, fence, manifest, min_seq):
         pass  # maintenance is change-feed-driven, after the state commit
@@ -409,6 +426,8 @@ class SignatureIndexSink:
             return
         self.table.refresh()
         fence = max(int(group_epoch), self.committed_epoch())  # monotone
+        if self.report_dir is not None:
+            self._write_report(fence)
         synced = self.index.update_from_changes(
             self.table,
             id_col=self.table.key_col,
@@ -420,3 +439,29 @@ class SignatureIndexSink:
             # log fence lags: advance it alone so the controller's committed
             # floor can't livelock on a group that will never change state
             self.index.table.update_properties({self.FENCE_PROP: fence})
+
+    def _write_report(self, fence: int) -> None:
+        """Admission report for the group: its inserted/updated docs checked
+        against the PREVIOUSLY committed corpus (candidates from the index
+        as of the last sync — two near-dups arriving in the SAME group are
+        by design not flagged against each other; they meet at the next
+        group). Runs before the sync so the feed and the candidate set share
+        the same cut. Deterministic per-epoch dir, overwritten on re-drive."""
+        key = self.table.key_col
+        since = self.index.synced_version()
+        if self.table.snapshot["version"] <= since:
+            return  # nothing new; keep the prior epoch's report untouched
+        fresh = (
+            self.table.changes_since(since)
+            .where(F.col("change_op") != "delete")
+            .select(F.col(key), F.col(self.text_col))
+        )
+        pairs = self.index.check(
+            fresh,
+            self.table.current_state(),
+            id_col=key,
+            text_col=self.text_col,
+            threshold=self.report_threshold,
+        )
+        dest = os.path.join(self.report_dir, f"epoch={fence:05d}")
+        pairs.withColumn("epoch", F.lit(fence)).write.mode("overwrite").parquet(dest)

@@ -64,6 +64,13 @@ def main() -> None:
     ap.add_argument("--dedup-index-text-col", default="tokens",
                     help="state column to shingle (array columns shingle as "
                          "token-id n-grams)")
+    ap.add_argument("--dedup-report-dir", default=None,
+                    help="with --dedup-index-dir: write a per-group near-dup "
+                         "admission report (new docs vs the previously "
+                         "committed corpus) under this dir, one parquet dir "
+                         "per fenced epoch")
+    ap.add_argument("--dedup-report-threshold", type=float, default=0.5,
+                    help="verified-jaccard cutoff for the admission report")
     ap.add_argument("--confirmation-lag", type=int, default=0,
                     help="stay this many epochs behind the log head (--delay analog)")
     ap.add_argument("--max-batch-epochs", type=int, default=8,
@@ -200,7 +207,9 @@ def main() -> None:
                 id_col=table.key_col, text_col=args.dedup_index_text_col,
             )
         index_sink = SignatureIndexSink(
-            table, idx, text_col=args.dedup_index_text_col
+            table, idx, text_col=args.dedup_index_text_col,
+            report_dir=args.dedup_report_dir,
+            report_threshold=args.dedup_report_threshold,
         )
         sinks.append(index_sink)
 

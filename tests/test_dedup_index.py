@@ -245,3 +245,92 @@ def test_signature_index_sink_e2e(spark, tiny_log, tmp_path):
     idx.table.refresh()
     assert idx.table.snapshot["version"] == v
     assert sink.committed_epoch() == last_epoch
+
+
+def _write_log_epoch(out_dir, epoch, rows, seq0):
+    """Hand-crafted 1-partition changelog epoch: rows = [(doc_id, tokens)]."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hemera_indexer_spark.sources.generator import _event_arrow_schema
+
+    cols = {
+        "seq": [seq0 + i for i in range(len(rows))],
+        "epoch": [epoch] * len(rows),
+        "partition": [0] * len(rows),
+        "doc_id": [r[0] for r in rows],
+        "op": ["update"] * len(rows),
+        "tokens": [r[1] for r in rows],
+        "n_tok": [len(r[1]) for r in rows],
+        "source": ["wiki"] * len(rows),
+        "rollback_to_seq": [None] * len(rows),
+    }
+    path = os.path.join(out_dir, f"epoch={epoch:05d}", "partition=000")
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pydict(cols, schema=_event_arrow_schema(False)),
+        os.path.join(path, "events.parquet"),
+    )
+
+
+def test_admission_report_flags_new_vs_committed_only(spark, tmp_path):
+    """The report flags a group's docs against the PREVIOUSLY committed
+    corpus: identical-token docs arriving in the SAME group are not paired
+    with each other, only with earlier-committed near-dups; re-driving the
+    log rewrites the identical report (idempotent)."""
+    from hemera_indexer_spark.lake import LakeTable
+    from hemera_indexer_spark.operators.dedup_index import SignatureIndex
+    from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+    from hemera_indexer_spark.streaming import StreamController
+    from hemera_indexer_spark.streaming.sinks import SignatureIndexSink
+
+    log = str(tmp_path / "log")
+    toks_a = list(range(100, 130))
+    toks_b = list(range(500, 540))
+    _write_log_epoch(log, 0, [("a", toks_a), ("b", toks_b)], seq0=0)
+    # c and c2 are BOTH token-identical to a (jaccard 1.0 — banding always
+    # collides, no LSH-recall flake) and to each other
+    _write_log_epoch(log, 1, [("c", toks_a), ("c2", toks_a)], seq0=10)
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    idx = SignatureIndex.build_from_table(
+        spark, str(tmp_path / "idx"), table, text_col="tokens", k=8, bands=2
+    )
+    report = str(tmp_path / "report")
+    sink = SignatureIndexSink(
+        table, idx, text_col="tokens", report_dir=report, report_threshold=0.9
+    )
+    StreamController(
+        spark, table, log, 1, sinks=[sink], max_batch_epochs=1
+    ).run()
+
+    got = {
+        (r["new_id"], r["base_id"])
+        for r in spark.read.parquet(f"{report}/epoch=00001").collect()
+    }
+    assert got == {("c", "a"), ("c2", "a")}
+    # epoch 0 ran against an empty corpus
+    assert spark.read.parquet(f"{report}/epoch=00000").count() == 0
+
+    # re-drive: fenced groups don't re-report; the files stay identical
+    import os
+
+    mtimes = {
+        f: os.path.getmtime(os.path.join(report, "epoch=00001", f))
+        for f in os.listdir(os.path.join(report, "epoch=00001"))
+    }
+    StreamController(
+        spark, LakeTable.load(spark, str(tmp_path / "lake")), log, 1,
+        sinks=[SignatureIndexSink(table, idx, text_col="tokens",
+                                  report_dir=report, report_threshold=0.9)],
+        max_batch_epochs=1,
+    ).run()
+    got2 = {
+        (r["new_id"], r["base_id"])
+        for r in spark.read.parquet(f"{report}/epoch=00001").collect()
+    }
+    assert got2 == got
