@@ -536,6 +536,36 @@ def q_dedup_incremental(spark, sf):
     )
 
 
+def q_pii_scrub(spark, sf):
+    """Regex PII redaction (operators/text.py::scrub_pii — the standard
+    pre-training scrub stage). The fixture corpus is synthetic words, so the
+    query deterministically embeds one email / IPv4 / phone per doc derived
+    from doc_id before scrubbing — the redaction itself is what the hash
+    gate checks. Pure codegen'd Column chain, zero shuffles."""
+    from hemera_indexer_spark.operators.text import scrub_pii
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 415 555 01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    out = scrub_pii(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("scrubbed").alias("scrub_md5"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+    )
+
+
 def q_dedup_simhash(spark, sf):
     from hemera_indexer_spark.operators.dedup import simhash16
 
@@ -1502,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
+        "pii_scrub": q_pii_scrub,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters_cc": q_dedup_clusters_cc,
         "dedup_embedding": q_dedup_embedding,
@@ -1980,6 +2011,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes za ON za.doc_id = new_id
             JOIN sizes zb ON zb.doc_id = base_id
             WHERE n_common / (za.n_sh + zb.n_sh - n_common) >= 0.5
+        """,
+        "pii_scrub": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@mail.example.com from 10.0.'
+                            || (doc_id % 256) || '.7 call +1 415 555 01'
+                            || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                       AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                       '\b\+?[0-9][0-9()\- ]{7,14}[0-9]\b', '<PHONE>', 'g')) AS scrub_md5,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\b\+?[0-9][0-9()\- ]{7,14}[0-9]\b')) AS n_phone
+            FROM t
         """,
         "dedup_simhash": """
             WITH tok AS (

@@ -181,3 +181,48 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
     )
+
+
+# ------------------------------------------------------------- PII scrub
+#: Redaction patterns chosen to parse identically under Java regex (Spark)
+#: and RE2 (DuckDB): plain character classes, no backrefs, no lookaround.
+#: Order matters — email first, or its user@host digits would be half-eaten
+#: by the looser patterns.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b\+?[0-9][0-9()\- ]{7,14}[0-9]\b", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Regex PII redaction — the standard pre-training scrub stage (emails,
+    IPs, phone numbers replaced with typed placeholder tokens) plus a
+    per-type hit count for curation dashboards. Returns the input's id
+    column, ``scrubbed`` text and one ``n_<name>`` count per pattern.
+
+    All-JVM: a chain of ``regexp_replace`` and ``regexp_count`` Columns
+    fused into the scan's codegen stage — zero shuffles, embarrassingly
+    parallel at any scale. Counts are taken against the PRE-scrub text so
+    an earlier replacement can't mask a later pattern's count; replacements
+    run in declaration order over the accumulating result (document order
+    in ``PII_PATTERNS`` is load-bearing — email first). Patterns must stay
+    in the Java-regex intersection with RE2 (no backrefs or lookaround) so
+    engine-portable oracles reproduce them verbatim."""
+    t = F.col(text_col)
+    scrubbed = t
+    for _, rx, token in patterns:
+        scrubbed = F.regexp_replace(scrubbed, rx, token)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        scrubbed.alias("scrubbed"),
+        *[
+            F.regexp_count(t, F.lit(rx)).alias(f"n_{name}")
+            for name, rx, _ in patterns
+        ],
+    )

@@ -314,3 +314,20 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     # well above the 0.25 a random-subset search would give so
     # regressions in cell assignment/probing are caught
     assert recall >= 0.6, f"IVF recall collapsed: {recall}"
+
+
+def test_scrub_pii_counts_and_order(spark):
+    """Counts come from the PRE-scrub text (an earlier replacement can't
+    mask a later pattern's count) and replacements run email-first."""
+    from hemera_indexer_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.org and a.b@y.io ip 10.0.0.1 tel +1 415 555 0100 end"),
+         (2, "clean text only")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df, "doc_id", "text").collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["n_ipv4"] == 1 and rows[1]["n_phone"] == 1
+    assert rows[1]["scrubbed"] == "mail <EMAIL> and <EMAIL> ip <IP> tel +<PHONE> end"
+    assert rows[2]["scrubbed"] == "clean text only"
+    assert rows[2]["n_email"] == rows[2]["n_ipv4"] == rows[2]["n_phone"] == 0
