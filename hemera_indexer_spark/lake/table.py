@@ -1208,6 +1208,62 @@ class LakeTable:
         return True
 
     # ------------------------------------------------------------ MAINTENANCE
+    def table_health(self, compact_threshold: int = 8) -> dict:
+        """Operational health report from snapshot METADATA + file sizes —
+        zero data scan, O(files) driver work. The numbers a maintenance
+        scheduler needs at the 10^10-event design point: per-bucket delta
+        depth (read amplification), row/byte skew across buckets (whether
+        the hash layout still balances — the rebucket() trigger), retained
+        snapshot count (expire_snapshots pressure). ``rows_total`` counts
+        PHYSICAL rows (tombstones and superseded delta rows included) —
+        it bounds, not equals, the live count; ``stats_row_count()`` on a
+        compacted table gives the exact one.
+
+        Analog of the reference's exported sync-state/monitoring surface
+        (/root/reference/indexer/controller/dispatcher/base_dispatcher.py
+        records ranges + counters per run); here the lake snapshot IS the
+        metrics source, so the report needs no side channel."""
+        snap = self.snapshot
+        files = snap["files"]
+        per_rows: dict[int, int] = {}
+        per_files: dict[int, int] = {}
+        per_deltas: dict[int, int] = {}
+        bytes_total = 0
+        for f in files:
+            b = f["bucket"]
+            per_rows[b] = per_rows.get(b, 0) + f["rows"]
+            per_files[b] = per_files.get(b, 0) + 1
+            if f.get("kind", "base") == "delta":
+                per_deltas[b] = per_deltas.get(b, 0) + 1
+            p = os.path.join(self.root, f["path"])
+            try:
+                bytes_total += os.path.getsize(p)
+            except OSError:
+                pass  # a vacuumed orphan raced us; size is advisory
+        nb = self.num_buckets
+        rows_total = sum(per_rows.values())
+        mean_rows = rows_total / nb if nb else 0.0
+        max_rows = max(per_rows.values(), default=0)
+        seqs = [f["max_seq"] for f in files if f.get("max_seq") is not None]
+        return {
+            "version": snap["version"],
+            "committed_epoch": snap["manifest"]["epoch_id"],
+            "num_buckets": nb,
+            "files": len(files),
+            "delta_files": sum(per_deltas.values()),
+            "rows_total": rows_total,
+            "bytes_total": bytes_total,
+            "empty_buckets": nb - len(per_files),
+            "max_bucket_rows": max_rows,
+            "row_skew": round(max_rows / mean_rows, 3) if mean_rows else 0.0,
+            "max_delta_depth": max(per_deltas.values(), default=0),
+            "max_seq": max(seqs, default=None),
+            "snapshots_retained": len(self.snapshots()),
+            "compact_candidates": sorted(
+                b for b, n in per_deltas.items() if n >= compact_threshold
+            ),
+        }
+
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Drop snapshot metadata older than the newest ``keep_last``
         versions (Iceberg's ``expireSnapshots`` analog). Without this the

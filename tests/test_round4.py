@@ -1159,3 +1159,38 @@ def test_run_ingest_cli_tenant_mode(spark, tmp_path):
         )
         assert len(got) == len(exp), f"tenant {tenant} rows"
         assert all(g["tokens"] == e["tokens"] for g, e in zip(got, exp))
+
+
+def test_table_health_metadata_report(spark, tmp_path):
+    """table_health() is a pure-metadata report: delta depth matches
+    delta_counts(), compaction candidates appear once the threshold is
+    crossed and clear after compact(), skew/bytes/retention are sane."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("is_deleted", T.BooleanType(), False),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, num_buckets=4)
+    for e in range(3):
+        df = spark.createDataFrame(
+            [(f"d{i}", e * 10 + i, i + e) for i in range(8)],
+            "doc_id string, seq long, v long",
+        ).withColumn("op", F.lit("update"))
+        assert t.merge_upsert(df, epoch_id=e)
+    h = t.table_health(compact_threshold=3)
+    assert h["version"] == 3 and h["committed_epoch"] == 2
+    assert h["delta_files"] == sum(t.delta_counts().values())
+    assert h["max_delta_depth"] == max(t.delta_counts().values())
+    assert h["rows_total"] == 24  # physical rows: 3 epochs x 8, pre-compaction
+    assert h["bytes_total"] > 0 and h["snapshots_retained"] == 4
+    assert h["compact_candidates"], "3 deltas per bucket >= threshold 3"
+    assert h["row_skew"] >= 1.0
+    t.compact()
+    h2 = t.table_health(compact_threshold=3)
+    assert h2["compact_candidates"] == [] and h2["max_delta_depth"] == 0
+    assert h2["rows_total"] == 8  # folded to live rows only
