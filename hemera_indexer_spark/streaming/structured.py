@@ -51,6 +51,7 @@ class StructuredIngest:
         view_sink=None,
         fact_table: LakeTable | None = None,
         quarantine_dir: str | None = None,
+        index_sink=None,
     ):
         self.spark = spark
         self.table = table
@@ -78,6 +79,12 @@ class StructuredIngest:
         # there is no footer fast path here — enabling this costs one
         # filtered scan per batch (the batch controller's 'always' mode).
         self.quarantine_dir = quarantine_dir
+        # optional SignatureIndexSink: synced after each fenced batch via
+        # the same after_commit hook the batch controller drives — the
+        # index's own source-version cursor absorbs replayed batches, and
+        # its log fence rides table.committed_epoch() (the LOG-epoch
+        # domain, same rule as the view sink above)
+        self.index_sink = index_sink
 
     # -------------------------------------------------------------- sink
     @property
@@ -129,6 +136,8 @@ class StructuredIngest:
         if state_done and self.fact_table is None:
             if self.view_sink is not None:
                 self.view_sink.refresh(self.table.committed_epoch())
+            if self.index_sink is not None:
+                self.index_sink.after_commit(self.table.committed_epoch(), True)
             return
         if state_done:
             self.fact_table.refresh()
@@ -204,6 +213,8 @@ class StructuredIngest:
         if self.view_sink is not None:
             # same epoch domain as the batch controller's after_commit path
             self.view_sink.refresh(self.table.committed_epoch())
+        if self.index_sink is not None:
+            self.index_sink.after_commit(self.table.committed_epoch(), True)
 
     # -------------------------------------------------------------- query
     def start(self, available_now: bool = True):

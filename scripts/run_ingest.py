@@ -234,13 +234,13 @@ def main() -> None:
         ).repair_range(lo, hi, lock_ttl_s=args.repair_lock_ttl)
         events = stats.total_events
     elif args.streaming:
-        if any(s is not view_sink for s in sinks):
+        if any(s is not view_sink and s is not index_sink for s in sinks):
             # fail loudly rather than silently materializing only STATE;
-            # the view sink and the fact table ARE streamable
+            # the view sink, dedup index and fact table ARE streamable
             ap.error(
-                "--streaming drives STATE (plus --view-dir and "
-                "--fact-table-root) only; drop EXPORTS/DEDUP_INDEX or use "
-                "the batch loop"
+                "--streaming drives STATE (plus --view-dir, "
+                "--dedup-index-dir and --fact-table-root) only; drop "
+                "EXPORTS or use the batch loop"
             )
         from hemera_indexer_spark.streaming.structured import StructuredIngest
 
@@ -252,6 +252,7 @@ def main() -> None:
             view_sink=view_sink,
             fact_table=fact_table,
             quarantine_dir=args.quarantine_dir,
+            index_sink=index_sink,
         ).start(available_now=True)
         q.awaitTermination()
         events = None

@@ -335,3 +335,51 @@ def test_fenced_replay_does_not_resurrect_rolled_back_facts(spark, tmp_path):
     # crash-window replay: state fenced, facts must converge (not resurrect)
     ingest._apply_batch(batch, 0)
     assert snap() == (st1, fc1)
+
+
+def test_structured_ingest_maintains_signature_index(spark, tmp_path):
+    """Streaming parity for the dedup index: after draining the log (with a
+    rollback), the CDC-maintained index equals a fresh build from the final
+    state, and a restarted query over the same checkpoint replays nothing
+    (the index's source-version cursor absorbs fenced batches)."""
+    from hemera_indexer_spark.operators.dedup_index import SignatureIndex
+    from hemera_indexer_spark.streaming.sinks import SignatureIndexSink
+
+    spec = ChangelogSpec(
+        n_docs=200, n_epochs=4, events_per_epoch=400, n_partitions=2,
+        seed=11, schema_evolution_epoch=None, rollback_epochs=(2,),
+    )
+    log_dir = str(tmp_path / "log")
+    generate_changelog(log_dir, spec)
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    idx = SignatureIndex.build_from_table(
+        spark, str(tmp_path / "idx"), table, text_col="tokens", k=8, bands=2
+    )
+    sink = SignatureIndexSink(table, idx, text_col="tokens")
+    StructuredIngest(
+        spark, table, log_dir, spec.n_partitions,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=3,
+        index_sink=sink,
+    ).start(available_now=True).awaitTermination(300)
+
+    fresh = SignatureIndex.build_from_table(
+        spark, str(tmp_path / "idx2"), table, text_col="tokens", k=8, bands=2
+    )
+    cols = ["doc_id", "b0", "b1"]
+    got = sorted(map(tuple, idx.table.current_state().select(*cols).collect()))
+    want = sorted(map(tuple, fresh.table.current_state().select(*cols).collect()))
+    assert got == want and got
+    assert sink.committed_epoch() == table.committed_epoch()
+
+    # restart over the drained checkpoint: all batches fenced, index untouched
+    v = idx.table.snapshot["version"]
+    StructuredIngest(
+        spark, table, log_dir, spec.n_partitions,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_sink=SignatureIndexSink(table, idx, text_col="tokens"),
+    ).start(available_now=True).awaitTermination(300)
+    idx.table.refresh()
+    assert idx.table.snapshot["version"] == v
