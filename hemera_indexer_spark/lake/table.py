@@ -923,6 +923,37 @@ class LakeTable:
             return False
         return self.compact(hot, strategy)
 
+    def maybe_rebucket(
+        self,
+        target_rows_per_bucket: int,
+        max_factor: int = 4,
+        strategy: str = "jvm",
+    ) -> bool:
+        """Grow the bucket count when the table has outrun its layout: if
+        PHYSICAL rows per bucket (``table_health``'s ``rows_total`` over
+        ``num_buckets`` — an upper bound on live rows, so the trigger errs
+        toward compacting-then-checking, never toward missing growth)
+        exceeds ``target_rows_per_bucket``, rewrite into the next
+        power-of-two count that brings it back under target, growing at
+        most ``max_factor`` x per call (rebucket pays one full resolve +
+        write; bounding the step keeps a badly-lagged table from jumping
+        straight to a huge layout on noisy stats — repeated maintenance
+        calls converge). Grow-only: shrinking buys back little and churns
+        the whole table. Returns False when the layout is fine."""
+        if target_rows_per_bucket < 1:
+            raise ValueError("target_rows_per_bucket must be >= 1")
+        nb = self.num_buckets
+        rows_total = sum(f["rows"] for f in self.snapshot["files"])
+        if rows_total <= nb * target_rows_per_bucket:
+            return False
+        want = 1
+        while want * target_rows_per_bucket < rows_total:
+            want *= 2
+        new_nb = min(want, nb * max_factor)
+        if new_nb <= nb:
+            return False
+        return self.rebucket(new_nb, strategy)
+
     def _lww_reduce(
         self,
         target: DataFrame | None,

@@ -1194,3 +1194,35 @@ def test_table_health_metadata_report(spark, tmp_path):
     h2 = t.table_health(compact_threshold=3)
     assert h2["compact_candidates"] == [] and h2["max_delta_depth"] == 0
     assert h2["rows_total"] == 8  # folded to live rows only
+
+
+def test_maybe_rebucket_policy(spark, tmp_path):
+    """Grows to the next power of two that restores the target, bounded by
+    max_factor per call; no-op when under target; state survives the
+    rewrite unchanged."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("is_deleted", T.BooleanType(), False),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, num_buckets=2)
+    df = spark.createDataFrame(
+        [(f"d{i}", i, i) for i in range(64)], "doc_id string, seq long, v long"
+    ).withColumn("op", F.lit("update"))
+    assert t.merge_upsert(df, epoch_id=0)
+    before = sorted(map(tuple, t.current_state().collect()))
+
+    assert t.maybe_rebucket(target_rows_per_bucket=1000) is False  # under target
+    # 64 rows / 2 buckets, target 4/bucket -> wants 16, capped at 2*4=8
+    assert t.maybe_rebucket(target_rows_per_bucket=4, max_factor=4)
+    assert t.num_buckets == 8
+    # second call converges to the uncapped power-of-two target (16)
+    assert t.maybe_rebucket(target_rows_per_bucket=4, max_factor=4)
+    assert t.num_buckets == 16
+    assert t.maybe_rebucket(target_rows_per_bucket=4, max_factor=4) is False
+    assert sorted(map(tuple, t.current_state().collect())) == before
