@@ -185,6 +185,7 @@ class StreamController:
         tenant_id=None,
         quarantine_dir: str | None = None,
         quarantine_scan: str = "footer",
+        rebucket_target_rows: int | None = None,
     ):
         # Dead-letter quarantine (the reference logs-and-skips items its
         # exporters cannot convert rather than poisoning the batch,
@@ -242,6 +243,9 @@ class StreamController:
         # merge-on-read: fold a bucket back to base once this many delta
         # files accumulate (bounds read amplification)
         self.compact_max_deltas = compact_max_deltas
+        # optional grow-only layout policy (maybe_rebucket) run in the same
+        # post-group maintenance slot as compaction; None = never rebucket
+        self.rebucket_target_rows = rebucket_target_rows
         # catch-up batching caps: how many backlogged rollback-free epochs may
         # share one merge+commit, and a row budget per commit (from footer
         # counts, no scan) so a deep backlog cannot produce an unbounded
@@ -1215,6 +1219,14 @@ class StreamController:
         self.table.maybe_compact(
             max_deltas=self.compact_max_deltas, strategy=strategy
         )
+        if self.rebucket_target_rows is not None:
+            # layout maintenance rides the same post-group slot as
+            # compaction: changes_since is NET-empty across a rebucket, so
+            # change-feed consumers (IVM view, signature index) see nothing;
+            # the policy itself is a metadata check unless it fires
+            self.table.maybe_rebucket(
+                self.rebucket_target_rows, strategy=strategy
+            )
         wall = int((time.monotonic() - t0) * 1000)
 
         # per-epoch stats: events from the per-epoch footer metas; the wall

@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--table-root", required=True)
     ap.add_argument("--partitions", type=int, required=True, help="change-log partitions")
     ap.add_argument("--num-buckets", type=int, default=128)
+    ap.add_argument("--rebucket-target-rows", type=int, default=None,
+                    help="grow-only layout policy: after each group, grow "
+                         "the bucket count (next power of two, <=4x/call) "
+                         "when physical rows per bucket exceed this")
     ap.add_argument("--cores", type=int, default=None, help="local-mode parallelism")
     ap.add_argument("--strategy", default="auto",
                     choices=["auto", "jvm", "arrow", "pandas", "sql"])
@@ -267,6 +271,7 @@ def main() -> None:
             fact_table=fact_table,
             sinks=sinks,
             confirmation_lag=args.confirmation_lag,
+            rebucket_target_rows=args.rebucket_target_rows,
             **tenant_kw,
         ).run(max_epochs=args.max_epochs)
         events = stats.total_events

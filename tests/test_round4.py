@@ -1226,3 +1226,26 @@ def test_maybe_rebucket_policy(spark, tmp_path):
     assert t.num_buckets == 16
     assert t.maybe_rebucket(target_rows_per_bucket=4, max_factor=4) is False
     assert sorted(map(tuple, t.current_state().collect())) == before
+
+
+def test_controller_rebucket_policy_end_to_end(spark, tiny_log, tmp_path):
+    """rebucket_target_rows= grows the layout during the run without
+    disturbing correctness: final state still matches the oracle and the
+    bucket count grew past its deliberately-tiny start."""
+    from hemera_indexer_spark.oracle import expected_live_rows
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=2
+    )
+    StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions,
+        rebucket_target_rows=64,
+    ).run()
+    assert table.num_buckets > 2
+    exp = expected_live_rows(tiny_log.out_dir, tiny_log.spec.n_partitions)
+    got = sorted(
+        (r.asDict(recursive=True) for r in table.current_state().collect()),
+        key=lambda d: d["doc_id"],
+    )
+    assert len(got) == len(exp)
+    assert all(g["tokens"] == e["tokens"] for g, e in zip(got, exp))
