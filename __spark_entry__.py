@@ -287,6 +287,30 @@ def q_lww_salted(spark, sf):
     )
 
 
+def q_patch_fold(spark, sf):
+    """Column-wise partial-update fold (operators/patch.py): CDC events
+    that carry only the changed columns (NULL = unchanged, Debezium
+    minimal-row-image style); deletes reset the row so earlier columns
+    never resurrect. The stream is derived deterministically from events
+    by modular arithmetic (portable to the DuckDB oracle verbatim)."""
+    from hemera_indexer_spark.operators.patch import patch_fold
+
+    ev = _t(spark, sf, "events")
+    stream = ev.select(
+        (F.col("user_id") % 100).alias("k"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("delete"))
+        .otherwise(F.lit("patch"))
+        .alias("op"),
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("val_a"),
+        F.when(F.col("event_id") % 5 <= 1, F.col("event_type")).alias("val_b"),
+        F.when(F.col("event_id") % 7 == 2, F.col("event_id") * 10).alias(
+            "val_c"
+        ),
+    )
+    return patch_fold(stream, "k", "seq", ["val_a", "val_b", "val_c"])
+
+
 def q_daily_aggregates(spark, sf):
     """daily_wallet_addresses_aggregates.sql analog."""
     from hemera_indexer_spark.plans.aggregates import daily_user_aggregates
@@ -1512,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "accumulator_merge": q_accumulator_merge,
         "lww_current_state": q_lww_current_state,
+        "patch_fold": q_patch_fold,
         "lww_window": q_lww_window,
         "lww_salted": q_lww_salted,
         "daily_aggregates": q_daily_aggregates,
@@ -1737,6 +1762,32 @@ def oracle_sql() -> dict[str, str]:
                     (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1
+        """,
+        "patch_fold": """
+            WITH pstream AS (
+                SELECT user_id % 100 AS k,
+                       event_id AS seq,
+                       CASE WHEN event_id % 11 = 0 THEN 'delete'
+                            ELSE 'patch' END AS op,
+                       CASE WHEN event_id % 3 = 0 THEN value END AS val_a,
+                       CASE WHEN event_id % 5 <= 1 THEN event_type END AS val_b,
+                       CASE WHEN event_id % 7 = 2 THEN event_id * 10 END AS val_c
+                FROM events
+            ),
+            live AS (
+                SELECT * FROM (
+                    SELECT *, MAX(CASE WHEN op = 'delete' THEN seq END)
+                                  OVER (PARTITION BY k) AS last_del
+                    FROM pstream)
+                WHERE op <> 'delete'
+                  AND (last_del IS NULL OR seq > last_del)
+            )
+            SELECT k,
+                   arg_max(val_a, seq) FILTER (WHERE val_a IS NOT NULL) AS val_a,
+                   arg_max(val_b, seq) FILTER (WHERE val_b IS NOT NULL) AS val_b,
+                   arg_max(val_c, seq) FILTER (WHERE val_c IS NOT NULL) AS val_c,
+                   MAX(seq) AS seq
+            FROM live GROUP BY k
         """,
         "lww_window": """
             SELECT user_id, event_id AS last_event_id,

@@ -730,6 +730,140 @@ class LakeTable:
             properties_update,
         )
 
+    def merge_patch(
+        self,
+        updates: DataFrame,
+        epoch_id: int | None = None,
+        manifest: dict | None = None,
+        properties_update: dict | None = None,
+    ) -> bool:
+        """Column-wise partial-update merge — CDC "patch" events (MySQL
+        binlog minimal row image / DynamoDB Streams / Debezium column
+        filters): a NULL payload column means UNCHANGED, never "set to
+        NULL"; ``op='delete'`` resets the row (columns set before it do
+        not resurrect); any other op sets exactly its non-NULL columns.
+        Absent payload columns (additive schema evolution) are NULL-filled
+        and therefore unchanged — patch semantics make evolution free.
+
+        Resolution happens at WRITE time (copy-on-write of the touched
+        buckets): the merge-on-read fold is whole-row LWW, and a delta row
+        whose NULLs mean "unchanged" cannot be resolved at read time
+        without refolding the key's full column history. Write cost is
+        O(touched buckets), so patch tables want key-clustered batches —
+        the same locality argument as ``mode='cow'`` upserts.
+
+        Delivery contract (the engine's): per-key events arrive in seq
+        order across batches; later batches may re-deliver duplicates of
+        ALREADY-APPLIED events, which are fenced per column by setter seq
+        vs the committed row version. Under that contract incremental
+        ``merge_patch`` equals ``operators.patch.patch_fold`` over the
+        full log (property-tested). Rollback events are NOT supported:
+        un-patching a column needs history that state rows don't carry —
+        feed patch streams through a fact/history table if reorgs are
+        possible. Raises on fact tables and on unknown ops.
+        """
+        from hemera_indexer_spark.operators.patch import patch_fold_batch
+
+        if self.is_fact_table:
+            raise ValueError("merge_patch is a state-table operation")
+        missing_identity = [
+            c for c in (self.key_col, self.seq_col) if c not in updates.columns
+        ]
+        if missing_identity:
+            raise ValueError(
+                f"merge_patch input is missing identity column(s) "
+                f"{missing_identity}; only payload columns may be omitted"
+            )
+        if "op" not in updates.columns:
+            raise ValueError("merge_patch input needs an 'op' column")
+        base = self.snapshot
+        if epoch_id is not None and epoch_id <= base["manifest"]["epoch_id"]:
+            return False
+        version = base["version"] + 1
+        key, seqc = self.key_col, self.seq_col
+        state_cols = self.schema.fieldNames()
+        payload_cols = [c for c in state_cols if c not in (key, seqc, "is_deleted")]
+
+        bad = updates.where(
+            ~F.col("op").isin("insert", "update", "patch", "delete")
+        ).select("op").limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"merge_patch cannot apply op {bad[0]['op']!r} — rollbacks "
+                f"need event history (use a fact table + rebuild), unknown "
+                f"ops are refused loudly"
+            )
+
+        batch = self._fill_missing_columns(updates.drop("is_deleted")).select(
+            key, seqc, "op", *payload_cols
+        )
+        b = self.num_buckets
+        touched = {
+            r[0]
+            for r in batch.select(
+                bucket_col(F.col(key), b).alias("_b")
+            ).distinct().collect()
+        }
+        if not touched:
+            return self._commit_files(
+                base, version, [], set(), epoch_id, manifest, properties_update
+            )
+
+        folded = patch_fold_batch(batch, key, seqc, payload_cols)
+        target = self.resolved(buckets=touched)
+        t = target.select(
+            F.col(key),
+            F.col(seqc).alias("_tseq"),
+            F.col("is_deleted").alias("_tdel"),
+            *[F.col(c).alias(f"_t__{c}") for c in payload_cols],
+        ).withColumn("_in_t", F.lit(True))
+        j = folded.withColumn("_in_f", F.lit(True)).join(t, key, "full_outer")
+
+        # the column-wise merge law (see patch.py for the derivation):
+        # reset  <- the batch carries a delete NEWER than the committed row
+        # fresh  <- a batch setter NEWER than the committed row (under
+        #           reset, every folded setter is fresh by construction)
+        no_t = F.col("_in_t").isNull()
+        reset = F.col("_last_del").isNotNull() & (
+            no_t | (F.col("_last_del") > F.col("_tseq"))
+        )
+        fresh_alive = F.col("_live_seq").isNotNull() & (
+            no_t | (F.col("_live_seq") > F.col("_tseq"))
+        )
+        alive = (
+            F.when(F.col("_in_f").isNull(), ~F.col("_tdel"))
+            .when(reset, fresh_alive)
+            .otherwise((~no_t & ~F.col("_tdel")) | fresh_alive)
+        )
+        out_cols = [F.col(key)]
+        for c in payload_cols:
+            fresh_c = F.col(f"_seq__{c}").isNotNull() & (
+                no_t | (F.col(f"_seq__{c}") > F.col("_tseq"))
+            )
+            merged_c = (
+                F.when(F.col("_in_f").isNull(), F.col(f"_t__{c}"))
+                .when(fresh_c, F.col(c))
+                .when(reset, F.lit(None).cast(self.schema[c].dataType))
+                .otherwise(F.col(f"_t__{c}"))
+            )
+            # tombstones carry NULL payload (the merge_upsert convention)
+            out_cols.append(
+                F.when(alive, merged_c)
+                .otherwise(F.lit(None).cast(self.schema[c].dataType))
+                .alias(c)
+            )
+        out_cols.append(F.greatest(F.col(seqc), F.col("_tseq")).alias(seqc))
+        out_cols.append((~alive).alias("is_deleted"))
+        merged = j.select(*out_cols).select(*state_cols).withColumn(
+            "_bucket", bucket_col(F.col(key), b)
+        )
+        replaced = {f["path"] for f in self._select_files(buckets=touched)}
+        new_files = self._write_data(merged, version)
+        return self._commit_files(
+            base, version, new_files, replaced, epoch_id, manifest,
+            properties_update,
+        )
+
     # ------------------------------------------------------------ FACTS
     def insert_if_absent(
         self,
