@@ -972,6 +972,57 @@ class LakeTable:
         new_files = self._write_data(sorted_folded, version, kind="base")
         return self._commit_files(base, version, new_files, replaced, None, None)
 
+    def compact_files(
+        self, buckets: set[int] | None = None, max_files: int = 1
+    ) -> bool:
+        """Small-file compaction for FACT tables: bin-pack each bucket's
+        per-epoch append files into one file. Pure file reorganization —
+        the row multiset is unchanged (``changes_since`` is net-empty
+        across it, like state-table ``compact``/``rebucket``). Needed
+        because every micro-batch appends >=1 file per touched bucket: at
+        the 10^10-event design point a fact bucket accumulates O(epochs)
+        small files and scan/footer cost grows without bound. State
+        tables use ``compact()`` (the LWW fold); this is the append-only
+        analog — no fold, no tombstone logic, rows pass through verbatim.
+
+        Rewritten files are sorted by the seq column so per-row-group
+        min/max(seq) footer stats stay tight — ``insert_if_absent``'s
+        redelivery anti-join and ``repair_range``'s span walk both prune
+        on them.
+
+        ``buckets``: restrict the rewrite (default: every bucket holding
+        more than ``max_files`` files)."""
+        base = self.snapshot
+        if not self.is_fact_table:
+            raise ValueError(
+                "compact_files is the fact-table compaction; state tables "
+                "fold with compact()"
+            )
+        counts: dict[int, int] = {}
+        for f in base["files"]:
+            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        if buckets is None:
+            buckets = {b for b, n in counts.items() if n > max_files}
+        else:
+            buckets = {b for b in buckets if counts.get(b, 0) > max_files}
+        if not buckets:
+            return False
+        version = base["version"] + 1
+        replaced = {f["path"] for f in self._select_files(buckets=buckets)}
+        rows = (
+            self.read(buckets=buckets)
+            .withColumn(
+                "_bucket", bucket_col(F.col(self.key_col), self.num_buckets)
+            )
+            # one partition per bucket value -> exactly one output file per
+            # bucket; in-partition sort only, no extra exchange beyond the
+            # clustering repartition
+            .repartition(min(len(buckets), 256), "_bucket")
+            .sortWithinPartitions("_bucket", self.seq_col)
+        )
+        new_files = self._write_data(rows, version, kind="base")
+        return self._commit_files(base, version, new_files, replaced, None, None)
+
     def bulk_load(self, df: DataFrame, seq: int = -1) -> bool:
         """Initial-state backfill: load a snapshot DataFrame (payload
         columns, no ops) as base files in ONE commit, before CDC tailing

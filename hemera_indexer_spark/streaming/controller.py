@@ -186,6 +186,7 @@ class StreamController:
         quarantine_dir: str | None = None,
         quarantine_scan: str = "footer",
         rebucket_target_rows: int | None = None,
+        fact_compact_max_files: int | None = None,
     ):
         # Dead-letter quarantine (the reference logs-and-skips items its
         # exporters cannot convert rather than poisoning the batch,
@@ -262,7 +263,12 @@ class StreamController:
         self.fact_table = fact_table
         self.sinks = list(sinks or [])
         if fact_table is not None:
-            self.sinks.append(FactSink(fact_table))
+            # fact_compact_max_files: history-table small-file maintenance
+            # (bin-pack buckets beyond this many files after each group);
+            # None = never — the historical default
+            self.sinks.append(
+                FactSink(fact_table, compact_max_files=fact_compact_max_files)
+            )
         self.max_retries = max_retries
         self.retry_backoff_s = retry_backoff_s
         # Separate budget for tenant-mode snapshot CAS contention (expected

@@ -54,11 +54,36 @@ class FactSink:
     log) share ONE fact table, the snapshot's single epoch fence would
     collide across tenants — a namespaced table property holds this
     tenant's fence instead, committed atomically with the fencing insert.
-    A tenant-mode StreamController fills it in automatically."""
+    A tenant-mode StreamController fills it in automatically.
 
-    def __init__(self, table: LakeTable, fence_key: str | None = None):
+    ``compact_max_files``: small-file maintenance — after each group
+    commit, buckets holding more than this many files are bin-packed
+    (``LakeTable.compact_files``; pure reorganization, ``changes_since``
+    stays net-empty). Without it a history table accumulates one file
+    per bucket per micro-batch forever. Best-effort: on a shared
+    (multi-tenant) fact table a CAS race with another tenant's insert
+    skips the pack — the next group retries."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        fence_key: str | None = None,
+        compact_max_files: int | None = None,
+    ):
         self.table = table
         self.fence_key = fence_key
+        self.compact_max_files = compact_max_files
+
+    def after_commit(self, group_epoch: int, is_last: bool):
+        if not is_last or self.compact_max_files is None:
+            return
+        from hemera_indexer_spark.lake import ConcurrentCommitError
+
+        try:
+            self.table.refresh()
+            self.table.compact_files(max_files=self.compact_max_files)
+        except ConcurrentCommitError:
+            pass  # shared-table CAS race: maintenance defers to next group
 
     def apply(self, seg: DataFrame, group_epoch, seg_idx, fence, manifest, min_seq):
         if self.fence_key is None:
