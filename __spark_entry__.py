@@ -1421,6 +1421,31 @@ def q_quantize_embeddings(spark, sf):
     )
 
 
+def q_jl_projection(spark, sf):
+    """Johnson–Lindenstrauss ±1 random projection 64→8 dims (the pre-ANN
+    shrink): map-only, sign matrix shipped as literals, exact decimal
+    folds; exploded long-form for the oracle compare
+    (operators/embeddings.py ``jl_project``)."""
+    from hemera_indexer_spark.operators.embeddings import jl_project
+
+    emb = _t(spark, sf, "embeddings")
+    out = jl_project(emb, in_dim=64, out_dim=8)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("j", "val")
+    )
+
+
+def q_feature_hashing(spark, sf):
+    """Hashing-trick sparse text features (signed, 64 buckets): map-only
+    explode + ONE map-side-combined (doc, feature) groupBy — shuffle rows
+    bounded by docs × n_features, no vocabulary pass
+    (operators/text.py ``feature_hashing``)."""
+    from hemera_indexer_spark.operators.text import feature_hashing
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return feature_hashing(docs, "doc_id", "text", n_features=64)
+
+
 def q_doc_entropy(spark, sf):
     """Per-doc unigram Shannon entropy (lexical diversity / boilerplate
     signal): one (doc, word) shuffle, per-doc total rides a window over
@@ -1600,6 +1625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "dim_stats": q_dim_stats,
         "quantize_embeddings": q_quantize_embeddings,
+        "jl_projection": q_jl_projection,
+        "feature_hashing": q_feature_hashing,
         "label_centroids": q_label_centroids,
         "ivf_topk": q_ivf_topk,
         "doc_entropy": q_doc_entropy,
@@ -1677,6 +1704,33 @@ _JACCARD_SCORED_CTES = """
                 WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
             )
 """
+
+
+def _jl_oracle() -> str:
+    """DuckDB side of ``jl_projection``: the SAME Python-generated ±1
+    sign matrix inlined as a VALUES literal (512 rows for 64→8) — both
+    engines share one matrix by construction, no cross-engine hash
+    needed."""
+    from hemera_indexer_spark.operators.embeddings import jl_signs
+
+    signs = jl_signs(64, 8)
+    rows = ",".join(
+        f"({i},{j},{signs[j][i]})" for j in range(8) for i in range(64)
+    )
+    return f"""
+        WITH ex AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(CAST(unnest(embedding) AS DOUBLE)
+                        AS DECIMAL(18,6)) AS v
+            FROM embeddings
+        ),
+        s(i, j, sg) AS (VALUES {rows})
+        SELECT ex.vec_id, s.j AS j,
+               CAST(SUM(CASE WHEN s.sg > 0 THEN ex.v ELSE -ex.v END)
+                    AS DECIMAL(18,6)) AS val
+        FROM ex JOIN s ON s.i = ex.i
+        GROUP BY ex.vec_id, s.j
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3068,6 +3122,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, list(qv ORDER BY dim) AS qvec
             FROM q WHERE vec_id < 200 GROUP BY vec_id
+        """,
+        "jl_projection": _jl_oracle(),
+        "feature_hashing": """
+            WITH ws AS (
+                SELECT d.doc_id, u.w AS w
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+                      FROM documents WHERE doc_id < 300) d, UNNEST(d.arr) AS u(w)
+                WHERE u.w <> ''
+            ),
+            h AS (SELECT doc_id, md5(w) AS m FROM ws),
+            f AS (
+                SELECT doc_id,
+                       (((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+                        + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+                        + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 64
+                       ) AS feature,
+                       CASE WHEN (strpos('0123456789abcdef', substr(m, 5, 1)) - 1) % 2 = 0
+                            THEN 1 ELSE -1 END AS s
+                FROM h
+            )
+            SELECT doc_id, CAST(feature AS INT) AS feature,
+                   CAST(SUM(s) AS BIGINT) AS val
+            FROM f GROUP BY doc_id, feature
         """,
         "label_centroids": """
             WITH ex AS (

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dim_stats", "quantize_embeddings"]
+__all__ = ["dim_stats", "quantize_embeddings", "jl_signs", "jl_project"]
 
 
 def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -96,3 +96,79 @@ def quantize_embeddings(
         ),
     )
     return df.select(F.col(id_col), q.alias("qvec"))
+
+
+def jl_signs(in_dim: int, out_dim: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss sign matrix (Achlioptas'
+    database-friendly random projection, STOC'01): sign(i, j) from the
+    parity of md5(f"{seed}:{i}:{j}") — pure Python, engine-portable, and
+    reproducible anywhere (the DuckDB oracle inlines the same matrix as
+    literals). Returns ``out_dim`` rows of ``in_dim`` signs."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[0] & 1
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Random-projection dimensionality reduction (the pre-ANN shrink
+    complementing ``quantize_embeddings``'s storage cut): project each
+    ``in_dim`` vector onto ``out_dim`` deterministic ±1 hyperplanes,
+    ``proj[j] = Σ_i sign(i,j) · v_i``. The JL lemma bounds the pairwise
+    distance distortion, so downstream cosine/ANN runs on ``out_dim``
+    floats instead of ``in_dim`` — at 100 TB the projection is a pure
+    map-only O(in_dim · out_dim) transform, no shuffle, no Python, and
+    the (out_dim × in_dim) sign matrix ships as literal arrays (the
+    broadcast-small-side rule, same as the SQ8 parameter arrays above).
+
+    Determinism: a ±1 sign flip of a double is EXACT, each element is
+    rounded to decimal(18,6) BEFORE the fold, and the accumulator stays
+    decimal — fold order (Spark partitioning vs DuckDB vectorization)
+    cannot change the result. The conventional 1/√out_dim normalization
+    is a constant factor left to the consumer (documented, not applied:
+    exact ±1 sums keep the oracle law trivial).
+
+    ``in_dim`` is explicit (embedding columns are fixed-width by
+    contract); a vector of any other length NULL-pads the zip, poisoning
+    the fold to a NULL projection — visibly wrong, never silently
+    truncated.
+    """
+    signs = jl_signs(in_dim, out_dim, seed)
+    dec = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: x.cast("decimal(18,6)"),
+    )
+    # materialize the decimal array ONCE: Spark does not CSE expressions
+    # inside higher-order-function lambdas, and out_dim aggregates each
+    # walk this array (the 7x bug class documented in operators/dedup.py)
+    base = df.select(F.col(id_col), dec.alias("_dec"))
+    zero = F.lit(0).cast("decimal(28,6)")
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_dec"),
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda x, s: F.when(s > 0, x).otherwise(-x),
+            ),
+            zero,
+            lambda acc, x: (acc + x).cast("decimal(28,6)"),
+        )
+        .cast("decimal(18,6)")
+        .alias(f"p{j}")
+        for j in range(out_dim)
+    ]
+    return base.select(F.col(id_col), F.array(*projs).alias("proj"))

@@ -226,3 +226,48 @@ def scrub_pii(
             for name, rx, _ in patterns
         ],
     )
+
+
+def feature_hashing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 64,
+    signed: bool = True,
+) -> DataFrame:
+    """Hashing-trick sparse text features (Weinberger et al., ICML'09):
+    each word hashes into one of ``n_features`` buckets; the signed
+    variant adds an independent ±1 hash so collision noise cancels in
+    expectation (the unbiased estimator the paper recommends). Returns
+    long-form sparse rows (doc_id, feature, val) — the input a linear
+    quality/topic classifier trains on without ever materializing a
+    vocabulary.
+
+    Scale shape: the explode is map-only and the (doc, feature) groupBy
+    is map-side combined — at most ``n_features`` rows per doc cross the
+    shuffle regardless of document length, so shuffle bytes are bounded
+    by O(docs · n_features) at any corpus size. No vocabulary pass, no
+    dictionary broadcast, no Python.
+
+    Determinism: bucket = first 4 md5 hex digits mod n_features, sign =
+    5th digit parity — md5 is engine-portable (Spark's xxhash64 is not;
+    the same rule as ``dataset_split``, operators/dedup.py:757), and the
+    ±1 integer sums are exact, so no decimal routing is needed."""
+    from hemera_indexer_spark.operators.corpus import word_stream
+
+    ws = word_stream(df, text_col, id_col)
+    m = F.md5(F.col("w"))
+    bucket = (
+        F.conv(F.substring(m, 1, 4), 16, 10).cast("int") % n_features
+    ).alias("feature")
+    sign = (
+        F.when(F.conv(F.substring(m, 5, 1), 16, 10).cast("int") % 2 == 0, 1)
+        .otherwise(-1)
+        if signed
+        else F.lit(1)
+    )
+    return (
+        ws.select(F.col(id_col), bucket, sign.alias("_s"))
+        .groupBy(id_col, "feature")
+        .agg(F.sum("_s").cast("long").alias("val"))
+    )

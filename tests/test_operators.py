@@ -331,3 +331,52 @@ def test_scrub_pii_counts_and_order(spark):
     assert rows[1]["scrubbed"] == "mail <EMAIL> and <EMAIL> ip <IP> tel +<PHONE> end"
     assert rows[2]["scrubbed"] == "clean text only"
     assert rows[2]["n_email"] == rows[2]["n_ipv4"] == rows[2]["n_phone"] == 0
+
+
+def test_jl_project_exact_sums_and_null_poison(spark):
+    """proj[j] must equal the exact ±1-signed sum of 6dp-rounded elements
+    (the operator's determinism law), and a wrong-length vector must
+    NULL-poison its projection, never silently truncate."""
+    from decimal import Decimal
+
+    from hemera_indexer_spark.operators.embeddings import jl_project, jl_signs
+
+    in_dim, out_dim = 6, 3
+    vecs = [(1, [0.5, -1.25, 2.0, 0.1, -0.7, 3.3]),
+            (2, [1.0] * in_dim),
+            (3, [0.25] * (in_dim - 1))]  # short vector
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    got = {r["vec_id"]: r["proj"]
+           for r in jl_project(df, in_dim, out_dim, seed=7).collect()}
+    signs = jl_signs(in_dim, out_dim, seed=7)
+    for vid, vec in vecs[:2]:
+        for j in range(out_dim):
+            exp = sum(Decimal(str(round(v, 6))) * s
+                      for v, s in zip(vec, signs[j]))
+            assert got[vid][j] == exp, (vid, j, got[vid][j], exp)
+    assert all(p is None for p in got[3])
+
+
+def test_feature_hashing_signed_and_unsigned(spark):
+    """Unsigned val per doc sums to the doc's word count; signed vals are
+    bounded by it and share the same (doc, feature) support."""
+    from hemera_indexer_spark.operators.text import feature_hashing
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox the fox"), (2, "  one  ")],
+        ["doc_id", "text"],
+    )
+    unsigned = feature_hashing(df, n_features=8, signed=False).collect()
+    per_doc = {}
+    for r in unsigned:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["val"]
+        assert 0 <= r["feature"] < 8
+    assert per_doc == {1: 6, 2: 1}
+    signed = feature_hashing(df, n_features=8, signed=True).collect()
+    assert {(r["doc_id"], r["feature"]) for r in signed} == {
+        (r["doc_id"], r["feature"]) for r in unsigned
+    }
+    umap = {(r["doc_id"], r["feature"]): r["val"] for r in unsigned}
+    for r in signed:
+        assert abs(r["val"]) <= umap[(r["doc_id"], r["feature"])]
+        assert (r["val"] - umap[(r["doc_id"], r["feature"])]) % 2 == 0
