@@ -52,6 +52,7 @@ class StructuredIngest:
         fact_table: LakeTable | None = None,
         quarantine_dir: str | None = None,
         index_sink=None,
+        fact_compact_max_files: int | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -72,6 +73,10 @@ class StructuredIngest:
         # (key, seq), so at-least-once replayed micro-batches converge
         # without a separate fact fence
         self.fact_table = fact_table
+        # fact small-file maintenance parity with the batch controller's
+        # FactSink(compact_max_files=): bin-pack over-threshold buckets in
+        # the per-batch maintenance slot; None = never
+        self.fact_compact_max_files = fact_compact_max_files
         # dead-letter parity with the batch controller (see
         # StreamController.__init__): malformed events diverted per
         # micro-batch to <quarantine_dir>/batch=<id>/ and excluded from
@@ -210,6 +215,19 @@ class StructuredIngest:
             self.table.maybe_compact(
                 max_deltas=self.compact_max_deltas, strategy=self.merge_strategy
             )
+        if (
+            self.fact_table is not None
+            and self.fact_compact_max_files is not None
+        ):
+            from hemera_indexer_spark.lake import ConcurrentCommitError
+
+            try:
+                self.fact_table.refresh()
+                self.fact_table.compact_files(
+                    max_files=self.fact_compact_max_files
+                )
+            except ConcurrentCommitError:
+                pass  # shared-table CAS race: retried next micro-batch
         if self.view_sink is not None:
             # same epoch domain as the batch controller's after_commit path
             self.view_sink.refresh(self.table.committed_epoch())

@@ -113,3 +113,63 @@ def test_fact_sink_after_commit_packs(spark, tmp_path):
         counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
     assert max(counts.values()) == 1
     assert _rows(t) == before
+
+
+def test_structured_ingest_fact_compaction_parity(spark, tmp_path):
+    """Structured-streaming parity for fact small-file maintenance: with
+    fact_compact_max_files the per-batch slot packs history buckets, and
+    the packed table still equals the batch controller's fact output."""
+    from hemera_indexer_spark.lake import LakeTable
+    from hemera_indexer_spark.schemas import FACTS_SCHEMA, SEQUENCES_SCHEMA
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from hemera_indexer_spark.streaming import StreamController
+    from hemera_indexer_spark.streaming.structured import StructuredIngest
+
+    spec = ChangelogSpec(
+        n_docs=120, n_epochs=4, events_per_epoch=300, n_partitions=2,
+        seed=31, schema_evolution_epoch=None, rollback_epochs=(2,),
+    )
+    log_dir = str(tmp_path / "log")
+    generate_changelog(log_dir, spec)
+
+    b_state = LakeTable.create(
+        spark, str(tmp_path / "b_state"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    b_facts = LakeTable.create(
+        spark, str(tmp_path / "b_facts"), FACTS_SCHEMA, num_buckets=4,
+        properties={"table_type": "fact"},
+    )
+    StreamController(
+        spark, b_state, log_dir, spec.n_partitions, fact_table=b_facts
+    ).run()
+
+    s_state = LakeTable.create(
+        spark, str(tmp_path / "s_state"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    s_facts = LakeTable.create(
+        spark, str(tmp_path / "s_facts"), FACTS_SCHEMA, num_buckets=4,
+        properties={"table_type": "fact"},
+    )
+    StructuredIngest(
+        spark, s_state, log_dir, spec.n_partitions,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=3,
+        fact_table=s_facts,
+        fact_compact_max_files=1,
+    ).start(available_now=True).awaitTermination(300)
+
+    def fact_rows(t):
+        t.refresh()
+        return sorted(
+            (r["doc_id"], r["seq"], r["op"], tuple(r["tokens"] or []))
+            for r in t.read().collect()
+        )
+
+    assert fact_rows(s_facts) == fact_rows(b_facts)
+    counts = {}
+    for f in s_facts.snapshot["files"]:
+        counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+    assert max(counts.values()) == 1
