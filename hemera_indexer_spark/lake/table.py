@@ -114,7 +114,29 @@ class LakeTable:
         key_col: str = "doc_id",
         seq_col: str = "seq",
         properties: dict | None = None,
+        stats_cols: tuple[str, ...] | list[str] | None = None,
     ) -> "LakeTable":
+        """``stats_cols``: payload columns to zone-map — per-file min/max
+        recorded in the snapshot from Parquet footers at every write, so
+        range-predicate reads (``read(ranges=...)``) skip whole files
+        without opening them (the generalization of the built-in seq
+        stats; Iceberg/Delta call this data skipping). Atomic orderable
+        types only (numeric / string / boolean): array, struct, map and
+        binary columns have no usable footer order."""
+        if stats_cols:
+            fields = {f.name: f.dataType for f in schema.fields}
+            ok = (
+                T.StringType, T.BooleanType, T.ByteType, T.ShortType,
+                T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+            )
+            for c in stats_cols:
+                if c not in fields:
+                    raise ValueError(f"stats_col {c!r} not in schema")
+                if not isinstance(fields[c], ok):
+                    raise ValueError(
+                        f"stats_col {c!r} has non-orderable/non-atomic "
+                        f"type {fields[c].simpleString()}"
+                    )
         t = cls(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -129,6 +151,8 @@ class LakeTable:
             "manifest": {"epoch_id": -1, "offsets": {}, "lineage": []},
             "properties": {"write_mode": "mor", **(properties or {})},
         }
+        if stats_cols:
+            snap["properties"]["stats_cols"] = ",".join(stats_cols)
         t._write_snapshot(snap, expected_parent=None)
         return t
 
@@ -171,6 +195,11 @@ class LakeTable:
     @property
     def seq_col(self) -> str:
         return self.snapshot["seq_col"]
+
+    @property
+    def stats_cols(self) -> tuple[str, ...]:
+        raw = self.snapshot["properties"].get("stats_cols", "")
+        return tuple(c for c in raw.split(",") if c)
 
     def committed_epoch(self) -> int:
         return self.snapshot["manifest"]["epoch_id"]
@@ -355,26 +384,41 @@ class LakeTable:
         this out of the driver's serial critical path."""
         from concurrent.futures import ThreadPoolExecutor
 
+        stats_cols = self.stats_cols
+
+        def col_minmax(md, names, col):
+            """Footer min/max for one column across row groups; None when
+            absent/unusable (pruning then keeps the file — always safe)."""
+            try:
+                idx = names.index(col)
+            except ValueError:
+                return None, None
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+            if not isinstance(mn, (int, float, str, bool, type(None))):
+                return None, None  # non-JSON-safe footer value: no zone map
+            return mn, mx
+
         def one(p: str) -> dict:
             md = pq.read_metadata(p)
-            mn, mx, rows = None, None, md.num_rows
-            try:
-                names = md.schema.to_arrow_schema().names
-                idx = names.index(self.seq_col)
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is not None and st.has_min_max:
-                        mn = st.min if mn is None else min(mn, st.min)
-                        mx = st.max if mx is None else max(mx, st.max)
-            except ValueError:
-                pass
-            return {
+            names = md.schema.to_arrow_schema().names
+            mn, mx = col_minmax(md, names, self.seq_col)
+            entry = {
                 "path": os.path.relpath(p, self.root),
                 "bucket": bucket_of[p],
-                "rows": rows,
+                "rows": md.num_rows,
                 "min_seq": mn,
                 "max_seq": mx,
             }
+            if stats_cols:
+                entry["stats"] = {
+                    c: list(col_minmax(md, names, c)) for c in stats_cols
+                }
+            return entry
 
         if len(paths) <= 4:
             return [one(p) for p in paths]
@@ -428,6 +472,7 @@ class LakeTable:
         buckets: set[int] | None = None,
         seq_at_least: int | None = None,
         kind: str | None = None,
+        ranges: dict | None = None,
     ) -> list[dict]:
         files = self.snapshot["files"]
         if buckets is not None:
@@ -440,20 +485,56 @@ class LakeTable:
             ]
         if kind is not None:
             files = [f for f in files if f.get("kind", "base") == kind]
+        if ranges:
+            unknown = set(ranges) - set(self.stats_cols)
+            if unknown:
+                raise ValueError(
+                    f"range-pruning columns {sorted(unknown)} are not "
+                    f"zone-mapped (stats_cols={list(self.stats_cols)})"
+                )
+            files = [
+                f for f in files if not self._zone_disjoint(f, ranges)
+            ]
         return files
+
+    @staticmethod
+    def _zone_disjoint(entry: dict, ranges: dict) -> bool:
+        """True iff the file's zone map PROVES it holds no row in every
+        requested range. Missing/None stats keep the file — pruning is a
+        performance move, never a correctness dependency."""
+        stats = entry.get("stats") or {}
+        for col, (lo, hi) in ranges.items():
+            mn, mx = stats.get(col) or (None, None)
+            if lo is not None and mx is not None and mx < lo:
+                return True
+            if hi is not None and mn is not None and mn > hi:
+                return True
+        return False
 
     def read(
         self,
         buckets: set[int] | None = None,
         seq_at_least: int | None = None,
         kind: str | None = None,
+        ranges: dict | None = None,
     ) -> DataFrame:
         """RAW scan of data files (optionally restricted to buckets / to
         files whose max(seq) >= seq_at_least via footer-stat pruning / to one
         file kind). Under merge-on-read a key may appear in several files —
         use ``current_state`` for the resolved view. Old files missing
-        evolved columns yield NULLs (schema-on-read)."""
-        files = self._select_files(buckets, seq_at_least, kind)
+        evolved columns yield NULLs (schema-on-read).
+
+        ``ranges``: zone-map file skipping over ``stats_cols`` columns —
+        ``{col: (lo, hi)}`` (either bound None for one-sided) drops files
+        whose footer min/max PROVE disjointness. Like ``seq_at_least``
+        this is pruning only: the scan may still return out-of-range rows
+        from kept files, so the caller applies the real predicate on top
+        (Spark then ALSO pushes it into the surviving footers). On a
+        STATE table prune only on columns that are immutable per key
+        (e.g. a creation time): pruning on a mutable payload column could
+        drop a file holding the losing old version of a key while keeping
+        the winner, changing the merge-on-read fold."""
+        files = self._select_files(buckets, seq_at_least, kind, ranges)
         if not files:
             return self.spark.createDataFrame([], self.schema)
         paths = [os.path.join(self.root, f["path"]) for f in files]

@@ -1,0 +1,117 @@
+"""Zone-map data skipping (`stats_cols` / `read(ranges=)`): per-file
+min/max footer stats over declared payload columns must prune files, must
+never change results, and must survive compaction rewrites."""
+
+import pytest
+from pyspark.sql import types as T
+
+from hemera_indexer_spark.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("src", T.StringType()),
+    ]
+)
+
+
+def _mk(spark, tmp_path, n_epochs=6):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "zm"),
+        SCHEMA,
+        num_buckets=2,
+        properties={"table_type": "fact"},
+        stats_cols=("ts", "src"),
+    )
+    for e in range(n_epochs):
+        rows = [
+            (f"d{e}-{i}", e * 100 + i, e * 1000 + i, f"s{e}")
+            for i in range(20)
+        ]
+        t.insert_if_absent(
+            spark.createDataFrame(
+                rows, "doc_id string, seq long, ts long, src string"
+            ),
+            epoch_id=e,
+        )
+    return t
+
+
+def _sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_range_prune_skips_files_same_result(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    total = len(t._select_files())
+    lo, hi = 2000, 2999  # epoch 2 only
+    kept = t._select_files(ranges={"ts": (lo, hi)})
+    assert 0 < len(kept) < total
+    assert all((f["stats"]["ts"][0] or 0) <= hi for f in kept)
+    full = _sorted(t.read().where(f"ts BETWEEN {lo} AND {hi}"))
+    pruned = _sorted(
+        t.read(ranges={"ts": (lo, hi)}).where(f"ts BETWEEN {lo} AND {hi}")
+    )
+    assert pruned == full and len(full) == 20
+
+
+def test_one_sided_and_string_ranges(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    total = len(t._select_files())
+    # one-sided: everything from epoch 4 on
+    kept = t._select_files(ranges={"ts": (4000, None)})
+    assert 0 < len(kept) < total
+    got = _sorted(t.read(ranges={"ts": (4000, None)}).where("ts >= 4000"))
+    assert got == _sorted(t.read().where("ts >= 4000"))
+    # string zone map: exactly one epoch's source tag
+    kept_s = t._select_files(ranges={"src": ("s3", "s3")})
+    assert 0 < len(kept_s) < total
+    got_s = _sorted(t.read(ranges={"src": ("s3", "s3")}).where("src = 's3'"))
+    assert got_s == _sorted(t.read().where("src = 's3'"))
+    assert len(got_s) == 20
+
+
+def test_prune_on_unmapped_column_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_epochs=1)
+    with pytest.raises(ValueError, match="not.*zone-mapped"):
+        t.read(ranges={"seq": (0, 10)})
+
+
+def test_create_validates_stats_cols(spark, tmp_path):
+    bad = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    with pytest.raises(ValueError, match="non-orderable"):
+        LakeTable.create(
+            spark, str(tmp_path / "a"), bad, stats_cols=("tokens",)
+        )
+    with pytest.raises(ValueError, match="not in schema"):
+        LakeTable.create(
+            spark, str(tmp_path / "b"), bad, stats_cols=("nope",)
+        )
+
+
+def test_stats_survive_compaction(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = _sorted(t.read().where("ts BETWEEN 1000 AND 1999"))
+    assert t.compact_files(max_files=1)
+    for f in t.snapshot["files"]:
+        mn, mx = f["stats"]["ts"]
+        assert mn is not None and mx >= mn
+    got = _sorted(
+        t.read(ranges={"ts": (1000, 1999)}).where("ts BETWEEN 1000 AND 1999")
+    )
+    assert got == before
+
+
+def test_tables_without_stats_cols_reject_ranges(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "plain"), SCHEMA)
+    with pytest.raises(ValueError, match="not.*zone-mapped"):
+        t._select_files(ranges={"ts": (0, 1)})
