@@ -1011,13 +1011,25 @@ class LakeTable:
         return out
 
     def compact(
-        self, buckets: set[int] | None = None, strategy: str = "jvm"
+        self,
+        buckets: set[int] | None = None,
+        strategy: str = "jvm",
+        cluster_by: tuple[str, ...] = (),
     ) -> bool:
         """Fold base+delta files of the given buckets (default: every bucket
         holding deltas) into fresh base files. Pure reorganization: the
         resolved state is unchanged; tombstones survive (they keep guarding
         against stale replays, like the reference's reorg flags until repair
-        completes)."""
+        completes).
+
+        ``cluster_by``: optional in-file sort columns placed BEFORE the key
+        (the Iceberg table-sort-order analog). Rows cluster by these
+        columns inside each rewritten file, so per-row-group parquet
+        min/max stats become tight for range predicates on them — a pushed
+        ``ts BETWEEN`` then skips whole row groups. Trade-off: the default
+        key-only sort optimizes point lookups; clustering first loosens
+        per-row-group key stats (file-level zone maps and the snapshot's
+        min/max(seq) are order-independent and unaffected)."""
         base = self.snapshot
         if self.is_fact_table:
             return False
@@ -1049,12 +1061,17 @@ class LakeTable:
         # inside the bucket file instead of scanning it end to end. The hot
         # commit path (merge_upsert) stays unsorted — micro-batch deltas are
         # small and latency-critical; only the background fold pays.
-        sorted_folded = folded.sortWithinPartitions("_bucket", self.key_col)
+        sorted_folded = folded.sortWithinPartitions(
+            "_bucket", *cluster_by, self.key_col
+        )
         new_files = self._write_data(sorted_folded, version, kind="base")
         return self._commit_files(base, version, new_files, replaced, None, None)
 
     def compact_files(
-        self, buckets: set[int] | None = None, max_files: int = 1
+        self,
+        buckets: set[int] | None = None,
+        max_files: int = 1,
+        cluster_by: tuple[str, ...] = (),
     ) -> bool:
         """Small-file compaction for FACT tables: bin-pack each bucket's
         per-epoch append files into one file. Pure file reorganization —
@@ -1072,7 +1089,11 @@ class LakeTable:
         on them.
 
         ``buckets``: restrict the rewrite (default: every bucket holding
-        more than ``max_files`` files)."""
+        more than ``max_files`` files). ``cluster_by``: optional in-file
+        sort columns placed BEFORE the seq sort (see ``compact``) — tight
+        per-row-group stats for range scans of the history table; the
+        FILE-level min/max(seq) the redelivery anti-join prunes on is
+        order-independent, so that guarantee is unaffected."""
         base = self.snapshot
         if not self.is_fact_table:
             raise ValueError(
@@ -1099,7 +1120,7 @@ class LakeTable:
             # bucket; in-partition sort only, no extra exchange beyond the
             # clustering repartition
             .repartition(min(len(buckets), 256), "_bucket")
-            .sortWithinPartitions("_bucket", self.seq_col)
+            .sortWithinPartitions("_bucket", *cluster_by, self.seq_col)
         )
         new_files = self._write_data(rows, version, kind="base")
         return self._commit_files(base, version, new_files, replaced, None, None)
