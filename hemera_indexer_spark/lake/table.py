@@ -1580,6 +1580,27 @@ class LakeTable:
             "compact_candidates": sorted(
                 b for b, n in per_deltas.items() if n >= compact_threshold
             ),
+            # zone-map coverage: fraction of files whose declared stats
+            # columns ALL carry usable min/max (a low value means range
+            # pruning degrades to full scans — compaction restores it)
+            "stats_cols": list(self.stats_cols),
+            "zone_map_coverage": (
+                round(
+                    sum(
+                        1
+                        for f in files
+                        if all(
+                            (f.get("stats") or {}).get(c, (None, None))[0]
+                            is not None
+                            for c in self.stats_cols
+                        )
+                    )
+                    / len(files),
+                    3,
+                )
+                if files and self.stats_cols
+                else None
+            ),
         }
 
     def expire_snapshots(self, keep_last: int = 10) -> int:

@@ -163,3 +163,13 @@ def test_compact_cluster_by_state_table(spark, tmp_path):
     before = _sorted(t.current_state())
     assert t.compact(cluster_by=("ts",))
     assert _sorted(t.current_state()) == before
+
+
+def test_table_health_reports_zone_map_coverage(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_epochs=2)
+    h = t.table_health()
+    assert h["stats_cols"] == ["ts", "src"]
+    assert h["zone_map_coverage"] == 1.0
+    plain = LakeTable.create(spark, str(tmp_path / "plain"), SCHEMA)
+    hp = plain.table_health()
+    assert hp["stats_cols"] == [] and hp["zone_map_coverage"] is None
