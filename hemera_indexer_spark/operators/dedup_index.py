@@ -488,3 +488,55 @@ class SignatureIndex:
         return _verify_pairs(
             cand, new_docs, base_docs, id_col, text_col, self.n, threshold
         )
+
+
+def curated_state(
+    table: LakeTable,
+    report_dir: str,
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """Near-dup-free view of a state table: ``current_state()`` minus the
+    docs the :class:`~hemera_indexer_spark.streaming.sinks.
+    SignatureIndexSink` admission reports flagged against EARLIER-committed
+    docs — the keep-first curation rule (the committed doc survives; the
+    later near-dup arrival is excluded from the curated feed, the
+    reference's derived-view discipline applied to corpus curation).
+
+    The flag is sticky by design: it stands even if the base doc is later
+    deleted. A flagged doc was redundant at its arrival cut, and sticky
+    flags keep the curated view reproducible under replay instead of
+    depending on the deletion order of other documents.
+
+    Cost shape: the reports hold FLAGGED PAIRS only (tiny next to the
+    corpus), so this is one distinct + one left-anti join on the key —
+    O(state) regardless of how many epochs of reports have accumulated.
+
+    ``min_jaccard`` further restricts to pairs at or above the given
+    verified similarity (the reports already applied the sink's
+    ``report_threshold`` at write time). A missing/empty ``report_dir``
+    (sink never flagged anything) curates nothing."""
+    import os
+
+    spark = table.spark
+    epoch_dirs = (
+        sorted(
+            os.path.join(report_dir, d)
+            for d in os.listdir(report_dir)
+            if d.startswith("epoch=")
+        )
+        if os.path.isdir(report_dir)
+        else []
+    )
+    state = table.current_state()
+    if not epoch_dirs:
+        return state
+    # leaf dirs passed explicitly: each is its own base path, so Spark
+    # takes the epoch column from the data files (written by the sink)
+    # instead of re-inferring it from the directory name
+    rep = spark.read.parquet(*epoch_dirs)
+    if min_jaccard is not None:
+        rep = rep.where(F.col("jaccard") >= min_jaccard)
+    flagged = rep.select(
+        F.col("new_id").alias(table.key_col)
+    ).distinct()
+    return state.join(flagged, table.key_col, "left_anti")

@@ -334,3 +334,54 @@ def test_admission_report_flags_new_vs_committed_only(spark, tmp_path):
         for r in spark.read.parquet(f"{report}/epoch=00001").collect()
     }
     assert got2 == got
+
+
+def test_curated_state_excludes_flagged_keeps_first(spark, tmp_path):
+    """curated_state = current_state minus admission-flagged docs: the
+    earlier-committed doc survives, later near-dup arrivals drop out; an
+    unrelated doc and a missing report dir both pass through untouched."""
+    from hemera_indexer_spark.lake import LakeTable
+    from hemera_indexer_spark.operators.dedup_index import (
+        SignatureIndex,
+        curated_state,
+    )
+    from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+    from hemera_indexer_spark.streaming import StreamController
+    from hemera_indexer_spark.streaming.sinks import SignatureIndexSink
+
+    log = str(tmp_path / "log")
+    toks_a = list(range(100, 130))
+    toks_b = list(range(500, 540))
+    _write_log_epoch(log, 0, [("a", toks_a), ("b", toks_b)], seq0=0)
+    _write_log_epoch(log, 1, [("c", toks_a), ("c2", toks_a)], seq0=10)
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    idx = SignatureIndex.build_from_table(
+        spark, str(tmp_path / "idx"), table, text_col="tokens", k=8, bands=2
+    )
+    report = str(tmp_path / "report")
+    StreamController(
+        spark, table, log, 1,
+        sinks=[SignatureIndexSink(table, idx, text_col="tokens",
+                                  report_dir=report, report_threshold=0.9)],
+        max_batch_epochs=1,
+    ).run()
+
+    full = {r["doc_id"] for r in table.current_state().collect()}
+    assert full == {"a", "b", "c", "c2"}
+    cur = {r["doc_id"] for r in curated_state(table, report).collect()}
+    assert cur == {"a", "b"}
+    # threshold above the verified similarity: nothing excluded
+    loose = {
+        r["doc_id"]
+        for r in curated_state(table, report, min_jaccard=1.01).collect()
+    }
+    assert loose == full
+    # no reports at all: identity view
+    none = {
+        r["doc_id"]
+        for r in curated_state(table, str(tmp_path / "nowhere")).collect()
+    }
+    assert none == full
