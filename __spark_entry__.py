@@ -1435,6 +1435,18 @@ def q_jl_projection(spark, sf):
     )
 
 
+def q_kmeans_clusters(spark, sf):
+    """Deterministic Lloyd's k-means (k=4, 2 rounds) over the embedding
+    corpus: exact-decimal distances, 6dp-quantized centroid updates,
+    first-k-ids init — every step engine-reproducible; iters+1 corpus
+    passes, centroids ship as literals
+    (operators/embeddings.py ``kmeans_lloyd``)."""
+    from hemera_indexer_spark.operators.embeddings import kmeans_lloyd
+
+    emb = _t(spark, sf, "embeddings")
+    return kmeans_lloyd(emb, in_dim=64, k=4, iters=2)
+
+
 def q_feature_hashing(spark, sf):
     """Hashing-trick sparse text features (signed, 64 buckets): map-only
     explode + ONE map-side-combined (doc, feature) groupBy — shuffle rows
@@ -1627,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "jl_projection": q_jl_projection,
         "feature_hashing": q_feature_hashing,
+        "kmeans_clusters": q_kmeans_clusters,
         "label_centroids": q_label_centroids,
         "ivf_topk": q_ivf_topk,
         "doc_entropy": q_doc_entropy,
@@ -1731,6 +1744,55 @@ def _jl_oracle() -> str:
         FROM ex JOIN s ON s.i = ex.i
         GROUP BY ex.vec_id, s.j
     """
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    """DuckDB side of ``kmeans_clusters``: the Lloyd chain unrolled as
+    CTEs — c0 (first-k init) → a0 (exact-decimal argmin) → c1 (6dp-rounded
+    means) → a1 → ... — the same quantized-centroid definition the Spark
+    operator implements, recomputed from scratch."""
+    assign = """
+        a{n} AS (
+            SELECT ex.vec_id, c.cid,
+                   SUM(CAST(ex.v - c.c AS DECIMAL(15,6))
+                       * CAST(ex.v - c.c AS DECIMAL(15,6))) AS d2
+            FROM ex JOIN c{n} c ON c.i = ex.i
+            GROUP BY ex.vec_id, c.cid
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY ex.vec_id ORDER BY d2, c.cid) = 1
+        )"""
+    update = """
+        c{m} AS (
+            SELECT a.cid, ex.i,
+                   CAST(ROUND(CAST(SUM(ex.v) AS DOUBLE) / COUNT(*), 6)
+                        AS DECIMAL(18,6)) AS c
+            FROM a{n} a JOIN ex ON ex.vec_id = a.vec_id
+            GROUP BY a.cid, ex.i
+        )"""
+    ctes = [
+        """
+        ex AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(CAST(unnest(embedding) AS DOUBLE)
+                        AS DECIMAL(18,6)) AS v
+            FROM embeddings
+        )""",
+        f"""
+        c0 AS (
+            SELECT DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid, i, v AS c
+            FROM ex
+            WHERE vec_id IN (
+                SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    for n in range(iters):
+        ctes.append(assign.format(n=n))
+        ctes.append(update.format(n=n, m=n + 1))
+    ctes.append(assign.format(n=iters))
+    return (
+        "WITH " + ",".join(ctes)
+        + f" SELECT vec_id, cid AS cluster FROM a{iters}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3124,6 +3186,7 @@ def oracle_sql() -> dict[str, str]:
             FROM q WHERE vec_id < 200 GROUP BY vec_id
         """,
         "jl_projection": _jl_oracle(),
+        "kmeans_clusters": _kmeans_oracle(),
         "feature_hashing": """
             WITH ws AS (
                 SELECT d.doc_id, u.w AS w

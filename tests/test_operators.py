@@ -380,3 +380,36 @@ def test_feature_hashing_signed_and_unsigned(spark):
     for r in signed:
         assert abs(r["val"]) <= umap[(r["doc_id"], r["feature"])]
         assert (r["val"] - umap[(r["doc_id"], r["feature"])]) % 2 == 0
+
+
+def test_kmeans_lloyd_separates_obvious_clusters(spark):
+    """Two well-separated blobs with k=2 must split exactly along the
+    blobs; rerunning gives identical labels (fully deterministic)."""
+    from hemera_indexer_spark.operators.embeddings import kmeans_lloyd
+
+    rows = [(i, [10.0 + (i % 3) * 0.01, 10.0]) for i in range(6)] + [
+        (i, [-10.0 - (i % 3) * 0.01, -10.0]) for i in range(6, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_lloyd(df, in_dim=2, k=2, iters=2).collect()}
+    # init = vectors of ids 0 and 1 (both in blob A) -> after the first
+    # update the far blob captures one centroid; labels must split blobs
+    labels_a = {got[i] for i in range(6)}
+    labels_b = {got[i] for i in range(6, 12)}
+    assert len(labels_a) == 1 and len(labels_b) == 1 and labels_a != labels_b
+    again = {r["vec_id"]: r["cluster"]
+             for r in kmeans_lloyd(df, in_dim=2, k=2, iters=2).collect()}
+    assert again == got
+
+
+def test_kmeans_lloyd_empty_cluster_drops_out(spark):
+    """k larger than the number of distinct points: surviving clusters
+    keep their ids; every point still gets exactly one assignment."""
+    from hemera_indexer_spark.operators.embeddings import kmeans_lloyd
+
+    rows = [(i, [float(i % 2) * 100.0, 0.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = kmeans_lloyd(df, in_dim=2, k=4, iters=2).collect()
+    assert len(out) == 8
+    assert len({r["cluster"] for r in out}) == 2
