@@ -1435,6 +1435,23 @@ def q_jl_projection(spark, sf):
     )
 
 
+def q_chunk_tokens(spark, sf):
+    """Per-doc overlapping token windows (RAG / long-context chunking,
+    size=32 stride=24): map-only sequence+slice inside codegen, no
+    shuffle, boundary never crosses a document
+    (operators/packing.py ``chunk_tokens``)."""
+    from hemera_indexer_spark.operators.packing import chunk_tokens
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    clean = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
+    toks = F.transform(F.split(clean, r"\s+"), lambda w: F.length(w))
+    return chunk_tokens(
+        docs.select("doc_id", toks.alias("tokens")),
+        size=32,
+        stride=24,
+    )
+
+
 def q_kmeans_clusters(spark, sf):
     """Deterministic Lloyd's k-means (k=4, 2 rounds) over the embedding
     corpus: exact-decimal distances, 6dp-quantized centroid updates,
@@ -1640,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_projection": q_jl_projection,
         "feature_hashing": q_feature_hashing,
         "kmeans_clusters": q_kmeans_clusters,
+        "chunk_tokens": q_chunk_tokens,
         "label_centroids": q_label_centroids,
         "ivf_topk": q_ivf_topk,
         "doc_entropy": q_doc_entropy,
@@ -3187,6 +3205,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jl_projection": _jl_oracle(),
         "kmeans_clusters": _kmeans_oracle(),
+        "chunk_tokens": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(
+                           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                           w -> length(w)) AS toks
+                FROM documents WHERE doc_id < 200
+            ),
+            c AS (
+                SELECT doc_id, toks,
+                       1 + GREATEST(0, CAST(CEIL((len(toks) - 32) / 24.0)
+                                            AS INT)) AS n_chunks
+                FROM t
+            ),
+            w0 AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, CAST(n_chunks AS BIGINT))) AS chunk_idx
+                FROM c
+            ),
+            w AS (
+                SELECT doc_id, chunk_idx,
+                       toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)] AS chunk
+                FROM w0
+            )
+            SELECT doc_id, chunk_idx, chunk, len(chunk) AS n_tokens FROM w
+        """,
         "feature_hashing": """
             WITH ws AS (
                 SELECT d.doc_id, u.w AS w

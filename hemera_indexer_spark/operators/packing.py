@@ -126,3 +126,52 @@ def ntile_shards(
         .groupBy(group_col, "shard")
         .agg(*aggs)
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Per-document overlapping token windows — the RAG / long-context
+    chunking complement to ``pack_sequences`` (which concatenates ACROSS
+    docs; this never crosses a document boundary). Window ``j`` covers
+    tokens ``[j*stride, j*stride + size)``; the last window is the final
+    partial remainder (nothing dropped), and a doc shorter than ``size``
+    yields exactly one whole-doc chunk. ``stride < size`` gives the
+    standard ``size - stride`` token overlap between neighbors.
+
+    Returns (id, chunk_idx, chunk: array, n_tokens). Pure map-only
+    projection — ``sequence`` + ``transform``/``slice`` build every
+    window inside codegen, no shuffle, no explode of individual tokens,
+    embarrassingly parallel at any corpus size. NULL token arrays (rows
+    from before the column evolved in) yield no chunks.
+
+    ``n_chunks = 1 + ceil(max(0, len - size) / stride)`` — the count
+    that makes the final window start at the last stride position that
+    still adds unseen tokens."""
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0), F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.struct(
+            j.alias("chunk_idx"),
+            F.slice(toks, j * stride + 1, size).alias("chunk"),
+        ),
+    )
+    ex = df.where(toks.isNotNull()).select(
+        F.col(id_col), F.explode(chunks).alias("w")
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("w.chunk_idx").alias("chunk_idx"),
+        F.col("w.chunk").alias("chunk"),
+        F.size("w.chunk").alias("n_tokens"),
+    )

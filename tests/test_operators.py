@@ -413,3 +413,35 @@ def test_kmeans_lloyd_empty_cluster_drops_out(spark):
     out = kmeans_lloyd(df, in_dim=2, k=4, iters=2).collect()
     assert len(out) == 8
     assert len({r["cluster"] for r in out}) == 2
+
+
+def test_chunk_tokens_overlap_and_reconstruction(spark):
+    """Window law: chunk j starts at j*stride and is size-long (last =
+    remainder); consecutive chunks overlap by size-stride; stepping
+    through chunks at stride reconstructs the document exactly. Short
+    and NULL docs behave as documented."""
+    from hemera_indexer_spark.operators.packing import chunk_tokens
+
+    doc = list(range(100, 177))  # 77 tokens
+    df = spark.createDataFrame(
+        [(1, doc), (2, [1, 2, 3]), (3, None)],
+        "doc_id int, tokens array<int>",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk"])
+        for r in chunk_tokens(df, size=32, stride=24).collect()
+    )
+    by_doc = {}
+    for d, j, c in rows:
+        by_doc.setdefault(d, []).append((j, c))
+    # 1 + ceil((77-32)/24) = 3 chunks for the long doc
+    assert [j for j, _ in by_doc[1]] == [0, 1, 2]
+    for j, c in by_doc[1]:
+        assert c == doc[j * 24 : j * 24 + 32]
+    # reconstruction: first chunk + each later chunk's non-overlap tail
+    rec = by_doc[1][0][1][:]
+    for _, c in by_doc[1][1:]:
+        rec.extend(c[32 - 24 :])
+    assert rec == doc
+    assert by_doc[2] == [(0, [1, 2, 3])]
+    assert 3 not in by_doc
