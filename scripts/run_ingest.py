@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--entity-types", default="STATE",
                     help="comma list of outputs to materialize: STATE, FACTS,"
                          " EXPORTS, ALL (the reference's -E entity bitmask)")
+    ap.add_argument("--fact-compact-max-files", type=int, default=None,
+                    help="fact-table small-file maintenance: bin-pack "
+                         "buckets holding more than this many files after "
+                         "each group/batch (default: never)")
     ap.add_argument("--fact-table-root", default=None,
                     help="append-only event-history fact table location "
                          "(implies FACTS; required when FACTS is selected)")
@@ -257,6 +261,7 @@ def main() -> None:
             fact_table=fact_table,
             quarantine_dir=args.quarantine_dir,
             index_sink=index_sink,
+            fact_compact_max_files=args.fact_compact_max_files,
         ).start(available_now=True)
         q.awaitTermination()
         events = None
@@ -272,6 +277,7 @@ def main() -> None:
             sinks=sinks,
             confirmation_lag=args.confirmation_lag,
             rebucket_target_rows=args.rebucket_target_rows,
+            fact_compact_max_files=args.fact_compact_max_files,
             **tenant_kw,
         ).run(max_epochs=args.max_epochs)
         events = stats.total_events
