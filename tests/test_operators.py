@@ -445,3 +445,73 @@ def test_chunk_tokens_overlap_and_reconstruction(spark):
     assert rec == doc
     assert by_doc[2] == [(0, [1, 2, 3])]
     assert 3 not in by_doc
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(-50, 50), st.integers(-50, 50), st.integers(-50, 50)
+        ),
+        min_size=3,
+        max_size=10,
+        unique=True,
+    ),
+    k=st.integers(2, 3),
+    iters=st.integers(1, 2),
+)
+def test_kmeans_lloyd_matches_python_reference(spark, vecs, k, iters):
+    """Property: the Spark operator equals a pure-Python implementation of
+    the SAME definition (first-k init, exact-decimal argmin with ties to
+    the smallest cid, HALF_UP 6dp-quantized means, empty clusters drop
+    out) on arbitrary integer vectors — the engine-portability law the
+    DuckDB oracle checks on one dataset, checked here on many."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hemera_indexer_spark.operators.embeddings import kmeans_lloyd
+
+    Q = Decimal("0.000001")
+    data = {i: list(map(float, v)) for i, v in enumerate(vecs)}
+
+    def dq(x):
+        # mirrors JVM F.round/lit-cast: shortest-repr then HALF_UP to 6dp
+        return Decimal(repr(x)).quantize(Q, rounding=ROUND_HALF_UP)
+
+    def assign(cents):
+        out = {}
+        for i, v in data.items():
+            out[i] = min(
+                (sum((dq(x) - dq(c)) ** 2 for x, c in zip(v, cvec)), cid)
+                for cid, cvec in sorted(cents.items())
+            )[1]
+        return out
+
+    cents = {c: data[i] for c, i in enumerate(sorted(data)[:k])}
+    for _ in range(iters):
+        a = assign(cents)
+        nxt = {}
+        for cid in set(a.values()):
+            members = [data[i] for i, c in a.items() if c == cid]
+            nxt[cid] = [
+                round(sum(col) / len(members), 6) for col in zip(*members)
+            ]
+        cents = nxt
+    expected = assign(cents)
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in data.items()],
+        "vec_id int, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_lloyd(df, in_dim=3, k=k, iters=iters).collect()
+    }
+    assert got == expected
