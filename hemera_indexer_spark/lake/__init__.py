@@ -1,3 +1,7 @@
-from hemera_indexer_spark.lake.table import LakeTable, ConcurrentCommitError
+from hemera_indexer_spark.lake.table import (
+    ConcurrentCommitError,
+    FormatVersionError,
+    LakeTable,
+)
 
-__all__ = ["LakeTable", "ConcurrentCommitError"]
+__all__ = ["LakeTable", "ConcurrentCommitError", "FormatVersionError"]

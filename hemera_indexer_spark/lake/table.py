@@ -81,9 +81,20 @@ from hemera_indexer_spark.functions import bucket_col
 
 VERSION_FILE = "VERSION"
 
+# Snapshot-format generation this code writes and the highest it can read
+# (Iceberg's format-version discipline): snapshots carry
+# ``format_version``; a reader encountering a NEWER generation fails
+# loudly instead of silently misreading metadata written by future code.
+# Absent field = 0 (pre-versioning snapshots, readable forever).
+FORMAT_VERSION = 1
+
 
 class ConcurrentCommitError(RuntimeError):
     pass
+
+
+class FormatVersionError(RuntimeError):
+    """Snapshot written by a newer engine generation than this reader."""
 
 
 def _atomic_write(path: str, data: str) -> None:
@@ -141,6 +152,7 @@ class LakeTable:
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         snap = {
+            "format_version": FORMAT_VERSION,
             "version": 0,
             "parent": None,
             "schema": json.loads(schema.json()),
@@ -171,7 +183,14 @@ class LakeTable:
         with open(os.path.join(self.meta_dir, VERSION_FILE)) as f:
             v = int(f.read().strip())
         with open(os.path.join(self.meta_dir, f"snap-{v:010d}.json")) as f:
-            self._snapshot = json.load(f)
+            snap = json.load(f)
+        fv = snap.get("format_version", 0)
+        if fv > FORMAT_VERSION:
+            raise FormatVersionError(
+                f"snapshot format_version {fv} > supported {FORMAT_VERSION}"
+                f" — upgrade the engine before reading {self.root}"
+            )
+        self._snapshot = snap
         return self._snapshot
 
     @property
@@ -241,7 +260,13 @@ class LakeTable:
             )
         t = LakeTable(self.spark, self.root)
         with open(spath) as f:
-            t._snapshot = json.load(f)
+            snap = json.load(f)
+        fv = snap.get("format_version", 0)
+        if fv > FORMAT_VERSION:
+            raise FormatVersionError(
+                f"snapshot format_version {fv} > supported {FORMAT_VERSION}"
+            )
+        t._snapshot = snap
         t._pinned = True
         return t
 
@@ -373,6 +398,9 @@ class LakeTable:
                 raise ConcurrentCommitError(
                     f"version moved to {cur}, expected {expected_parent}"
                 )
+        # the writer stamps its own generation (legacy tables upgrade on
+        # their next commit; readers reject only NEWER generations)
+        snap["format_version"] = FORMAT_VERSION
         spath = os.path.join(self.meta_dir, f"snap-{snap['version']:010d}.json")
         _atomic_write(spath, json.dumps(snap))
         _atomic_write(vpath, str(snap["version"]))
@@ -1602,6 +1630,44 @@ class LakeTable:
                 else None
             ),
         }
+
+    def clone_to(self, dest_root: str) -> "LakeTable":
+        """Consistent single-snapshot export (Iceberg snapshot-export / DR
+        clone analog): copy exactly the data files the CURRENT snapshot
+        references to ``dest_root`` (relative paths preserved, so the file
+        entries and their zone maps stay valid verbatim) and write one
+        version-0 snapshot carrying the source's schema, bucket layout,
+        manifest cursor and properties. History is deliberately NOT
+        cloned — the clone starts its own snapshot line; time travel and
+        ``changes_since`` on the clone are relative to the clone point.
+
+        The clone is fully independent afterwards (writes to either side
+        never touch the other) and, because the manifest cursor rides
+        along, a StreamController pointed at the clone resumes ingest
+        exactly where the source had committed — the reorg-safe "fork the
+        pipeline onto yesterday's table" operation.
+
+        The copy is a driver-side filesystem loop, O(referenced files) —
+        fine at maintenance cadence on a bucketed table (files ≈ buckets
+        after compaction); for multi-PB tables on object storage you'd
+        swap the copy loop for a bulk-copy service and keep the metadata
+        logic unchanged."""
+        import shutil
+
+        src = self.snapshot
+        dest = LakeTable(self.spark, dest_root)
+        os.makedirs(dest.meta_dir, exist_ok=True)
+        os.makedirs(dest.data_dir, exist_ok=True)
+        for f in src["files"]:
+            s = os.path.join(self.root, f["path"])
+            d = os.path.join(dest_root, f["path"])
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            shutil.copy2(s, d)
+        snap = json.loads(json.dumps(src))  # deep copy, stays JSON-pure
+        snap["version"] = 0
+        snap["parent"] = None
+        dest._write_snapshot(snap, expected_parent=None)
+        return dest
 
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Drop snapshot metadata older than the newest ``keep_last``

@@ -1,0 +1,100 @@
+"""Snapshot format versioning (`FORMAT_VERSION` / `FormatVersionError`)
+and consistent single-snapshot clone (`clone_to`)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from hemera_indexer_spark.lake import (
+    FormatVersionError,
+    LakeTable,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("val", T.StringType()),
+    ]
+)
+
+
+def _mk(spark, root, n_epochs=3):
+    t = LakeTable.create(spark, root, SCHEMA, num_buckets=2)
+    for e in range(n_epochs):
+        rows = [(f"d{i}", e * 100 + i, f"v{e}-{i}", "upsert")
+                for i in range(10)]
+        t.merge_upsert(
+            spark.createDataFrame(
+                rows, "doc_id string, seq long, val string, op string"
+            ),
+            epoch_id=e,
+        )
+    return t
+
+
+def _state(t):
+    return sorted(map(tuple, t.current_state().collect()))
+
+
+def test_snapshots_carry_format_version(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    assert t.snapshot["format_version"] == 1
+
+
+def test_newer_format_version_rejected_loudly(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), n_epochs=1)
+    v = t.snapshot["version"]
+    spath = os.path.join(t.meta_dir, f"snap-{v:010d}.json")
+    snap = json.load(open(spath))
+    snap["format_version"] = 99
+    open(spath, "w").write(json.dumps(snap))
+    fresh = LakeTable(spark, t.root)
+    with pytest.raises(FormatVersionError, match="99"):
+        fresh.refresh()
+    # legacy (absent field) stays readable
+    del snap["format_version"]
+    open(spath, "w").write(json.dumps(snap))
+    assert LakeTable.load(spark, t.root).current_state().count() == 10
+
+
+def test_clone_is_consistent_and_independent(spark, tmp_path):
+    src = _mk(spark, str(tmp_path / "src"))
+    before = _state(src)
+    epoch = src.committed_epoch()
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert _state(clone) == before
+    assert clone.committed_epoch() == epoch  # ingest cursor rides along
+    assert clone.snapshot["version"] == 0 and clone.snapshot["parent"] is None
+
+    # independence: mutate source -> clone unchanged, and vice versa
+    src.merge_upsert(
+        spark.createDataFrame(
+            [("d0", 999, "new", "upsert")],
+            "doc_id string, seq long, val string, op string",
+        ),
+        epoch_id=epoch + 1,
+    )
+    assert _state(LakeTable.load(spark, str(tmp_path / "clone"))) == before
+    clone2 = LakeTable.load(spark, str(tmp_path / "clone"))
+    clone2.merge_upsert(
+        spark.createDataFrame(
+            [("d1", 999, "clone-only", "upsert")],
+            "doc_id string, seq long, val string, op string",
+        ),
+        epoch_id=epoch + 1,
+    )
+    src.refresh()
+    assert ("d1", 999, "clone-only") in _state(clone2)
+    assert ("d1", 999, "clone-only") not in _state(src)
+
+
+def test_clone_refuses_existing_destination(spark, tmp_path):
+    from hemera_indexer_spark.lake import ConcurrentCommitError
+
+    src = _mk(spark, str(tmp_path / "src"), n_epochs=1)
+    src.clone_to(str(tmp_path / "c"))
+    with pytest.raises(ConcurrentCommitError, match="already exists"):
+        src.clone_to(str(tmp_path / "c"))
