@@ -1315,6 +1315,19 @@ def q_label_centroids(spark, sf):
     )
 
 
+def q_chunk_dedup_clean(spark, sf):
+    """C4-style chunk dedup, transform half: drop repeated 8-word chunks
+    (global first occurrence wins) and reassemble surviving text per doc;
+    fully-emptied docs are dropped (operators/dedup.py
+    ``remove_duplicate_chunks``)."""
+    from hemera_indexer_spark.operators.dedup import remove_duplicate_chunks
+
+    docs = _t(spark, sf, "documents")
+    return remove_duplicate_chunks(docs, "doc_id", "text", chunk_words=8).where(
+        F.col("doc_id") < 300
+    )
+
+
 def q_chunk_dedup(spark, sf):
     """C4-style chunk-level (line) dedup accounting: global
     first-occurrence wins over 8-word chunks; per-doc survival counts.
@@ -1645,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "unigram_logprob": q_unigram_logprob,
         "chunk_dedup": q_chunk_dedup,
+        "chunk_dedup_clean": q_chunk_dedup_clean,
         "bigram_pmi": q_bigram_pmi,
         "vocab_coverage": q_vocab_coverage,
         "source_kl": q_source_kl,
@@ -3005,6 +3019,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN rk = 1 THEN len(string_split(chunk, ' ')) ELSE 0 END)
                         AS BIGINT) AS kept_words
             FROM ranked WHERE doc_id < 300 GROUP BY doc_id
+        """,
+        "chunk_dedup_clean": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+                FROM documents
+            ),
+            ch AS (
+                SELECT doc_id, t.i AS chunk_idx,
+                       array_to_string(ws[t.i*8+1 : t.i*8+8], ' ') AS chunk
+                FROM d, UNNEST(range(0, CAST(ceil(len(ws)/8.0) AS BIGINT))) AS t(i)
+                WHERE len(ws) > 0 AND ws[1] <> ''
+            ),
+            ranked AS (
+                SELECT doc_id, chunk_idx, chunk,
+                       row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rk
+                FROM ch
+            )
+            SELECT doc_id,
+                   string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+                   CAST(COUNT(*) AS BIGINT) AS kept_chunks
+            FROM ranked WHERE rk = 1 AND doc_id < 300 GROUP BY doc_id
         """,
         "bigram_pmi": """
             WITH d AS (

@@ -1631,6 +1631,87 @@ class LakeTable:
             ),
         }
 
+    def purge_keys(
+        self,
+        keys: list,
+        keep_last: int = 1,
+        strategy: str = "sql",
+    ) -> dict:
+        """Right-to-be-forgotten purge: physically remove every RETAINED
+        copy of the given keys' payloads, in the only safe order:
+
+        1. state tables: tombstone the keys via a normal LWW delete merge
+           (seq = footer max+1, so it wins) — downstream ``changes_since``
+           consumers see an ordinary delete; fact tables: ``delete_where``
+           physically rewrites affected files (append-only history has no
+           tombstone semantics to preserve);
+        2. ``compact()`` the keys' buckets — the fold rewrites base files
+           so the winner (the payload-NULL tombstone) is all that remains
+           on disk for those buckets;
+        3. ``expire_snapshots(keep_last)`` then ``vacuum_orphans()`` —
+           historical snapshots referencing pre-purge files are dropped
+           and their files deleted. ``keep_last=1`` (the default) is
+           deliberate: a purge and long time travel are mutually
+           exclusive by definition.
+
+        What remains: the KEY VALUE itself, inside the retained tombstone
+        (it must — it is what fences a stale replay of the purged rows).
+        Use opaque surrogate ids if key values are themselves personal
+        data. Per-key bucket ids are computed driver-side (bounded by the
+        purge request size, the lookup() rule)."""
+        key, seqc = self.key_col, self.seq_col
+        nb = self.num_buckets
+        report = {"keys": len(keys)}
+        if self.is_fact_table:
+            self.delete_where(F.col(key).isin(list(keys)))
+        else:
+            if "is_deleted" not in self.schema.fieldNames():
+                # without the tombstone column a delete cannot be
+                # represented — the merge would silently store a NULL-
+                # payload LIVE row instead of removing the key
+                raise ValueError(
+                    "purge_keys on a state table requires an 'is_deleted' "
+                    "tombstone column in the schema"
+                )
+            next_seq = (
+                max(
+                    (f["max_seq"] for f in self.snapshot["files"]
+                     if f["max_seq"] is not None),
+                    default=0,
+                )
+                + 1
+            )
+            key_field = next(
+                f for f in self.schema.fields if f.name == key
+            )
+            tomb_schema = T.StructType(
+                [
+                    key_field,
+                    T.StructField(seqc, T.LongType()),
+                    T.StructField("op", T.StringType()),
+                ]
+            )
+            tombs = self.spark.createDataFrame(
+                [(k, next_seq, "delete") for k in keys], tomb_schema
+            )
+            self.merge_upsert(tombs)
+            buckets = {
+                int(
+                    self.spark.sql(
+                        f"SELECT pmod(xxhash64(?), {int(nb)}) AS b",
+                        args=[k],
+                    ).collect()[0]["b"]
+                )
+                for k in keys
+            }
+            self.compact(buckets=buckets, strategy=strategy)
+            report["buckets_rewritten"] = len(buckets)
+        report["snapshots_expired"] = self.expire_snapshots(
+            keep_last=keep_last
+        )
+        report["files_vacuumed"] = self.vacuum_orphans()
+        return report
+
     def clone_to(self, dest_root: str) -> "LakeTable":
         """Consistent single-snapshot export (Iceberg snapshot-export / DR
         clone analog): copy exactly the data files the CURRENT snapshot

@@ -810,6 +810,65 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 # -------------------------------------------------- chunk-level (line) dedup
+def _first_occurrence_chunks(
+    df: DataFrame, id_col: str, text_col: str, chunk_words: int
+) -> DataFrame:
+    """Shared chunk stream: (doc_id, chunk_idx, chunk, rk) where rk == 1
+    marks the corpus-wide FIRST occurrence of the chunk text (first by
+    (doc, position) — the C4 keep-first law). One window shuffle keyed by
+    chunk text; everything before it is codegen."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), w.alias("_w")).where(
+        (F.size("_w") > 0) & (F.element_at("_w", 1) != "")
+    )
+    arr = F.col("_w")
+    cw = F.lit(chunk_words)
+    n_chunks = F.ceil(F.size(arr) / cw).cast("int")
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(arr, i * cw + 1, cw), " "),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    first = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    )
+    return chunks.withColumn("rk", first)
+
+
+def remove_duplicate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """The TRANSFORM half of C4-style chunk dedup (`chunk_dedup_counts`
+    is the report half): drop every chunk already seen earlier in the
+    corpus and reassemble each document from its surviving chunks, in
+    original order. Returns (doc_id, clean_text, kept_chunks); a document
+    whose every chunk is a repeat disappears from the output entirely
+    (C4 drops emptied pages rather than emitting empty strings).
+
+    Shape: the shared first-occurrence window (ONE shuffle keyed by chunk
+    text) + a map-side-combined per-doc rollup whose collect_list is
+    bounded by the doc's own chunk count — the reassembly never sees
+    another document's rows."""
+    kept = _first_occurrence_chunks(df, id_col, text_col, chunk_words).where(
+        F.col("rk") == 1
+    )
+    order_then_text = F.transform(
+        F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+        lambda s: s["chunk"],
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(order_then_text, " ").alias("clean_text"),
+        F.count("*").cast("long").alias("kept_chunks"),
+    )
+
+
 def chunk_dedup_counts(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -834,26 +893,7 @@ def chunk_dedup_counts(
     order as any line-dedup pass over a web crawl; chunk texts spread
     uniformly so the key has no inherent skew. The per-doc rollup is a
     map-side-combined groupBy."""
-    w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
-    base = df.select(F.col(id_col).alias("doc_id"), w.alias("_w")).where(
-        (F.size("_w") > 0) & (F.element_at("_w", 1) != "")
-    )
-    arr = F.col("_w")
-    cw = F.lit(chunk_words)
-    n_chunks = F.ceil(F.size(arr) / cw).cast("int")
-    chunks = base.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(arr, i * cw + 1, cw), " "),
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
-    first = F.row_number().over(
-        Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
-    )
-    ranked = chunks.withColumn("rk", first)
+    ranked = _first_occurrence_chunks(df, id_col, text_col, chunk_words)
     kept = F.when(F.col("rk") == 1, F.lit(1)).otherwise(F.lit(0))
     kept_words = F.when(
         F.col("rk") == 1, F.size(F.split(F.col("chunk"), " "))

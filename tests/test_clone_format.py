@@ -16,6 +16,7 @@ SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),
         T.StructField("seq", T.LongType()),
+        T.StructField("is_deleted", T.BooleanType(), False),
         T.StructField("val", T.StringType()),
     ]
 )
@@ -98,3 +99,75 @@ def test_clone_refuses_existing_destination(spark, tmp_path):
     src.clone_to(str(tmp_path / "c"))
     with pytest.raises(ConcurrentCommitError, match="already exists"):
         src.clone_to(str(tmp_path / "c"))
+
+
+def _disk_payloads(root, key_val):
+    """Every (val) payload stored on disk for a key, across ALL parquet
+    files under the table root — the ground truth a purge must empty."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                       recursive=True):
+        t = pq.read_table(p)
+        cols = t.column_names
+        if "doc_id" not in cols:
+            continue
+        d = t.to_pylist()
+        out.extend(r.get("val") for r in d if r.get("doc_id") == key_val)
+    return out
+
+
+def test_purge_keys_removes_payload_from_disk(spark, tmp_path):
+    """After purge_keys the purged doc's payload exists nowhere on disk
+    (any retained file, any snapshot); the key survives only as a
+    payload-NULL tombstone, other docs are untouched, and a stale replay
+    of the purged doc is still fenced by the tombstone's seq."""
+    root = str(tmp_path / "t")
+    t = _mk(spark, root)
+    assert _disk_payloads(root, "d3")  # payload is on disk pre-purge
+    rep = t.purge_keys(["d3"])
+    assert rep["keys"] == 1 and rep["files_vacuumed"] > 0
+    vals = _disk_payloads(root, "d3")
+    assert vals and all(v is None for v in vals)  # tombstone only
+    state = {r["doc_id"] for r in t.current_state().collect()}
+    assert "d3" not in state and "d4" in state and len(state) == 9
+    # stale replay of the purged doc (old seq) must not resurrect it
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("d3", 5, "stale", "upsert")],
+            "doc_id string, seq long, val string, op string",
+        )
+    )
+    assert "d3" not in {r["doc_id"] for r in t.current_state().collect()}
+
+
+def test_purge_keys_fact_table(spark, tmp_path):
+    # fact schema: no is_deleted (facts are append-only; a NULL-filled
+    # tombstone column would filter every row — see the schemas.py split)
+    fact_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    root = str(tmp_path / "f")
+    t = LakeTable.create(
+        spark, root, fact_schema, num_buckets=2,
+        properties={"table_type": "fact"},
+    )
+    for e in range(2):
+        rows = [(f"d{i}", e * 100 + i, f"v{e}-{i}") for i in range(6)]
+        t.insert_if_absent(
+            spark.createDataFrame(
+                rows, "doc_id string, seq long, val string"
+            ),
+            epoch_id=e,
+        )
+    t.purge_keys(["d2"])
+    assert _disk_payloads(root, "d2") == []  # history rows fully gone
+    got = {r["doc_id"] for r in t.current_state().collect()}
+    assert "d2" not in got and len(got) == 5
