@@ -1631,6 +1631,31 @@ class LakeTable:
             ),
         }
 
+    def tag(self, name: str, version: int | None = None) -> None:
+        """Name a retained snapshot (Iceberg tag analog): ``as_of_tag``
+        resolves it later regardless of how many commits happened since.
+        Tags live in table properties (``tag:<name>`` → version), so they
+        commit atomically via the same CAS as everything else and survive
+        in every descendant snapshot. Tagging does NOT pin retention —
+        ``expire_snapshots`` can still drop the version; ``as_of_tag``
+        then fails with the same loud FileNotFoundError as ``as_of``."""
+        v = self.snapshot["version"] if version is None else int(version)
+        if not os.path.exists(
+            os.path.join(self.meta_dir, f"snap-{v:010d}.json")
+        ):
+            raise FileNotFoundError(f"snapshot {v} is not retained")
+        self.update_properties({f"tag:{name}": str(v)})
+
+    def as_of_tag(self, name: str) -> "LakeTable":
+        """Time travel by tag name (see ``tag``)."""
+        raw = self.snapshot["properties"].get(f"tag:{name}")
+        if raw is None:
+            raise KeyError(
+                f"no tag {name!r}; tags: "
+                f"{[k[4:] for k in self.snapshot['properties'] if k.startswith('tag:')]}"
+            )
+        return self.as_of(int(raw))
+
     def purge_keys(
         self,
         keys: list,

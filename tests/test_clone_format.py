@@ -171,3 +171,29 @@ def test_purge_keys_fact_table(spark, tmp_path):
     assert _disk_payloads(root, "d2") == []  # history rows fully gone
     got = {r["doc_id"] for r in t.current_state().collect()}
     assert "d2" not in got and len(got) == 5
+
+
+def test_tags_name_snapshots(spark, tmp_path):
+    """tag()/as_of_tag(): names stick across later commits, resolve to the
+    exact tagged state, reject unknown names and unretained versions."""
+    t = _mk(spark, str(tmp_path / "t"), n_epochs=2)
+    t.tag("after-e1")
+    state_at_tag = _state(t)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("d0", 999, False, "later", "upsert")],
+            "doc_id string, seq long, is_deleted boolean, val string, op string",
+        ),
+        epoch_id=5,
+    )
+    assert _state(t) != state_at_tag
+    pinned = t.as_of_tag("after-e1")
+    assert _state(pinned) == state_at_tag
+    with pytest.raises(KeyError, match="no tag"):
+        t.as_of_tag("nope")
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.tag("bad", version=12345)
+    # expiry wins over tags (documented): dropping history breaks the tag
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        t.as_of_tag("after-e1")
