@@ -197,3 +197,28 @@ def test_tags_name_snapshots(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     with pytest.raises(FileNotFoundError):
         t.as_of_tag("after-e1")
+
+
+def test_purge_keys_is_rerunnable_after_partial_failure(spark, tmp_path):
+    """Each purge step is an atomic snapshot flip, so a crash between
+    steps leaves a consistent table and RE-RUNNING purge_keys converges
+    to the same disk-level guarantee (idempotent composition: unfenced
+    tombstone merge = LWW no-op, compact/expire/vacuum all re-runnable)."""
+    root = str(tmp_path / "t")
+    t = _mk(spark, root)
+    # simulate a crash after step 1 (tombstone landed, nothing compacted)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("d7", 10_000, "delete")], "doc_id string, seq long, op string"
+        )
+    )
+    assert any(v is not None for v in _disk_payloads(root, "d7"))
+    # operator re-runs the whole purge
+    rep = t.purge_keys(["d7"])
+    vals = _disk_payloads(root, "d7")
+    assert vals and all(v is None for v in vals)
+    assert "d7" not in {r["doc_id"] for r in t.current_state().collect()}
+    # and a second full purge is a clean no-op on state
+    before = _state(t)
+    t.purge_keys(["d7"])
+    assert _state(t) == before
