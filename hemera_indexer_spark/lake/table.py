@@ -1017,8 +1017,20 @@ class LakeTable:
             r = upd.agg(F.min(seqc)).collect()[0][0]
             min_seq = int(r) if r is not None else None
         existing = self.read(seq_at_least=min_seq).select(key, seqc)
-        fresh = upd.join(existing, [key, seqc], "left_anti").withColumn(
-            "_bucket", bucket_col(F.col(key), self.num_buckets)
+        fresh = (
+            upd.join(existing, [key, seqc], "left_anti")
+            .withColumn(
+                "_bucket", bucket_col(F.col(key), self.num_buckets)
+            )
+            # cluster on the bucket before the partitioned write: without
+            # this every INPUT partition emits a file per bucket it sees
+            # (p x buckets small files per insert — measured 13x the state
+            # path's cost at per-epoch cadence from footer/commit overhead
+            # alone, scripts/profile_sinks.py); clustered, each insert
+            # adds <= num_buckets files. The in-partition seq sort keeps
+            # per-row-group seq stats tight for the redelivery anti-join.
+            .repartition(self.num_buckets, "_bucket")
+            .sortWithinPartitions("_bucket", seqc)
         )
         new_files = self._write_data(fresh, version, kind="base")
         return self._commit_files(
@@ -1100,6 +1112,7 @@ class LakeTable:
         buckets: set[int] | None = None,
         max_files: int = 1,
         cluster_by: tuple[str, ...] = (),
+        small_rows: int | None = None,
     ) -> bool:
         """Small-file compaction for FACT tables: bin-pack each bucket's
         per-epoch append files into one file. Pure file reorganization —
@@ -1117,37 +1130,53 @@ class LakeTable:
         on them.
 
         ``buckets``: restrict the rewrite (default: every bucket holding
-        more than ``max_files`` files). ``cluster_by``: optional in-file
-        sort columns placed BEFORE the seq sort (see ``compact``) — tight
-        per-row-group stats for range scans of the history table; the
-        FILE-level min/max(seq) the redelivery anti-join prunes on is
-        order-independent, so that guarantee is unaffected."""
+        more than ``max_files`` candidate files). ``cluster_by``: optional
+        in-file sort columns placed BEFORE the seq sort (see ``compact``)
+        — tight per-row-group stats for range scans of the history table;
+        the FILE-level min/max(seq) the redelivery anti-join prunes on is
+        order-independent, so that guarantee is unaffected.
+
+        ``small_rows``: size-tiered mode — ONLY files under this many
+        rows are pack candidates; bigger files are left in place. Without
+        it every multi-file bucket is fully rewritten, which at
+        maintenance-per-group cadence re-copies the WHOLE table every
+        group (O(table x groups) write amplification, measured 7x the
+        ingest cost in scripts/profile_sinks.py). With it a row is
+        rewritten only until its file crosses the tier (amortized
+        <= small_rows extra rows written per group per bucket) — the
+        size-tiered rule every LSM/lakehouse compactor uses. None keeps
+        the full-rewrite behavior (right for a one-shot pack after a
+        backfill)."""
         base = self.snapshot
         if not self.is_fact_table:
             raise ValueError(
                 "compact_files is the fact-table compaction; state tables "
                 "fold with compact()"
             )
-        counts: dict[int, int] = {}
+        cand: dict[int, list[dict]] = {}
         for f in base["files"]:
-            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
-        if buckets is None:
-            buckets = {b for b, n in counts.items() if n > max_files}
-        else:
-            buckets = {b for b in buckets if counts.get(b, 0) > max_files}
-        if not buckets:
+            if small_rows is None or f["rows"] < small_rows:
+                cand.setdefault(f["bucket"], []).append(f)
+        packable = {b for b, fs in cand.items() if len(fs) > max_files}
+        if buckets is not None:
+            packable &= set(buckets)
+        if not packable:
             return False
         version = base["version"] + 1
-        replaced = {f["path"] for f in self._select_files(buckets=buckets)}
+        replaced = {
+            f["path"] for b in packable for f in cand[b]
+        }
+        paths = [os.path.join(self.root, p) for p in sorted(replaced)]
         rows = (
-            self.read(buckets=buckets)
+            self.spark.read.schema(self.schema)
+            .parquet(*paths)
             .withColumn(
                 "_bucket", bucket_col(F.col(self.key_col), self.num_buckets)
             )
             # one partition per bucket value -> exactly one output file per
             # bucket; in-partition sort only, no extra exchange beyond the
             # clustering repartition
-            .repartition(min(len(buckets), 256), "_bucket")
+            .repartition(min(len(packable), 256), "_bucket")
             .sortWithinPartitions("_bucket", *cluster_by, self.seq_col)
         )
         new_files = self._write_data(rows, version, kind="base")

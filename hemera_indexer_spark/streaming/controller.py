@@ -187,6 +187,7 @@ class StreamController:
         quarantine_scan: str = "footer",
         rebucket_target_rows: int | None = None,
         fact_compact_max_files: int | None = None,
+        fact_compact_small_rows: int | None = 1_000_000,
     ):
         # Dead-letter quarantine (the reference logs-and-skips items its
         # exporters cannot convert rather than poisoning the batch,
@@ -267,7 +268,11 @@ class StreamController:
             # (bin-pack buckets beyond this many files after each group);
             # None = never — the historical default
             self.sinks.append(
-                FactSink(fact_table, compact_max_files=fact_compact_max_files)
+                FactSink(
+                    fact_table,
+                    compact_max_files=fact_compact_max_files,
+                    compact_small_rows=fact_compact_small_rows,
+                )
             )
         self.max_retries = max_retries
         self.retry_backoff_s = retry_backoff_s

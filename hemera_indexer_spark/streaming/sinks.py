@@ -69,10 +69,16 @@ class FactSink:
         table: LakeTable,
         fence_key: str | None = None,
         compact_max_files: int | None = None,
+        compact_small_rows: int | None = 1_000_000,
     ):
         self.table = table
         self.fence_key = fence_key
         self.compact_max_files = compact_max_files
+        # size-tiered by default: only sub-tier files are pack candidates,
+        # so per-group maintenance rewrites O(recent appends), never the
+        # whole history (LakeTable.compact_files docstring has the law);
+        # None = full rewrite each time (one-shot backfill packing only)
+        self.compact_small_rows = compact_small_rows
 
     def after_commit(self, group_epoch: int, is_last: bool):
         if not is_last or self.compact_max_files is None:
@@ -81,7 +87,10 @@ class FactSink:
 
         try:
             self.table.refresh()
-            self.table.compact_files(max_files=self.compact_max_files)
+            self.table.compact_files(
+                max_files=self.compact_max_files,
+                small_rows=self.compact_small_rows,
+            )
         except ConcurrentCommitError:
             pass  # shared-table CAS race: maintenance defers to next group
 

@@ -53,6 +53,7 @@ class StructuredIngest:
         quarantine_dir: str | None = None,
         index_sink=None,
         fact_compact_max_files: int | None = None,
+        fact_compact_small_rows: int | None = 1_000_000,
     ):
         self.spark = spark
         self.table = table
@@ -77,6 +78,7 @@ class StructuredIngest:
         # FactSink(compact_max_files=): bin-pack over-threshold buckets in
         # the per-batch maintenance slot; None = never
         self.fact_compact_max_files = fact_compact_max_files
+        self.fact_compact_small_rows = fact_compact_small_rows
         # dead-letter parity with the batch controller (see
         # StreamController.__init__): malformed events diverted per
         # micro-batch to <quarantine_dir>/batch=<id>/ and excluded from
@@ -224,7 +226,8 @@ class StructuredIngest:
             try:
                 self.fact_table.refresh()
                 self.fact_table.compact_files(
-                    max_files=self.fact_compact_max_files
+                    max_files=self.fact_compact_max_files,
+                    small_rows=self.fact_compact_small_rows,
                 )
             except ConcurrentCommitError:
                 pass  # shared-table CAS race: retried next micro-batch

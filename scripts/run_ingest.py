@@ -50,6 +50,10 @@ def main() -> None:
                     help="fact-table small-file maintenance: bin-pack "
                          "buckets holding more than this many files after "
                          "each group/batch (default: never)")
+    ap.add_argument("--fact-compact-small-rows", type=int, default=1_000_000,
+                    help="size-tier threshold: only files under this many "
+                         "rows are pack candidates (bounds per-group write "
+                         "amplification); 0 = no tier, full rewrite")
     ap.add_argument("--fact-table-root", default=None,
                     help="append-only event-history fact table location "
                          "(implies FACTS; required when FACTS is selected)")
@@ -262,6 +266,7 @@ def main() -> None:
             quarantine_dir=args.quarantine_dir,
             index_sink=index_sink,
             fact_compact_max_files=args.fact_compact_max_files,
+            fact_compact_small_rows=args.fact_compact_small_rows or None,
         ).start(available_now=True)
         q.awaitTermination()
         events = None
@@ -278,6 +283,7 @@ def main() -> None:
             confirmation_lag=args.confirmation_lag,
             rebucket_target_rows=args.rebucket_target_rows,
             fact_compact_max_files=args.fact_compact_max_files,
+            fact_compact_small_rows=args.fact_compact_small_rows or None,
             **tenant_kw,
         ).run(max_epochs=args.max_epochs)
         events = stats.total_events

@@ -173,3 +173,36 @@ def test_structured_ingest_fact_compaction_parity(spark, tmp_path):
     for f in s_facts.snapshot["files"]:
         counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
     assert max(counts.values()) == 1
+
+
+def test_size_tiered_pack_leaves_big_files_alone(spark, tmp_path):
+    """small_rows tiering: a file at/above the tier is never a pack
+    candidate (its path survives the commit verbatim); small files merge
+    into one. Bounds write amplification at maintenance cadence."""
+    t, _ = _mk_fact(spark, tmp_path)  # 6 epochs x 8 rows, 4 buckets
+    before = _rows(t)
+    # first pack everything into one big file per bucket (one-shot mode)
+    assert t.compact_files(max_files=1)
+    big_paths = {f["path"] for f in t.snapshot["files"]}
+    tier = min(f["rows"] for f in t.snapshot["files"])  # all big >= tier
+    # append two more small epochs
+    for e in (10, 11):
+        t.insert_if_absent(
+            spark.createDataFrame(
+                [(f"d{i}", e * 100 + i, f"p{e}-{i}") for i in range(8)],
+                "doc_id string, seq long, payload string",
+            ),
+            epoch_id=e,
+        )
+    # tiered pack: every big file (rows >= tier) stays in place
+    assert t.compact_files(max_files=1, small_rows=tier)
+    after_paths = {f["path"] for f in t.snapshot["files"]}
+    assert big_paths <= after_paths  # untouched, not rewritten
+    counts = {}
+    for f in t.snapshot["files"]:
+        counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+    assert max(counts.values()) <= 2  # one big + one packed-small per bucket
+    assert _rows(t) == sorted(before + [
+        (f"d{i}", e * 100 + i, f"p{e}-{i}")
+        for e in (10, 11) for i in range(8)
+    ])
