@@ -412,14 +412,19 @@ class SignatureIndex:
         target = source.snapshot["version"]
         if target <= since:
             return False
-        ch = source.changes_since(since)
+        # the merge plan references the change feed three times (updates,
+        # emptied-doc anti-join, deletes) and the signature aggregate twice
+        # (rows + emptied-doc probe) — persist both or the full-outer
+        # snapshot diff and the md5 shingle pass run 3x/2x per sync (the
+        # dominant cost of the index sink, scripts/profile_sinks.py)
+        ch = source.changes_since(since).persist()
         ups = ch.where(F.col("change_op") != "delete").select(
             F.col(id_col), F.col(text_col)
         )
         seq_lit = F.lit(target).cast("long").alias("seq")
         wide = band_buckets_wide(
             ups, id_col, text_col, n=self.n, k=self.k, bands=self.bands
-        ).select("*", seq_lit, F.lit("update").alias("op"))
+        ).select("*", seq_lit, F.lit("update").alias("op")).persist()
         null_bands = [
             F.lit(None).cast("string").alias(c)
             for c in _band_cols(self.k, self.bands)
@@ -439,11 +444,15 @@ class SignatureIndex:
             F.lit("delete").alias("op"),
             *null_bands,
         )
-        return self.table.merge_upsert(
-            wide.unionByName(emptied).unionByName(dels),
-            epoch_id=target,
-            properties_update=properties_update,
-        )
+        try:
+            return self.table.merge_upsert(
+                wide.unionByName(emptied).unionByName(dels),
+                epoch_id=target,
+                properties_update=properties_update,
+            )
+        finally:
+            wide.unpersist()
+            ch.unpersist()
 
     # --------------------------------------------------------------- lookup
     def candidates(
