@@ -1,0 +1,93 @@
+"""Operational admin CLI for a LakeTable — the maintenance verbs an
+operator runs OUTSIDE the ingest loop (the reference ships these as
+standalone commands: hemera.py reorg / aggregates; here: health report,
+named tags, DR clone, right-to-be-forgotten purge, retention, packing).
+
+Usage:
+    python scripts/lake_admin.py TABLE_ROOT health
+    python scripts/lake_admin.py TABLE_ROOT tag NAME [--version V]
+    python scripts/lake_admin.py TABLE_ROOT clone DEST
+    python scripts/lake_admin.py TABLE_ROOT purge KEY[,KEY...] [--keep-last N]
+    python scripts/lake_admin.py TABLE_ROOT expire [--keep-last N]
+    python scripts/lake_admin.py TABLE_ROOT vacuum
+    python scripts/lake_admin.py TABLE_ROOT compact [--strategy sql|jvm]
+    python scripts/lake_admin.py TABLE_ROOT pack [--max-files N] [--small-rows R]
+
+Prints ONE JSON line per invocation (machine-consumable, like
+run_ingest.py's report).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("table_root")
+    ap.add_argument(
+        "verb",
+        choices=[
+            "health", "tag", "clone", "purge", "expire", "vacuum",
+            "compact", "pack",
+        ],
+    )
+    ap.add_argument("arg", nargs="?", default=None,
+                    help="tag NAME / clone DEST / purge KEY[,KEY...]")
+    ap.add_argument("--version", type=int, default=None)
+    ap.add_argument("--keep-last", type=int, default=None)
+    ap.add_argument("--strategy", default="sql", choices=["sql", "jvm"])
+    ap.add_argument("--max-files", type=int, default=1)
+    ap.add_argument("--small-rows", type=int, default=None)
+    ap.add_argument("--cores", type=int, default=4)
+    args = ap.parse_args()
+
+    from hemera_indexer_spark.lake import LakeTable
+    from hemera_indexer_spark.session import get_spark
+
+    spark = get_spark("lake-admin", cores=args.cores,
+                      shuffle_partitions=2 * args.cores)
+    t = LakeTable.load(spark, args.table_root)
+
+    if args.verb == "health":
+        out = t.table_health()
+    elif args.verb == "tag":
+        if not args.arg:
+            ap.error("tag requires a NAME")
+        t.tag(args.arg, version=args.version)
+        out = {"tagged": args.arg,
+               "version": args.version if args.version is not None
+               else t.snapshot["version"]}
+    elif args.verb == "clone":
+        if not args.arg:
+            ap.error("clone requires a DEST path")
+        c = t.clone_to(args.arg)
+        out = {"cloned_to": args.arg,
+               "rows": c.stats_row_count(),
+               "committed_epoch": c.committed_epoch()}
+    elif args.verb == "purge":
+        if not args.arg:
+            ap.error("purge requires KEY[,KEY...]")
+        keys = [k for k in args.arg.split(",") if k]
+        out = t.purge_keys(
+            keys,
+            keep_last=args.keep_last if args.keep_last is not None else 1,
+        )
+    elif args.verb == "expire":
+        out = {"snapshots_expired": t.expire_snapshots(
+            keep_last=args.keep_last if args.keep_last is not None else 10)}
+    elif args.verb == "vacuum":
+        out = {"files_vacuumed": t.vacuum_orphans()}
+    elif args.verb == "compact":
+        out = {"compacted": t.compact(strategy=args.strategy)}
+    else:  # pack
+        out = {"packed": t.compact_files(
+            max_files=args.max_files, small_rows=args.small_rows)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

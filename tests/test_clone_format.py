@@ -222,3 +222,35 @@ def test_purge_keys_is_rerunnable_after_partial_failure(spark, tmp_path):
     before = _state(t)
     t.purge_keys(["d7"])
     assert _state(t) == before
+
+
+def test_lake_admin_cli_verbs(spark, tmp_path):
+    """scripts/lake_admin.py: health / tag / clone / purge round-trip in
+    real subprocesses (one JSON line each), against a table built here."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "t")
+    _mk(spark, root, n_epochs=2)
+
+    def admin(*argv):
+        r = subprocess.run(
+            [_sys.executable, "scripts/lake_admin.py", root, *argv],
+            capture_output=True, text=True, timeout=300,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    h = admin("health")
+    assert h["rows_total"] > 0 and h["committed_epoch"] == 1
+    tg = admin("tag", "rc1")
+    assert tg["tagged"] == "rc1"
+    cl = admin("clone", str(tmp_path / "c"))
+    assert cl["committed_epoch"] == 1 and cl["rows"] > 0
+    pg = admin("purge", "d1,d2")
+    assert pg["keys"] == 2 and pg["files_vacuumed"] > 0
+    left = {r["doc_id"] for r in LakeTable.load(spark, root)
+            .current_state().collect()}
+    assert not {"d1", "d2"} & left and len(left) == 8
