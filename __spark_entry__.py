@@ -995,7 +995,11 @@ def q_rollup_agg(spark, sf):
 def q_quantile_stats(spark, sf):
     """Exact interpolated percentiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`): document-length quartiles per source — the
-    distribution-sanity stats a data pipeline reports per shard."""
+    distribution-sanity stats a data pipeline reports per shard. Exact
+    `percentile` materializes each group's values (the oracle-comparable
+    mode); at corpus scale use the built-in `percentile_approx`
+    (Greenwald-Khanna sketch, map-side mergeable, rank error <= n/accuracy
+    — property-tested in tests/test_operators.py)."""
     docs = _t(spark, sf, "documents")
     pct = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.9D))")
     return docs.groupBy("source").agg(

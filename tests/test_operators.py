@@ -515,3 +515,31 @@ def test_kmeans_lloyd_matches_python_reference(spark, vecs, k, iters):
         for r in kmeans_lloyd(df, in_dim=3, k=k, iters=iters).collect()
     }
     assert got == expected
+
+
+def test_percentile_approx_rank_error_bound(spark):
+    """The 100 TB quantile path: exact `percentile` fully materializes the
+    group's values (sort-based, O(group) memory) — at corpus scale the
+    right operator is the built-in `percentile_approx` (Greenwald-Khanna,
+    bounded sketch, map-side mergeable). Property: with accuracy A, the
+    returned value's RANK is within n/A of the requested rank (the GK
+    guarantee) — checked against exact ranks on a skewed dataset."""
+    import random
+
+    rng = random.Random(7)
+    vals = sorted(rng.lognormvariate(0, 2) for _ in range(20_000))
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    acc = 1000  # rank error <= n/acc = 20
+    got = df.agg(
+        F.expr(f"percentile_approx(x, array(0.1D, 0.5D, 0.99D), {acc})")
+        .alias("q")
+    ).collect()[0]["q"]
+    import bisect
+
+    n = len(vals)
+    for q, g in zip((0.1, 0.5, 0.99), got):
+        lo = bisect.bisect_left(vals, g)
+        hi = bisect.bisect_right(vals, g)
+        target = q * n
+        # the value's rank interval must overlap [target - n/acc, target + n/acc]
+        assert lo - n / acc <= target <= hi + n / acc, (q, g, lo, hi)
