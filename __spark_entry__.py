@@ -1438,6 +1438,26 @@ def q_quantize_embeddings(spark, sf):
     )
 
 
+def q_funnel(spark, sf):
+    """Ordered funnel view→click→purchase (cascaded-min law: each step
+    strictly after the previous step's completion): ONE user shuffle,
+    cascade as array expressions (plans/aggregates.py ``funnel_counts``)."""
+    from hemera_indexer_spark.plans.aggregates import funnel_counts
+
+    ev = _t(spark, sf, "events")
+    return funnel_counts(ev, ("view", "click", "purchase"))
+
+
+def q_retention_cohorts(spark, sf):
+    """Cohort retention: first-activity-day cohorts × day offsets 0..7 —
+    one user groupBy, one dim join, one combined count-distinct
+    (plans/aggregates.py ``retention_cohorts``)."""
+    from hemera_indexer_spark.plans.aggregates import retention_cohorts
+
+    ev = _t(spark, sf, "events")
+    return retention_cohorts(ev, max_offset_days=7)
+
+
 def q_jl_projection(spark, sf):
     """Johnson–Lindenstrauss ±1 random projection 64→8 dims (the pre-ANN
     shrink): map-only, sign matrix shipped as literals, exact decimal
@@ -1676,6 +1696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hashing": q_feature_hashing,
         "kmeans_clusters": q_kmeans_clusters,
         "chunk_tokens": q_chunk_tokens,
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "label_centroids": q_label_centroids,
         "ivf_topk": q_ivf_topk,
         "doc_entropy": q_doc_entropy,
@@ -3245,6 +3267,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jl_projection": _jl_oracle(),
         "kmeans_clusters": _kmeans_oracle(),
+        "funnel": """
+            WITH t1 AS (
+                SELECT user_id, MIN(ts) AS ts FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            t2 AS (
+                SELECT e.user_id, MIN(e.ts) AS ts
+                FROM events e JOIN t1 ON t1.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > t1.ts
+                GROUP BY e.user_id
+            ),
+            t3 AS (
+                SELECT e.user_id, MIN(e.ts) AS ts
+                FROM events e JOIN t2 ON t2.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > t2.ts
+                GROUP BY e.user_id
+            )
+            SELECT 1 AS step, 'view' AS step_name,
+                   (SELECT COUNT(*) FROM t1) AS users
+            UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
+            UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3)
+        """,
+        "retention_cohorts": """
+            WITH f AS (
+                SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+                FROM events GROUP BY user_id
+            ),
+            a AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            )
+            SELECT f.cohort_day,
+                   CAST(a.day - f.cohort_day AS INT) AS offset_days,
+                   COUNT(DISTINCT a.user_id) AS users
+            FROM a JOIN f USING (user_id)
+            WHERE a.day - f.cohort_day <= 7
+            GROUP BY 1, 2
+        """,
         "chunk_tokens": """
             WITH t AS (
                 SELECT doc_id,

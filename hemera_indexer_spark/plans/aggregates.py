@@ -62,3 +62,94 @@ def merge_period_accumulators(
         ],
     )
     return out
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users completed step k — where
+    step k counts only if it happened STRICTLY AFTER the user's step k-1
+    completion (the cascaded-min law: t_k = min ts of a step-k event with
+    ts > t_{k-1}; order-independent, so any engine reproduces it exactly).
+    Returns (step 1-indexed, step_name, users) with users
+    non-increasing by construction.
+
+    Shape: ONE shuffle — groupBy(user) collecting the user's (ts, type)
+    events, then the whole cascade is array expressions (filter /
+    transform / array_min) inside the aggregate projection; the per-step
+    counts reduce a users-sized frame. Per-user arrays are bounded by
+    that user's event count — for power-law users pre-filter to the
+    funnel's event types (done below: only step types are collected)."""
+    steps = tuple(steps)
+    ev = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("_u"),
+        F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t")).alias("_e"),
+    )
+    per_user = ev.groupBy("_u").agg(F.collect_list("_e").alias("_es"))
+    t_prev = None
+    flags = []
+    for i, s in enumerate(steps):
+        if t_prev is None:
+            cand = F.filter(F.col("_es"), lambda x: x["t"] == F.lit(s))
+        else:
+            tp = t_prev
+            cand = F.filter(
+                F.col("_es"),
+                lambda x: (x["t"] == F.lit(s)) & (x["ts"] > tp),
+            )
+        t_k = F.array_min(F.transform(cand, lambda x: x["ts"]))
+        per_user = per_user.withColumn(f"_t{i}", t_k)
+        flags.append(F.col(f"_t{i}").isNotNull())
+        t_prev = F.col(f"_t{i}")
+    counted = per_user.agg(
+        *[
+            F.sum(fl.cast("long")).alias(f"_n{i}")
+            for i, fl in enumerate(flags)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.coalesce(F.col(f"_n{i}"), F.lit(0)).alias("users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counted.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    max_offset_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by FIRST-ACTIVITY day, counted on
+    each later day they were active — (cohort_day, offset_days, users).
+    Offset 0 is the cohort size; offsets beyond ``max_offset_days`` are
+    dropped (bounds the output to days x offsets rows).
+
+    Shape: one groupBy(user) for the cohort day, one equi-join back on
+    the user key (users dim vs activity fact — the standard shape; Spark
+    broadcasts the dim when small, AQE decides otherwise), one
+    map-side-combined count-distinct per (cohort, offset)."""
+    day = F.to_date(F.col(ts_col))
+    firsts = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(day).alias("cohort_day")
+    )
+    activity = events.select(
+        F.col(user_col).alias("_u"), day.alias("_day")
+    ).distinct()
+    j = activity.join(firsts, "_u")
+    off = F.datediff(F.col("_day"), F.col("cohort_day"))
+    return (
+        j.where(off <= max_offset_days)
+        .groupBy("cohort_day", off.alias("offset_days"))
+        .agg(F.countDistinct("_u").alias("users"))
+    )
