@@ -97,6 +97,24 @@ class FormatVersionError(RuntimeError):
     """Snapshot written by a newer engine generation than this reader."""
 
 
+def _validate_stats_cols(schema: T.StructType, cols) -> None:
+    """Zone-mappable = atomic orderable types only: array/struct/map/
+    binary columns have no usable footer order."""
+    fields = {f.name: f.dataType for f in schema.fields}
+    ok = (
+        T.StringType, T.BooleanType, T.ByteType, T.ShortType,
+        T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+    )
+    for c in cols:
+        if c not in fields:
+            raise ValueError(f"stats_col {c!r} not in schema")
+        if not isinstance(fields[c], ok):
+            raise ValueError(
+                f"stats_col {c!r} has non-orderable/non-atomic "
+                f"type {fields[c].simpleString()}"
+            )
+
+
 def _atomic_write(path: str, data: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -135,19 +153,7 @@ class LakeTable:
         types only (numeric / string / boolean): array, struct, map and
         binary columns have no usable footer order."""
         if stats_cols:
-            fields = {f.name: f.dataType for f in schema.fields}
-            ok = (
-                T.StringType, T.BooleanType, T.ByteType, T.ShortType,
-                T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
-            )
-            for c in stats_cols:
-                if c not in fields:
-                    raise ValueError(f"stats_col {c!r} not in schema")
-                if not isinstance(fields[c], ok):
-                    raise ValueError(
-                        f"stats_col {c!r} has non-orderable/non-atomic "
-                        f"type {fields[c].simpleString()}"
-                    )
+            _validate_stats_cols(schema, stats_cols)
         t = cls(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -219,6 +225,17 @@ class LakeTable:
     def stats_cols(self) -> tuple[str, ...]:
         raw = self.snapshot["properties"].get("stats_cols", "")
         return tuple(c for c in raw.split(",") if c)
+
+    def set_stats_cols(self, cols: tuple[str, ...] | list[str]) -> None:
+        """Declare (or change) the zone-mapped columns on a LIVE table.
+        Existing files keep their old (or missing) stats — reads stay
+        correct because missing stats always KEEP a file — and every
+        subsequent write records the new set; run ``compact()`` /
+        ``compact_files()`` to backfill zone maps onto history
+        (``table_health()['zone_map_coverage']`` tracks progress).
+        Validation matches ``create(stats_cols=...)``."""
+        _validate_stats_cols(self.schema, cols)
+        self.update_properties({"stats_cols": ",".join(cols)})
 
     def committed_epoch(self) -> int:
         return self.snapshot["manifest"]["epoch_id"]

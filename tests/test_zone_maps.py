@@ -173,3 +173,45 @@ def test_table_health_reports_zone_map_coverage(spark, tmp_path):
     plain = LakeTable.create(spark, str(tmp_path / "plain"), SCHEMA)
     hp = plain.table_health()
     assert hp["stats_cols"] == [] and hp["zone_map_coverage"] is None
+
+
+def test_set_stats_cols_late_declaration_and_backfill(spark, tmp_path):
+    """Declaring zone maps on a LIVE table: pre-declaration files have no
+    stats (reads keep them — correct, just unpruned), coverage reports
+    the gap, and compaction backfills the maps."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "late"), SCHEMA, num_buckets=2,
+        properties={"table_type": "fact"},
+    )
+    for e in range(3):
+        t.insert_if_absent(
+            spark.createDataFrame(
+                [(f"d{e}-{i}", e * 100 + i, e * 1000 + i, f"s{e}")
+                 for i in range(10)],
+                "doc_id string, seq long, ts long, src string",
+            ),
+            epoch_id=e,
+        )
+    t.set_stats_cols(("ts",))
+    assert t.table_health()["zone_map_coverage"] == 0.0  # history unmapped
+    full = _sorted(t.read().where("ts >= 2000"))
+    # ranges on unmapped history: nothing pruned, result still correct
+    assert _sorted(t.read(ranges={"ts": (2000, None)}).where("ts >= 2000")) == full
+    # new writes record the map; compaction backfills history
+    t.insert_if_absent(
+        spark.createDataFrame(
+            [("dx", 9000, 9000, "s9")],
+            "doc_id string, seq long, ts long, src string",
+        ),
+        epoch_id=9,
+    )
+    assert t.compact_files(max_files=1)
+    assert t.table_health()["zone_map_coverage"] == 1.0
+    # fully-packed files span the whole range (nothing prunable), but the
+    # backfilled maps are live: a disjoint range now proves zero files
+    assert t._select_files(ranges={"ts": (99999, None)}) == []
+    assert _sorted(
+        t.read(ranges={"ts": (2000, 2999)}).where("ts BETWEEN 2000 AND 2999")
+    ) == _sorted(t.read().where("ts BETWEEN 2000 AND 2999"))
+    with pytest.raises(ValueError, match="not in schema"):
+        t.set_stats_cols(("nope",))
