@@ -1713,9 +1713,10 @@ class LakeTable:
 
         1. state tables: tombstone the keys via a normal LWW delete merge
            (seq = footer max+1, so it wins) — downstream ``changes_since``
-           consumers see an ordinary delete; fact tables: ``delete_where``
-           physically rewrites affected files (append-only history has no
-           tombstone semantics to preserve);
+           consumers see an ordinary delete; fact tables: rewrite the
+           keys' buckets with the purged rows' PAYLOAD columns NULLed —
+           rows are never removed, so the (key, seq) redelivery fence
+           survives;
         2. ``compact()`` the keys' buckets — the fold rewrites base files
            so the winner (the payload-NULL tombstone) is all that remains
            on disk for those buckets;
@@ -1725,16 +1726,67 @@ class LakeTable:
            deliberate: a purge and long time travel are mutually
            exclusive by definition.
 
-        What remains: the KEY VALUE itself, inside the retained tombstone
-        (it must — it is what fences a stale replay of the purged rows).
+        What remains: the KEY VALUE itself — in the state tombstone, and
+        in the fact table the full (key, seq) SKELETON of the purged rows
+        with every payload column NULLed. Both retentions are
+        load-bearing: they are what fences a re-delivered duplicate of a
+        purged row (physically deleting fact rows would let
+        ``insert_if_absent``'s anti-join re-admit the purged payload).
         Use opaque surrogate ids if key values are themselves personal
-        data. Per-key bucket ids are computed driver-side (bounded by the
-        purge request size, the lookup() rule)."""
+        data.
+
+        Buckets derive from ``bucket_col`` over a keys DataFrame typed
+        from the key column's own field (the ``delete_keys_where``
+        pattern) — a parameterized literal whose Python type differs from
+        the column type (int vs long) hashes to a DIFFERENT bucket, which
+        would compact the wrong buckets and silently retain the payload.
+        One bounded collect for the whole request, O(keys' buckets)
+        rewrite, never O(table)."""
         key, seqc = self.key_col, self.seq_col
-        nb = self.num_buckets
         report = {"keys": len(keys)}
+        key_field = next(f for f in self.schema.fields if f.name == key)
+        keys_df = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([key_field])
+        )
+        buckets = {
+            int(r[0])
+            for r in keys_df.select(
+                bucket_col(F.col(key), self.num_buckets)
+            )
+            .distinct()
+            .collect()
+        }
         if self.is_fact_table:
-            self.delete_where(F.col(key).isin(list(keys)))
+            base = self.snapshot
+            version = base["version"] + 1
+            replaced = {
+                f["path"] for f in self._select_files(buckets=buckets)
+            }
+            if replaced:
+                cond = F.col(key).isin(list(keys))
+                cols = [
+                    F.col(f.name)
+                    if f.name in (key, seqc)
+                    else F.when(
+                        cond, F.lit(None).cast(f.dataType)
+                    ).otherwise(F.col(f.name)).alias(f.name)
+                    for f in self.schema.fields
+                ]
+                rows = (
+                    self.read(buckets=buckets)
+                    .select(*cols)
+                    .withColumn(
+                        "_bucket",
+                        bucket_col(F.col(key), self.num_buckets),
+                    )
+                    .repartition(min(len(buckets), 256), "_bucket")
+                    .sortWithinPartitions("_bucket", seqc)
+                )
+                new_files = self._write_data(rows, version, kind="base")
+                self._commit_files(
+                    base, version, new_files, replaced, None, None
+                )
+            report["buckets_rewritten"] = len(buckets)
         else:
             if "is_deleted" not in self.schema.fieldNames():
                 # without the tombstone column a delete cannot be
@@ -1752,29 +1804,12 @@ class LakeTable:
                 )
                 + 1
             )
-            key_field = next(
-                f for f in self.schema.fields if f.name == key
-            )
-            tomb_schema = T.StructType(
-                [
-                    key_field,
-                    T.StructField(seqc, T.LongType()),
-                    T.StructField("op", T.StringType()),
-                ]
-            )
-            tombs = self.spark.createDataFrame(
-                [(k, next_seq, "delete") for k in keys], tomb_schema
+            tombs = keys_df.select(
+                F.col(key),
+                F.lit(next_seq).cast("long").alias(seqc),
+                F.lit("delete").alias("op"),
             )
             self.merge_upsert(tombs)
-            buckets = {
-                int(
-                    self.spark.sql(
-                        f"SELECT pmod(xxhash64(?), {int(nb)}) AS b",
-                        args=[k],
-                    ).collect()[0]["b"]
-                )
-                for k in keys
-            }
             self.compact(buckets=buckets, strategy=strategy)
             report["buckets_rewritten"] = len(buckets)
         report["snapshots_expired"] = self.expire_snapshots(

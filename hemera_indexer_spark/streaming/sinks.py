@@ -92,7 +92,14 @@ class FactSink:
                 small_rows=self.compact_small_rows,
             )
         except ConcurrentCommitError:
-            pass  # shared-table CAS race: maintenance defers to next group
+            # retriable ONLY on a SHARED (tenant-mode) table, where another
+            # tenant's legitimate insert can race this maintenance commit —
+            # single-tenant keeps the loud CAS failure so an accidental
+            # double runner surfaces here, not at some later insert
+            # (the engine-wide ConcurrentCommitError discipline)
+            if self.fence_key is None:
+                raise
+            # shared-table race: maintenance defers to the next group
 
     def apply(self, seg: DataFrame, group_epoch, seg_idx, fence, manifest, min_seq):
         if self.fence_key is None:

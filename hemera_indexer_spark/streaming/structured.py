@@ -221,16 +221,14 @@ class StructuredIngest:
             self.fact_table is not None
             and self.fact_compact_max_files is not None
         ):
-            from hemera_indexer_spark.lake import ConcurrentCommitError
-
-            try:
-                self.fact_table.refresh()
-                self.fact_table.compact_files(
-                    max_files=self.fact_compact_max_files,
-                    small_rows=self.fact_compact_small_rows,
-                )
-            except ConcurrentCommitError:
-                pass  # shared-table CAS race: retried next micro-batch
+            # no tenant mode on the structured path: a CAS race here means
+            # an accidental double runner — fail loudly (the engine-wide
+            # ConcurrentCommitError discipline), never mask it
+            self.fact_table.refresh()
+            self.fact_table.compact_files(
+                max_files=self.fact_compact_max_files,
+                small_rows=self.fact_compact_small_rows,
+            )
         if self.view_sink is not None:
             # same epoch domain as the batch controller's after_commit path
             self.view_sink.refresh(self.table.committed_epoch())

@@ -57,10 +57,12 @@ def main():
     elif args.verb == "tag":
         if not args.arg:
             ap.error("tag requires a NAME")
-        t.tag(args.arg, version=args.version)
-        out = {"tagged": args.arg,
-               "version": args.version if args.version is not None
-               else t.snapshot["version"]}
+        tagged_version = (
+            args.version if args.version is not None
+            else t.snapshot["version"]  # BEFORE tag(): tagging commits v+1
+        )
+        t.tag(args.arg, version=tagged_version)
+        out = {"tagged": args.arg, "version": tagged_version}
     elif args.verb == "clone":
         if not args.arg:
             ap.error("clone requires a DEST path")

@@ -167,10 +167,24 @@ def test_purge_keys_fact_table(spark, tmp_path):
             ),
             epoch_id=e,
         )
-    t.purge_keys(["d2"])
-    assert _disk_payloads(root, "d2") == []  # history rows fully gone
-    got = {r["doc_id"] for r in t.current_state().collect()}
-    assert "d2" not in got and len(got) == 5
+    before_n = t.current_state().count()
+    rep = t.purge_keys(["d2"])
+    assert rep["buckets_rewritten"] >= 1
+    # payload gone from EVERY retained file; the (key, seq) skeleton
+    # remains — it is the redelivery fence
+    vals = _disk_payloads(root, "d2")
+    assert vals and all(v is None for v in vals)
+    got = {(r["doc_id"], r["val"]) for r in t.current_state().collect()
+           if r["doc_id"] == "d2"}
+    assert got == {("d2", None)} or all(v is None for _, v in got)
+    assert t.current_state().count() == before_n  # rows never removed
+    # a re-delivered duplicate of a purged row must NOT re-admit payload
+    t.insert_if_absent(
+        spark.createDataFrame(
+            [("d2", 2, "v0-2")], "doc_id string, seq long, val string"
+        )
+    )
+    assert all(v is None for v in _disk_payloads(root, "d2"))
 
 
 def test_tags_name_snapshots(spark, tmp_path):
@@ -254,3 +268,40 @@ def test_lake_admin_cli_verbs(spark, tmp_path):
     left = {r["doc_id"] for r in LakeTable.load(spark, root)
             .current_state().collect()}
     assert not {"d1", "d2"} & left and len(left) == 8
+
+
+def test_purge_keys_long_keyed_table_hits_right_bucket(spark, tmp_path):
+    """Regression: bucket ids must come from bucket_col over the key
+    COLUMN's type — xxhash64 of a Python-int literal (IntegerType) and of
+    a LongType column value differ, which would compact the WRONG bucket
+    and silently retain the payload on disk."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("is_deleted", T.BooleanType(), False),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    root = str(tmp_path / "lk")
+    t = LakeTable.create(spark, root, schema, num_buckets=8)
+    rows = [(i, 100 + i, f"v{i}", "upsert") for i in range(20)]
+    t.merge_upsert(
+        spark.createDataFrame(
+            rows, "doc_id long, seq long, val string, op string"
+        ),
+        epoch_id=0,
+    )
+    t.purge_keys([5])
+    leaked = []
+    for p in glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                       recursive=True):
+        for r in pq.read_table(p).to_pylist():
+            if r.get("doc_id") == 5 and r.get("val") is not None:
+                leaked.append(p)
+    assert not leaked
+    assert 5 not in {r["doc_id"] for r in t.current_state().collect()}
