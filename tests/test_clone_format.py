@@ -263,6 +263,12 @@ def test_lake_admin_cli_verbs(spark, tmp_path):
     assert tg["tagged"] == "rc1"
     cl = admin("clone", str(tmp_path / "c"))
     assert cl["committed_epoch"] == 1 and cl["rows"] > 0
+    cp = admin("compact")
+    assert cp["compacted"] in (True, False)
+    ex = admin("expire", "--keep-last", "2")
+    assert ex["snapshots_expired"] >= 0
+    vc = admin("vacuum")
+    assert vc["files_vacuumed"] >= 0
     pg = admin("purge", "d1,d2")
     assert pg["keys"] == 2 and pg["files_vacuumed"] > 0
     left = {r["doc_id"] for r in LakeTable.load(spark, root)
