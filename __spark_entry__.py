@@ -1458,6 +1458,16 @@ def q_retention_cohorts(spark, sf):
     return retention_cohorts(ev, max_offset_days=7)
 
 
+def q_event_transitions(spark, sf):
+    """First-order Markov transition matrix over per-user event streams
+    ((ts, event_id)-ordered lag pairs, row-normalized 6dp probs): one
+    user-window shuffle + one combined pair count
+    (plans/aggregates.py ``event_transitions``)."""
+    from hemera_indexer_spark.plans.aggregates import event_transitions
+
+    return event_transitions(_t(spark, sf, "events"))
+
+
 def q_jl_projection(spark, sf):
     """Johnson–Lindenstrauss ±1 random projection 64→8 dims (the pre-ANN
     shrink): map-only, sign matrix shipped as literals, exact decimal
@@ -1698,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens": q_chunk_tokens,
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
+        "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
         "ivf_topk": q_ivf_topk,
         "doc_entropy": q_doc_entropy,
@@ -3288,6 +3299,24 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM t1) AS users
             UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
             UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3)
+        """,
+        "event_transitions": """
+            WITH p AS (
+                SELECT lag(event_type) OVER w AS from_type,
+                       event_type AS to_type
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            c AS (
+                SELECT from_type, to_type, COUNT(*) AS n
+                FROM p WHERE from_type IS NOT NULL
+                GROUP BY from_type, to_type
+            )
+            SELECT from_type, to_type, n,
+                   CAST(ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type)
+                                       AS DOUBLE), 6)
+                        AS DECIMAL(18,6)) AS prob
+            FROM c
         """,
         "retention_cohorts": """
             WITH f AS (

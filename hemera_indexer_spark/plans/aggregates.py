@@ -12,7 +12,7 @@ the period merge is the classic incremental-aggregation fold.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -152,4 +152,44 @@ def retention_cohorts(
         j.where(off <= max_offset_days)
         .groupBy("cohort_day", off.alias("offset_days"))
         .agg(F.countDistinct("_u").alias("users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    (from_type, to_type, n, prob) where prob row-normalizes over
+    from_type — the behavioral-model complement to ``funnel_counts``
+    (which fixes one path) and ``retention_cohorts`` (which ignores
+    order). Ordering is (ts, tiebreak) so equal timestamps cannot flip
+    pairs between engines.
+
+    Shape: ONE window shuffle keyed by user (lag), one map-side-combined
+    pair count; the row normalization runs over the |types|² aggregate
+    via an unpartitioned-by-key window on that tiny frame, never a second
+    pass over events. prob rounds to 6dp decimal (the oracle law)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("to_type"),
+            F.lag(type_col).over(w).alias("from_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    row_total = F.sum("n").over(Window.partitionBy("from_type"))
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / row_total, 6)
+        .cast("decimal(18,6)")
+        .alias("prob"),
     )
