@@ -1046,7 +1046,10 @@ class LakeTable:
             # alone, scripts/profile_sinks.py); clustered, each insert
             # adds <= num_buckets files. The in-partition seq sort keeps
             # per-row-group seq stats tight for the redelivery anti-join.
-            .repartition(self.num_buckets, "_bucket")
+            # capped like every sibling writer: partitionBy still splits
+            # one file per bucket directory, so the <= num_buckets output
+            # bound holds at bounded task count on heavily-rebucketed tables
+            .repartition(min(self.num_buckets, 256), "_bucket")
             .sortWithinPartitions("_bucket", seqc)
         )
         new_files = self._write_data(fresh, version, kind="base")
@@ -1786,7 +1789,9 @@ class LakeTable:
                 self._commit_files(
                     base, version, new_files, replaced, None, None
                 )
-            report["buckets_rewritten"] = len(buckets)
+            # honest report: a key whose bucket holds no files rewrote
+            # nothing — compliance tooling must not record a phantom pass
+            report["buckets_rewritten"] = len(buckets) if replaced else 0
         else:
             if "is_deleted" not in self.schema.fieldNames():
                 # without the tombstone column a delete cannot be

@@ -57,11 +57,13 @@ def main():
     elif args.verb == "tag":
         if not args.arg:
             ap.error("tag requires a NAME")
+        # tag() itself resolves version=None to the CURRENT snapshot
+        # before its property commit; just report what it named
         tagged_version = (
             args.version if args.version is not None
-            else t.snapshot["version"]  # BEFORE tag(): tagging commits v+1
+            else t.snapshot["version"]
         )
-        t.tag(args.arg, version=tagged_version)
+        t.tag(args.arg, version=args.version)
         out = {"tagged": args.arg, "version": tagged_version}
     elif args.verb == "clone":
         if not args.arg:
@@ -74,6 +76,15 @@ def main():
         if not args.arg:
             ap.error("purge requires KEY[,KEY...]")
         keys = [k for k in args.arg.split(",") if k]
+        # coerce CLI strings to the key column's type (a long-keyed table
+        # rejects string keys at the typed keys-DataFrame boundary)
+        from pyspark.sql import types as T
+
+        kt = next(f.dataType for f in t.schema.fields if f.name == t.key_col)
+        if isinstance(kt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            keys = [int(k) for k in keys]
+        elif isinstance(kt, (T.FloatType, T.DoubleType)):
+            keys = [float(k) for k in keys]
         out = t.purge_keys(
             keys,
             keep_last=args.keep_last if args.keep_last is not None else 1,

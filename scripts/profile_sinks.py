@@ -84,12 +84,18 @@ def main():
         schema_evolution_epoch=None,
         rollback_epochs=(),
     )
-    log_dir = os.path.join(work, "log")
+    # stamp the event count into the path: a stale log from a previous
+    # run with a DIFFERENT size would silently inflate events_per_sec
+    log_dir = os.path.join(work, f"log-{events}")
     if not os.path.isdir(log_dir):
         generate_changelog(log_dir, spec)
-    configs = ["state", "+facts", "+facts+pack", "+index"]
+    configs = (
+        sys.argv[3].split(",") if len(sys.argv) > 3
+        else ["state", "+facts", "+facts+pack", "+index"]
+    )
     # warm the JVM once on the cheapest config (outside the timed region)
     run_config(spark, log_dir, spec, work, "state")
+    print(json.dumps({"loadavg_1min": os.getloadavg()[0]}))
     best = {c: float("inf") for c in configs}
     raw = {c: [] for c in configs}
     for _ in range(reps):
