@@ -1626,7 +1626,57 @@ def q_shard_ntile(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the per-round driver CORRECTNESS check covers only
+    # the FIRST 50 entries in insertion order. Rounds 1-4 attested the block
+    # starting at "pricing_summary" (all green in CORRECTNESS_r04.json);
+    # round 5 rotates the 42 never-driver-checked queries (plus this round's
+    # new ones) to the front so the union of per-round driver artifacts
+    # covers the whole registry. The local oracle gate
+    # (tests/test_queries_oracle.py) always runs ALL entries regardless.
     return {
+        "moving_avg": q_moving_avg,
+        "rollup_agg": q_rollup_agg,
+        "quantile_stats": q_quantile_stats,
+        "tfidf_topk": q_tfidf_topk,
+        "mixture_sample": q_mixture_sample,
+        "temperature_mixture": q_temperature_mixture,
+        "vocab_histogram": q_vocab_histogram,
+        "token_budget": q_token_budget,
+        "repetition_ratio": q_repetition_ratio,
+        "gopher_filter": q_gopher_filter,
+        "length_band": q_length_band,
+        "source_lang_matrix": q_source_lang_matrix,
+        "dedup_keep_best": q_dedup_keep_best,
+        "unigram_logprob": q_unigram_logprob,
+        "chunk_dedup": q_chunk_dedup,
+        "chunk_dedup_clean": q_chunk_dedup_clean,
+        "bigram_pmi": q_bigram_pmi,
+        "vocab_coverage": q_vocab_coverage,
+        "source_kl": q_source_kl,
+        "zipf_slope": q_zipf_slope,
+        "source_sample": q_source_sample,
+        "bigram_logprob": q_bigram_logprob,
+        "source_overlap": q_source_overlap,
+        "dim_stats": q_dim_stats,
+        "quantize_embeddings": q_quantize_embeddings,
+        "jl_projection": q_jl_projection,
+        "feature_hashing": q_feature_hashing,
+        "kmeans_clusters": q_kmeans_clusters,
+        "chunk_tokens": q_chunk_tokens,
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "event_transitions": q_event_transitions,
+        "label_centroids": q_label_centroids,
+        "ivf_topk": q_ivf_topk,
+        "doc_entropy": q_doc_entropy,
+        "hapax_ratio": q_hapax_ratio,
+        "source_exclusivity": q_source_exclusivity,
+        "dist_drift": q_dist_drift,
+        "dedup_containment": q_dedup_containment,
+        "winnow_dedup": q_winnow_dedup,
+        "heavy_hitters": q_heavy_hitters,
+        "shard_ntile": q_shard_ntile,
+        # --- driver-attested in rounds 1-4 (CORRECTNESS_r01..r04) ---
         "pricing_summary": q_pricing_summary,
         "filter_pushdown": q_filter_pushdown,
         "specification_filter": q_specification_filter,
@@ -1677,48 +1727,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "scd2_intervals": q_scd2_intervals,
         "range_window_join": q_range_window_join,
-        "moving_avg": q_moving_avg,
-        "rollup_agg": q_rollup_agg,
-        "quantile_stats": q_quantile_stats,
-        "tfidf_topk": q_tfidf_topk,
-        "mixture_sample": q_mixture_sample,
-        "temperature_mixture": q_temperature_mixture,
-        "vocab_histogram": q_vocab_histogram,
-        "token_budget": q_token_budget,
-        "repetition_ratio": q_repetition_ratio,
-        "gopher_filter": q_gopher_filter,
-        "length_band": q_length_band,
-        "source_lang_matrix": q_source_lang_matrix,
-        "dedup_keep_best": q_dedup_keep_best,
-        "unigram_logprob": q_unigram_logprob,
-        "chunk_dedup": q_chunk_dedup,
-        "chunk_dedup_clean": q_chunk_dedup_clean,
-        "bigram_pmi": q_bigram_pmi,
-        "vocab_coverage": q_vocab_coverage,
-        "source_kl": q_source_kl,
-        "zipf_slope": q_zipf_slope,
-        "source_sample": q_source_sample,
-        "bigram_logprob": q_bigram_logprob,
-        "source_overlap": q_source_overlap,
-        "dim_stats": q_dim_stats,
-        "quantize_embeddings": q_quantize_embeddings,
-        "jl_projection": q_jl_projection,
-        "feature_hashing": q_feature_hashing,
-        "kmeans_clusters": q_kmeans_clusters,
-        "chunk_tokens": q_chunk_tokens,
-        "funnel": q_funnel,
-        "retention_cohorts": q_retention_cohorts,
-        "event_transitions": q_event_transitions,
-        "label_centroids": q_label_centroids,
-        "ivf_topk": q_ivf_topk,
-        "doc_entropy": q_doc_entropy,
-        "hapax_ratio": q_hapax_ratio,
-        "source_exclusivity": q_source_exclusivity,
-        "dist_drift": q_dist_drift,
-        "dedup_containment": q_dedup_containment,
-        "winnow_dedup": q_winnow_dedup,
-        "heavy_hitters": q_heavy_hitters,
-        "shard_ntile": q_shard_ntile,
     }
 
 

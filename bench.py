@@ -214,6 +214,11 @@ def main() -> None:
         spark = get_spark("bench", cores=args.cores, shuffle_partitions=max(2 * args.cores, 16))
     cdc = run_cdc(spark, args.events, args.strategy)
     queries = {} if args.cdc_only else run_queries(spark, SF_DIR)
+    # The per-query timings dict (90+ entries) is too large for the driver's
+    # tail-window JSON parse, so it goes on its own line FIRST; the compact
+    # headline line (what the driver parses) is printed LAST.
+    if queries:
+        print(json.dumps({"query_timings": queries, "sf": _sf_of(SF_DIR)}))
     line = {
         "metric": "cdc_replay_wall_sec",
         "value": cdc["wall_sec"],
@@ -225,7 +230,9 @@ def main() -> None:
         "strategy": args.strategy,
         "cores": args.cores,
         "executors": args.executors,
-        "queries": queries,
+        "n_queries": len(queries),
+        "queries_total_sec": round(sum(v for v in queries.values() if v), 3),
+        "queries_failed": sorted(k for k, v in queries.items() if v is None),
         "sf": _sf_of(SF_DIR),
     }
     print(json.dumps(line))

@@ -1801,14 +1801,33 @@ class LakeTable:
                     "purge_keys on a state table requires an 'is_deleted' "
                     "tombstone column in the schema"
                 )
-            next_seq = (
-                max(
-                    (f["max_seq"] for f in self.snapshot["files"]
-                     if f["max_seq"] is not None),
-                    default=0,
-                )
-                + 1
+            # The tombstone MUST win the LWW fold over every retained copy.
+            # Footer max_seq stats are the cheap path, but a file with
+            # max_seq None (written before stats, or by a tool that skipped
+            # them) could hide the true max — silently losing the fold would
+            # RETAIN the payload while reporting a successful purge, the
+            # worst failure mode for a right-to-be-forgotten path. Fall back
+            # to a real scan of the stats-less files (bounded: only those
+            # files are read, and only their seq column).
+            stats_max = max(
+                (f["max_seq"] for f in self.snapshot["files"]
+                 if f["max_seq"] is not None),
+                default=0,
             )
+            statless = [
+                os.path.join(self.root, f["path"])
+                for f in self.snapshot["files"]
+                if f["max_seq"] is None
+            ]
+            if statless:
+                row = (
+                    self.spark.read.schema(self.schema)
+                    .parquet(*statless)
+                    .agg(F.max(F.col(seqc)).alias("m"))
+                    .collect()[0]
+                )
+                stats_max = max(stats_max, row["m"] if row["m"] is not None else 0)
+            next_seq = stats_max + 1
             tombs = keys_df.select(
                 F.col(key),
                 F.lit(next_seq).cast("long").alias(seqc),
@@ -1858,6 +1877,17 @@ class LakeTable:
         snap = json.loads(json.dumps(src))  # deep copy, stays JSON-pure
         snap["version"] = 0
         snap["parent"] = None
+        # Strip transient operational properties that are only meaningful in
+        # the SOURCE's snapshot line: tag:<name> entries point at source
+        # snapshot versions that don't exist in the version-0 clone (as_of_tag
+        # would raise FileNotFoundError), and a live repair_lock would block
+        # repairs on the clone until its TTL. Tenant manifests/fences are
+        # load-bearing resume state and ride along untouched.
+        snap["properties"] = {
+            k: v
+            for k, v in snap.get("properties", {}).items()
+            if k != "repair_lock" and not k.startswith("tag:")
+        }
         dest._write_snapshot(snap, expected_parent=None)
         return dest
 

@@ -110,11 +110,20 @@ def _verify_pairs(
     text_col: str,
     n: int,
     threshold: float,
+    caches: list | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of (new_id, base_id) candidates. Both
     corpora are pruned to candidate docs via broadcast semi-joins BEFORE the
     distinct / size / common-shingle shuffles — everything past the prune is
-    O(candidates), the 100 TB-critical property."""
+    O(candidates), the 100 TB-critical property.
+
+    cand/sh_new/sh_base are cached for multi-branch plan reuse. The result
+    is LAZY, so this function cannot unpersist them itself; pass ``caches``
+    (a list) and they are appended for the caller to unpersist after its
+    consuming action (try/finally, as update_from_changes does). Omitting
+    ``caches`` is only acceptable for one-shot queries where session-end /
+    LRU cleanup suffices — never in a long-lived ingest loop, where the
+    per-group leak accumulates executor storage."""
     cand = cand.cache()
     new_ids = cand.select(F.col("new_id").alias("doc_id")).distinct()
     base_ids = cand.select(F.col("base_id").alias("doc_id")).distinct()
@@ -130,6 +139,8 @@ def _verify_pairs(
         .distinct()
         .cache()
     )
+    if caches is not None:
+        caches.extend([cand, sh_new, sh_base])
     size_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("n_new"))
     size_base = sh_base.groupBy("doc_id").agg(F.count("*").alias("n_base"))
     common = (
@@ -486,16 +497,21 @@ class SignatureIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         threshold: float = 0.5,
+        caches: list | None = None,
     ) -> DataFrame:
         """Full incremental near-dup check: persisted-bucket candidates +
         exact-Jaccard verification. ``base_docs`` is the corpus TEXT source
         for verification only — it is read pruned to candidate docs (pass a
         doc_id-bucketed LakeTable read so the semi-join skips files). Equal
         by law to ``incremental_lsh_pairs(new_docs, base_docs)`` whenever
-        the index is in sync with ``base_docs``."""
+        the index is in sync with ``base_docs``.
+
+        Long-lived callers must pass ``caches`` and unpersist its contents
+        after consuming the (lazy) result — see :func:`_verify_pairs`."""
         cand = self.candidates(new_docs, id_col, text_col)
         return _verify_pairs(
-            cand, new_docs, base_docs, id_col, text_col, self.n, threshold
+            cand, new_docs, base_docs, id_col, text_col, self.n, threshold,
+            caches=caches,
         )
 
 

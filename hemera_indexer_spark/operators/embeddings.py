@@ -246,32 +246,42 @@ def kmeans_lloyd(
         F.col(vec_col).cast("array<double>"),
         lambda x: x.cast("decimal(18,6)"),
     )
-    base = df.select(F.col(id_col), dec.alias("_dec"))
-    init_rows = base.orderBy(id_col).limit(k).collect()
-    cents = {
-        cid: [float(x) for x in r["_dec"]]
-        for cid, r in enumerate(init_rows)
-    }
-    for _ in range(iters):
-        assigned = _assign_clusters(base, cents)
-        stats = (
-            assigned.select(
-                "cluster", F.posexplode("_dec").alias("dim", "v")
+    # persist: the init collect + every iteration's stats collect re-read
+    # `base`; caching makes pass 2..iters+1 read columnar cache instead of
+    # re-scanning parquet + re-deriving the decimal transform each round.
+    base = df.select(F.col(id_col), dec.alias("_dec")).persist()
+    try:
+        init_rows = base.orderBy(id_col).limit(k).collect()
+        cents = {
+            cid: [float(x) for x in r["_dec"]]
+            for cid, r in enumerate(init_rows)
+        }
+        for _ in range(iters):
+            assigned = _assign_clusters(base, cents)
+            stats = (
+                assigned.select(
+                    "cluster", F.posexplode("_dec").alias("dim", "v")
+                )
+                .groupBy("cluster", "dim")
+                .agg(
+                    # mean quantization happens JVM-side (F.round = the same
+                    # rounding every green oracle pairs with DuckDB's ROUND);
+                    # the collected double IS the quantized value
+                    F.round(
+                        F.sum("v").cast("double") / F.count("*"), 6
+                    ).alias("m")
+                )
+                .collect()
             )
-            .groupBy("cluster", "dim")
-            .agg(
-                # mean quantization happens JVM-side (F.round = the same
-                # rounding every green oracle pairs with DuckDB's ROUND);
-                # the collected double IS the quantized value
-                F.round(
-                    F.sum("v").cast("double") / F.count("*"), 6
-                ).alias("m")
-            )
-            .collect()
+            cents = {}
+            for r in stats:
+                cents.setdefault(r["cluster"], [0.0] * in_dim)[r["dim"]] = r["m"]
+        return _assign_clusters(base, cents).select(
+            F.col(id_col), F.col("cluster")
         )
-        cents = {}
-        for r in stats:
-            cents.setdefault(r["cluster"], [0.0] * in_dim)[r["dim"]] = r["m"]
-    return _assign_clusters(base, cents).select(
-        F.col(id_col), F.col("cluster")
-    )
+    finally:
+        # the returned assignment is lazy; unpersisting here means its ONE
+        # final pass recomputes from source — correct, and it keeps this
+        # function leak-free for long-lived callers (cache covers exactly
+        # the iters+1 driver-side collects above, where the reuse is).
+        base.unpersist()

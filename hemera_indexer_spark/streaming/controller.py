@@ -225,6 +225,21 @@ class StreamController:
                 f"quarantine_scan must be 'footer' or 'always', "
                 f"got {quarantine_scan!r}"
             )
+        if quarantine_dir is not None and quarantine_scan == "footer":
+            # An operator who enabled quarantine_dir plausibly expects ALL
+            # malformed events diverted; footer mode trades that for zero
+            # cost on clean logs. Say so once, at runtime, not only in docs.
+            import warnings
+
+            warnings.warn(
+                "quarantine_scan='footer' catches only footer-provable "
+                "malformations: an unknown op string still merges as an "
+                "ordinary upsert, and a rollback with NULL rollback_to_seq "
+                "is silently dropped from the merge. Pass "
+                "quarantine_scan='always' to divert those two classes too "
+                "(one extra filtered scan per group).",
+                stacklevel=2,
+            )
         self.quarantine_dir = quarantine_dir
         self.quarantine_scan = quarantine_scan
         self.spark = spark

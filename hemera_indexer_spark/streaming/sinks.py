@@ -497,12 +497,20 @@ class SignatureIndexSink:
             .where(F.col("change_op") != "delete")
             .select(F.col(key), F.col(self.text_col))
         )
+        caches: list = []
         pairs = self.index.check(
             fresh,
             self.table.current_state(),
             id_col=key,
             text_col=self.text_col,
             threshold=self.report_threshold,
+            caches=caches,
         )
         dest = os.path.join(self.report_dir, f"epoch={fence:05d}")
-        pairs.withColumn("epoch", F.lit(fence)).write.mode("overwrite").parquet(dest)
+        try:
+            pairs.withColumn("epoch", F.lit(fence)).write.mode("overwrite").parquet(dest)
+        finally:
+            # this runs once per committed group for the life of the ingest
+            # loop — leaked caches here accumulate executor storage forever
+            for c in caches:
+                c.unpersist()

@@ -234,6 +234,10 @@ def main() -> None:
         part = args.repair.split("..")
         lo = int(part[0])
         hi = int(part[1]) if len(part) > 1 and part[1] else None
+        # same layout/fact maintenance knobs as the batch path below: the
+        # post-repair full-log re-drive is a long replay, and running it
+        # without rebucketing / fact small-file compaction would accumulate
+        # exactly the small files a normal run of this CLI would have packed
         stats = StreamController(
             spark, table, args.log_dir, args.partitions,
             merge_strategy=args.strategy,
@@ -242,6 +246,9 @@ def main() -> None:
             fact_table=fact_table,
             sinks=sinks,
             confirmation_lag=args.confirmation_lag,
+            rebucket_target_rows=args.rebucket_target_rows,
+            fact_compact_max_files=args.fact_compact_max_files,
+            fact_compact_small_rows=args.fact_compact_small_rows or None,
             **tenant_kw,
         ).repair_range(lo, hi, lock_ttl_s=args.repair_lock_ttl)
         events = stats.total_events

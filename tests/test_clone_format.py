@@ -311,3 +311,47 @@ def test_purge_keys_long_keyed_table_hits_right_bucket(spark, tmp_path):
                 leaked.append(p)
     assert not leaked
     assert 5 not in {r["doc_id"] for r in t.current_state().collect()}
+
+
+def test_purge_keys_statless_footer_falls_back_to_scan(spark, tmp_path):
+    """Regression (ADVICE r4): if the file holding the true max(seq) lost
+    its footer max_seq stat, deriving the tombstone seq from stats alone
+    (with default 0 / skip-None) could stamp a LOSING seq — the purge
+    would silently retain the payload while reporting success. The fix
+    scans exactly the stats-less files for the real max."""
+    root = str(tmp_path / "t")
+    t = _mk(spark, root)  # seqs up to 2*100+9 = 209
+    # simulate a stats-less file: null out max_seq on the file that holds
+    # the highest seq (a pre-stats writer / foreign tool would do this)
+    v = t.snapshot["version"]
+    spath = os.path.join(t.meta_dir, f"snap-{v:010d}.json")
+    snap = json.load(open(spath))
+    hi = max(f["max_seq"] for f in snap["files"] if f["max_seq"] is not None)
+    for f in snap["files"]:
+        if f["max_seq"] == hi:
+            f["max_seq"] = None
+    open(spath, "w").write(json.dumps(snap))
+    t = LakeTable.load(spark, root)
+    t.purge_keys(["d3"])
+    # the tombstone must have out-sequenced the hidden max: d3 stays gone
+    assert "d3" not in {r["doc_id"] for r in t.current_state().collect()}
+    vals = _disk_payloads(root, "d3")
+    assert all(v is None for v in vals)
+
+
+def test_clone_strips_transient_operational_properties(spark, tmp_path):
+    """Regression (ADVICE r4): tag:* entries point at SOURCE snapshot
+    versions that don't exist in the version-0 clone (as_of_tag would
+    500), and a live repair_lock would block repairs on the clone until
+    TTL. Both are stripped; ordinary properties ride along."""
+    src = _mk(spark, str(tmp_path / "src"))
+    src.tag("golden")
+    src.update_properties({"repair_lock": "runner-x:9999999999",
+                           "custom_prop": "keep-me"})
+    clone = src.clone_to(str(tmp_path / "clone"))
+    props = clone.snapshot["properties"]
+    assert "repair_lock" not in props
+    assert not any(k.startswith("tag:") for k in props)
+    assert props["custom_prop"] == "keep-me"
+    with pytest.raises(KeyError):
+        clone.as_of_tag("golden")
