@@ -262,6 +262,137 @@ def _argmax_cell(
     )
 
 
+#: Version of the IVF quantizer "family": the deterministic seed rule
+#: (ncells smallest ids), the exact-decimal(18,6) Lloyd mean, and the
+#: cosine metric. Persisted indexes built under a different family must be
+#: rebuilt, never mixed — see operators/ivf_index.py.
+IVF_FAMILY_VERSION = 1
+
+_CENT_SCHEMA = None  # built lazily (needs pyspark.sql.types)
+
+
+def _cent_schema():
+    global _CENT_SCHEMA
+    if _CENT_SCHEMA is None:
+        from pyspark.sql import types as T
+
+        _CENT_SCHEMA = T.StructType(
+            [
+                T.StructField("_cell", T.IntegerType(), False),
+                T.StructField(
+                    "_cv", T.ArrayType(T.DoubleType(), False), False
+                ),
+            ]
+        )
+    return _CENT_SCHEMA
+
+
+def centroids_df(spark, rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """(cell, centroid) rows -> the broadcastable quantizer frame."""
+    return spark.createDataFrame(rows, _cent_schema())
+
+
+def train_ivf_quantizer(
+    emb: DataFrame,
+    ncells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The deterministic IVF coarse-quantizer build shared by the inline
+    ``ivf_topk`` and the persisted ``IVFIndex`` (their equality law depends
+    on this being ONE code path). Seeds = embeddings of the ``ncells``
+    smallest ids; ONE Lloyd refinement with exact-decimal(18,6) elementwise
+    means (order-independent, so any engine reproduces the same doubles).
+    Returns the refined (cell, centroid) rows — a bounded ncells x dim
+    driver artifact, the thing any IVF build broadcasts as its quantizer.
+    Cells that attracted no members drop out."""
+    spark = emb.sparkSession
+    seed_rows = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(ncells)
+        .select(vec_col)
+        .collect()
+    )
+    seeds = centroids_df(
+        spark,
+        [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)],
+    )
+    assigned1 = _argmax_cell(emb, seeds, id_col, vec_col)
+    comp = (
+        emb.join(assigned1, emb[id_col] == assigned1["vec_id"])
+        .select("cell", F.posexplode(F.col(vec_col)).alias("dim", "_v"))
+        .groupBy("cell", "dim")
+        .agg(
+            (
+                F.sum(
+                    F.col("_v").cast("double").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in comp.collect():
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = r["c"]
+    return [
+        (c, [vs[d] for d in sorted(vs)]) for c, vs in sorted(by_cell.items())
+    ]
+
+
+def ivf_probe_topk(
+    emb: DataFrame,
+    refined: DataFrame,
+    assigned: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF search half, over an already-built quantizer: each query
+    probes its ``nprobe`` nearest cells (by cosine to the refined
+    centroids), candidates are the vectors ASSIGNED to those cells
+    (equi-join on cell — never all-pairs), exact cosine re-ranks top-k.
+    ``assigned`` is (vec_id, cell); ``refined`` is (_cell, _cv)."""
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_pcos").desc(), F.col("_cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(refined))
+        .select(
+            "query_id",
+            "_qv",
+            F.col("_cell"),
+            cosine(F.col("_qv"), F.col("_cv")).alias("_pcos"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", F.col("_cell").alias("cell"))
+    )
+    cands = (
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+        .join(assigned, F.col("neighbor_id") == assigned["vec_id"])
+        .join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_v"), F.col("_qv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -297,94 +428,10 @@ def ivf_topk(
     probe ties break on the smaller cell id. Result cos_sim rounds to 4dp
     as in ``brute_force_topk``.
     """
-    from pyspark.sql import types as T
-
-    spark = emb.sparkSession
-    cent_schema = T.StructType(
-        [
-            T.StructField("_cell", T.IntegerType(), False),
-            T.StructField("_cv", T.ArrayType(T.DoubleType(), False), False),
-        ]
+    refined = centroids_df(
+        emb.sparkSession, train_ivf_quantizer(emb, ncells, id_col, vec_col)
     )
-    # seed quantizer: <= ncells rows by construction (bounded collect, the
-    # broadcast-small-side rule — identical shape to anchor_lsh_buckets)
-    seed_rows = (
-        emb.orderBy(F.col(id_col).asc())
-        .limit(ncells)
-        .select(vec_col)
-        .collect()
-    )
-    seeds = spark.createDataFrame(
-        [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)],
-        cent_schema,
-    )
-
-    # one Lloyd refinement: assign -> exact-decimal elementwise mean
-    assigned1 = _argmax_cell(emb, seeds, id_col, vec_col)
-    comp = (
-        emb.join(assigned1, emb[id_col] == assigned1["vec_id"])
-        .select("cell", F.posexplode(F.col(vec_col)).alias("dim", "_v"))
-        .groupBy("cell", "dim")
-        .agg(
-            (
-                F.sum(
-                    F.col("_v").cast("double").cast("decimal(18,6)")
-                ).cast("double")
-                / F.count("*")
-            ).alias("c")
-        )
-    )
-    # ncells x dim doubles -> the refined quantizer (bounded collect)
-    by_cell: dict[int, dict[int, float]] = {}
-    for r in comp.collect():
-        by_cell.setdefault(r["cell"], {})[r["dim"]] = r["c"]
-    refined = spark.createDataFrame(
-        [
-            (c, [vs[d] for d in sorted(vs)])
-            for c, vs in sorted(by_cell.items())
-        ],
-        cent_schema,
-    )
-
     assigned = _argmax_cell(emb, refined, id_col, vec_col)
-
-    # probe list: each query's nprobe nearest refined cells
-    q = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("_pcos").desc(), F.col("_cell").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(refined))
-        .select(
-            "query_id",
-            "_qv",
-            F.col("_cell"),
-            cosine(F.col("_qv"), F.col("_cv")).alias("_pcos"),
-        )
-        .withColumn("_pr", F.row_number().over(probe_w))
-        .where(F.col("_pr") <= nprobe)
-        .select("query_id", "_qv", F.col("_cell").alias("cell"))
-    )
-
-    # candidates: vectors assigned to a probed cell (equi-join on cell)
-    cands = (
-        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
-        .join(assigned, F.col("neighbor_id") == assigned["vec_id"])
-        .join(F.broadcast(probes), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("_v"), F.col("_qv")), 4).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    return ivf_probe_topk(
+        emb, refined, assigned, query_ids, k, nprobe, id_col, vec_col
     )
