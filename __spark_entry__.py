@@ -700,6 +700,23 @@ def q_multimodal_features(spark, sf):
     return extract_features(blobs_from_documents(_t(spark, sf, "documents")))
 
 
+def q_image_decode_stats(spark, sf):
+    """REAL image decode end-to-end: encode one genuine 24-bit BMP per doc
+    (pure-Python codec, deterministic fixture pixels — multimodal.py::
+    _fixture_pixels), then parse it back (header, bit depth, 4-byte row
+    padding, bottom-up rows) and emit width/height/per-channel means. The
+    fixture pattern is closed-form ((c*id + i) % 251 at pixel i), so the
+    oracle reproduces every statistic without running the codec — any
+    decoder bug (padding, row order, BGR swap) breaks the hash match."""
+    from hemera_indexer_spark.operators.multimodal import (
+        image_stats,
+        synthesize_image_blobs,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return image_stats(synthesize_image_blobs(docs, "doc_id", fmt="bmp"))
+
+
 # ------------------------------------------------- typed decode dispatch
 def q_decode_dispatch(spark, sf):
     """Topic0-dispatched multi-type decode (token_transfer.py:245-260
@@ -1634,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # covers the whole registry. The local oracle gate
     # (tests/test_queries_oracle.py) always runs ALL entries regardless.
     return {
+        "image_decode_stats": q_image_decode_stats,
         "moving_avg": q_moving_avg,
         "rollup_agg": q_rollup_agg,
         "quantile_stats": q_quantile_stats,
@@ -2511,6 +2529,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # multimodal features: the stub decode derives 32 values h_i/255
         # from sha256(content); mean/std come from exact integer sums, so
+        # The Spark side round-trips REAL BMP bytes (encode -> parse header/
+        # padding/bottom-up rows -> channel sums); the oracle states the
+        # closed-form fixture pattern directly. Channel means are one
+        # integer-sum / pixel-count double division on both engines.
+        "image_decode_stats": """
+            WITH px AS (
+                SELECT d.doc_id,
+                       CAST(4 + d.doc_id % 5 AS INT) AS width,
+                       CAST(3 + d.doc_id % 4 AS INT) AS height,
+                       t.i
+                FROM documents d
+                JOIN range(0, 48) t(i)
+                  ON t.i < (4 + d.doc_id % 5) * (3 + d.doc_id % 4)
+            )
+            SELECT doc_id AS blob_id, width, height,
+                   SUM((doc_id + i) % 251)::DOUBLE / COUNT(*) AS mean_r,
+                   SUM((2 * doc_id + i) % 251)::DOUBLE / COUNT(*) AS mean_g,
+                   SUM((3 * doc_id + i) % 251)::DOUBLE / COUNT(*) AS mean_b
+            FROM px
+            GROUP BY doc_id, width, height
+        """,
         # the formula is the same fixed sequence of IEEE double ops on both
         # engines (see operators/multimodal.py::extract_features).
         "multimodal_features": """

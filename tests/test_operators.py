@@ -144,6 +144,72 @@ def test_multimodal_features_deterministic(spark):
     assert all(r[2] > 0 for r in f1)  # n_bytes
 
 
+def test_image_codec_roundtrip_and_guards():
+    """Pure-Python BMP/PPM codecs: encode∘decode is identity (including the
+    4-byte row-padding widths 5 and 7), top-down BMPs decode, and malformed
+    inputs raise instead of returning garbage."""
+    import numpy as np
+    import pytest as _pt
+
+    from hemera_indexer_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    for w in (1, 4, 5, 7, 8):
+        for h in (1, 3, 6):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert (decode_bmp(encode_bmp(px)) == px).all()
+            assert (decode_ppm(encode_ppm(px)) == px).all()
+            assert (decode_image(encode_bmp(px)) == px).all()
+            assert (decode_image(encode_ppm(px)) == px).all()
+    # top-down BMP: flip the height sign and pre-flip the rows
+    px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    data = bytearray(encode_bmp(px[::-1]))
+    import struct as _s
+
+    _s.pack_into("<i", data, 22, -3)
+    assert (decode_bmp(bytes(data)) == px).all()
+    # PPM header comments survive the parse
+    ppm = b"P6\n# a comment\n5 3\n# more\n255\n" + px.tobytes()
+    assert (decode_ppm(ppm) == px).all()
+    with _pt.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    with _pt.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(px)[:-8])
+    with _pt.raises(ValueError, match="unsupported BMP"):
+        bad = bytearray(encode_bmp(px))
+        _s.pack_into("<H", bad, 28, 8)  # bpp=8
+        decode_bmp(bytes(bad))
+    with _pt.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n5 3\n65535\n" + px.tobytes() * 2)
+    with _pt.raises(ValueError, match="unknown image format"):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_decode_blob_real_path_vs_stub():
+    """Image blobs with a BMP/PPM magic take the REAL decode path (pixel
+    vector, length 3*w*h); other bytes still hit the labeled stub (32-dim
+    sha vector) so audio/video plumbing keeps working."""
+    import numpy as np
+
+    from hemera_indexer_spark.operators.multimodal import (
+        decode_blob,
+        encode_bmp,
+    )
+
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    vec = decode_blob(encode_bmp(px), "image")
+    assert len(vec) == 36
+    assert np.allclose(vec, px.reshape(-1) / 255.0)
+    assert len(decode_blob(b"not an image", "image")) == 32
+    assert len(decode_blob(b"anything", "audio")) == 32
+
+
 def test_csv_source_sink_roundtrip(spark, tmp_path):
     from hemera_indexer_spark.schemas import CHANGE_EVENT_SCHEMA
     from hemera_indexer_spark.sources.files import (
