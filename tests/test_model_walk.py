@@ -123,3 +123,332 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
         assert _table_state(t) == _model_state(model), (seed, step, ops)
     # the walk must have exercised a real mix
     assert {"merge"} < set(ops)
+
+
+# ===========================================================================
+# Ingest-surface walk: the round-4 verbs the table walk above cannot reach —
+# tenant-mode commits (two controllers, one shared table), quarantine
+# diverts, SignatureIndexSink syncs + admission reports + curated view,
+# purge_keys and clone_to — interleaved under a seeded schedule, with the
+# pure-Python fold, the per-tenant quarantine ledger, the index sync cursor
+# and the curated view all asserted after every step.
+# ===========================================================================
+
+import os
+
+TOK_LEN = 12
+
+
+def _write_epoch(log_dir, epoch, rows):
+    """Hand-crafted 1-partition changelog epoch.
+    rows = [(doc_id|None, op, seq, tokens|None)].
+
+    The schema is the generator's with every field made NULLABLE: this
+    writer injects malformed rows (null doc_id), and pyarrow silently
+    writes a null into a `not null` field as an INVALID parquet column
+    (REQUIRED + missing values) that Spark then misreads with shifted
+    values — the foreign-writer file must be honest about its nulls."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hemera_indexer_spark.sources.generator import _event_arrow_schema
+
+    schema = pa.schema(
+        [f.with_nullable(True) for f in _event_arrow_schema(False)]
+    )
+    cols = {
+        "seq": [r[2] for r in rows],
+        "epoch": [epoch] * len(rows),
+        "partition": [0] * len(rows),
+        "doc_id": [r[0] for r in rows],
+        "op": [r[1] for r in rows],
+        "tokens": [r[3] for r in rows],
+        "n_tok": [len(r[3]) if r[3] is not None else None for r in rows],
+        "source": ["walk"] * len(rows),
+        "rollback_to_seq": [None] * len(rows),
+    }
+    path = os.path.join(log_dir, f"epoch={epoch:05d}", "partition=000")
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pydict(cols, schema=schema),
+        os.path.join(path, "events.parquet"),
+    )
+
+
+def _toks(seq):
+    return [seq * 3 + j for j in range(TOK_LEN)]
+
+
+@pytest.mark.parametrize("seed", [3, 17, 29, 41, 57])
+def test_ingest_walk_matches_model(spark, tmp_path, seed):
+    from hemera_indexer_spark.operators.dedup_index import (
+        SignatureIndex,
+        curated_state,
+    )
+    from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+    from hemera_indexer_spark.streaming import StreamController
+    from hemera_indexer_spark.streaming.sinks import SignatureIndexSink
+
+    rng = random.Random(seed)
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    tenants = (1, 2)
+    logs = {t: str(tmp_path / f"log{t}") for t in tenants}
+    for d in logs.values():
+        os.makedirs(d, exist_ok=True)
+    qdirs = {t: str(tmp_path / f"quar{t}") for t in tenants}
+    reports = {t: str(tmp_path / f"rep{t}") for t in tenants}
+    idx = {
+        t: SignatureIndex.build_from_table(
+            spark, str(tmp_path / f"idx{t}"), table,
+            text_col="tokens", k=8, bands=2, num_buckets=4,
+        )
+        for t in tenants
+    }
+
+    # model: per-tenant LWW fold keyed by doc_id -> (seq, tokens, dead);
+    # plus the quarantine ledger and the committed seq high-water mark
+    model = {t: {} for t in tenants}
+    expected_quar = {t: 0 for t in tenants}
+    next_epoch = {t: 0 for t in tenants}
+    driven_epoch = {t: -1 for t in tenants}
+    pending: dict[int, list] = {t: [] for t in tenants}  # undriven epochs
+    seq = 0
+    committed_max_seq = 0
+    clones = 0
+
+    def append_epoch(t, with_bad, with_dup):
+        nonlocal seq
+        rows = []
+        for _ in range(rng.randint(2, 5)):
+            seq += 1
+            k = f"t{t}_{rng.choice(KEYS)}"
+            if rng.random() < 0.2:
+                rows.append((k, "delete", seq, None))
+            else:
+                rows.append((k, "update", seq, _toks(seq)))
+        if with_dup:
+            # a NEW doc with tokens identical to a committed live doc ->
+            # the admission report must flag it (jaccard 1.0, banding
+            # always collides) and the curated view must exclude it
+            live = [
+                (k, tok)
+                for m in model.values()
+                for k, (s, tok, dead) in m.items()
+                if not dead and tok is not None
+            ]
+            if live:
+                _, tok = rng.choice(live)
+                seq += 1
+                rows.append((f"t{t}_x{seq}", "update", seq, list(tok)))
+        if with_bad:
+            for _ in range(rng.randint(1, 2)):
+                seq += 1
+                bad = rng.choice(
+                    [
+                        (None, "update", seq, _toks(seq)),  # null LWW key
+                        (f"t{t}_{rng.choice(KEYS)}", "frobnicate", seq,
+                         _toks(seq)),  # unknown op (footer-invisible)
+                    ]
+                )
+                rows.append(bad)
+        e = next_epoch[t]
+        next_epoch[t] += 1
+        _write_epoch(logs[t], e, rows)
+        pending[t].append(rows)
+
+    def drive(t):
+        nonlocal committed_max_seq
+        sink = SignatureIndexSink(
+            table, idx[t], text_col="tokens",
+            report_dir=reports[t], report_threshold=0.9,
+        )
+        StreamController(
+            spark, table, logs[t], 1,
+            tenant_col="chain_id", tenant_id=t,
+            quarantine_dir=qdirs[t], quarantine_scan="always",
+            sinks=[sink],
+        ).run()
+        had_pending = bool(pending[t])
+        for rows in pending[t]:
+            driven_epoch[t] += 1
+            for k, op, s, tok in sorted(rows, key=lambda r: r[2]):
+                if k is None or op not in ("update", "delete"):
+                    expected_quar[t] += 1
+                    continue
+                cur = model[t].get(k)
+                if cur is None or s > cur[0]:
+                    model[t][k] = (s, tok, op == "delete")
+                committed_max_seq = max(committed_max_seq, s)
+        pending[t] = []
+        table.refresh()
+        if had_pending:
+            assert sink.committed_epoch() == driven_epoch[t], (seed, ops)
+            assert idx[t].synced_version() == table.snapshot["version"]
+
+    def check_all():
+        table.refresh()
+        state = {
+            tt: {} for tt in tenants
+        }
+        for r in table.current_state().collect():
+            state[r["chain_id"]][r["doc_id"]] = (r["seq"], r["tokens"])
+        for tt in tenants:
+            want = {
+                k: (s, tok)
+                for k, (s, tok, dead) in model[tt].items()
+                if not dead
+            }
+            assert state[tt] == want, (seed, step, ops, tt)
+            # quarantine ledger: diverted rows never merged, all counted
+            import glob as _g
+
+            q_files = _g.glob(
+                os.path.join(qdirs[tt], "**", "*.parquet"), recursive=True
+            )
+            got_q = spark.read.parquet(qdirs[tt]).count() if q_files else 0
+            assert got_q == expected_quar[tt], (seed, step, ops, tt)
+            # curated view == state minus report-flagged arrivals
+            flagged = set()
+            if os.path.isdir(reports[tt]):
+                dirs = [
+                    os.path.join(reports[tt], d)
+                    for d in os.listdir(reports[tt])
+                    if d.startswith("epoch=")
+                ]
+                if dirs:
+                    flagged = {
+                        r["new_id"]
+                        for r in spark.read.parquet(*dirs).collect()
+                    }
+            got_cur = {
+                r["doc_id"]
+                for r in curated_state(table, reports[tt]).collect()
+            }
+            want_cur = {
+                k for m in state.values() for k in m
+            } - flagged
+            assert got_cur == want_cur, (seed, step, ops, tt)
+
+    ops = []
+    step = 0
+    for step in range(16):
+        r = rng.random()
+        if step < 2 or r < 0.30:
+            op = "append"
+        elif r < 0.42:
+            op = "append_bad"
+        elif r < 0.52:
+            op = "append_dup"
+        elif r < 0.74:
+            op = "drive"
+        elif r < 0.80:
+            op = "compact"
+        elif r < 0.84:
+            op = "rebucket"
+        elif r < 0.88:
+            op = "retention"
+        elif r < 0.92:
+            op = "purge"
+        elif r < 0.96:
+            op = "clone"
+        else:
+            op = "tag"
+        t = rng.choice(tenants)
+        ops.append(f"{op}:{t}")
+        if op == "append":
+            append_epoch(t, with_bad=False, with_dup=False)
+        elif op == "append_bad":
+            append_epoch(t, with_bad=True, with_dup=False)
+        elif op == "append_dup":
+            append_epoch(t, with_bad=False, with_dup=True)
+        elif op == "drive":
+            drive(t)
+        elif op == "compact":
+            table.compact(strategy=rng.choice(["sql", "jvm"]))
+        elif op == "rebucket":
+            if table.num_buckets < 16:
+                table.rebucket(table.num_buckets * 2)
+        elif op == "retention":
+            # the real-world retention discipline: snapshots may only
+            # expire once every change-feed consumer's cursor is at (or
+            # past) the oldest retained snapshot — sync both indexes first
+            for tt in tenants:
+                if idx[tt].synced_version() < table.snapshot["version"]:
+                    idx[tt].update_from_changes(table, text_col="tokens")
+            table.expire_snapshots(keep_last=rng.randint(2, 3))
+            table.vacuum_orphans()
+        elif op == "purge":
+            live = sorted(
+                k
+                for tt in tenants
+                for k, (s, tok, dead) in model[tt].items()
+                if not dead
+            )
+            if live:
+                k = rng.choice(live)
+                table.purge_keys([k])
+                committed_max_seq += 1
+                tt = int(k[1])
+                model[tt][k] = (committed_max_seq, None, True)
+        elif op == "clone":
+            clones += 1
+            c = table.clone_to(str(tmp_path / f"clone{clones}"))
+            got = {
+                (r["chain_id"], r["doc_id"], r["seq"])
+                for r in c.current_state().collect()
+            }
+            want = {
+                (tt, k, s)
+                for tt in tenants
+                for k, (s, tok, dead) in model[tt].items()
+                if not dead
+            }
+            assert got == want, (seed, step, ops)
+        else:  # tag
+            table.tag(f"w{step}")
+            n_live = sum(
+                1
+                for tt in tenants
+                for _, (_, _, dead) in model[tt].items()
+                if not dead
+            )
+            assert table.as_of_tag(f"w{step}").current_state().count() == n_live
+        check_all()
+    # drain: drive both tenants so every appended epoch is asserted folded
+    for t in (2, 1):
+        drive(t)
+    # guarantee the near-dup admission machinery fired at least once:
+    # duplicate a TENANT-1 live doc (all of tenant 1's commits are in
+    # idx[1] after the drain drive above, so the flag is deterministic)
+    base = next(
+        (
+            (k, tok)
+            for k, (s, tok, dead) in sorted(model[1].items())
+            if not dead and tok is not None
+        ),
+        None,
+    )
+    assert base is not None, (seed, "walk left tenant 1 with no live docs")
+    seq += 1
+    e = next_epoch[1]
+    next_epoch[1] += 1
+    rows = [(f"t1_x{seq}", "update", seq, list(base[1]))]
+    _write_epoch(logs[1], e, rows)
+    pending[1].append(rows)
+    drive(1)
+    flagged = {
+        r["new_id"]
+        for r in spark.read.parquet(
+            *(
+                os.path.join(reports[1], d)
+                for d in os.listdir(reports[1])
+                if d.startswith("epoch=")
+            )
+        ).collect()
+    }
+    assert f"t1_x{seq}" in flagged, (seed, ops)
+    check_all()
+    names = {o.split(":")[0] for o in ops}
+    assert {"append", "drive"} <= names, (seed, ops)
