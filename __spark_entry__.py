@@ -700,6 +700,88 @@ def q_multimodal_features(spark, sf):
     return extract_features(blobs_from_documents(_t(spark, sf, "documents")))
 
 
+def _zonelake(spark, sf, chunks: int = 4):
+    """Build (once per sf dir, cached under /tmp) a FACT LakeTable over the
+    events fixture with zone maps on event_id: rows are inserted in
+    ``chunks`` seq-range chunks, so each file's event_id footer range is
+    tight and a mid-range ``read(ranges=)`` provably skips the other
+    chunks' files. Fact table (append-only, no LWW fold), so range pruning
+    carries no mutable-column caveat."""
+    import hashlib as _h
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hemera_indexer_spark.lake.table import LakeTable
+
+    tag = _h.md5(f"{sf}|{chunks}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"hemera_q_zonelake_{tag}")
+    done = os.path.join(root, "_BUILT")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = _t(spark, sf, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType(), False),
+                T.StructField("user_id", T.LongType(), True),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+        t = LakeTable.create(
+            spark,
+            os.path.join(root, "t"),
+            schema,
+            num_buckets=8,
+            key_col="user_id",
+            seq_col="event_id",
+            stats_cols=("event_id",),
+            properties={"table_type": "fact"},
+        )
+        n = _t_rows(sf, "events")
+        for i in range(chunks):
+            lo, hi = i * n // chunks, (i + 1) * n // chunks
+            t.insert_if_absent(
+                ev.where(
+                    (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+                ),
+                epoch_id=i + 1,
+            )
+        with open(done, "w") as f:
+            f.write(str(n))
+    return LakeTable.load(spark, os.path.join(root, "t"))
+
+
+def q_zonemap_range_scan(spark, sf):
+    """Zone-map pruned range scan (lake/table.py read(ranges=)): the
+    middle-quintile event_id window over a chunk-loaded fact lake. The
+    footer min/max PROVE most files disjoint — the query asserts pruning
+    actually dropped files, then applies the real predicate on the kept
+    ones (pruning is performance, never correctness). Oracle states the
+    same window over the raw events fixture."""
+    t = _zonelake(spark, sf)
+    n = t.stats_row_count()  # exact for fact tables, metadata-only
+    lo, hi = n * 2 // 5, n * 3 // 5 - 1
+    ranges = {"event_id": (lo, hi)}
+    kept = t._select_files(ranges=ranges)
+    if len(kept) >= len(t.snapshot["files"]):
+        raise AssertionError(
+            f"zone maps pruned nothing: kept {len(kept)} of "
+            f"{len(t.snapshot['files'])} files"
+        )
+    return (
+        t.read(ranges=ranges)
+        .where(F.col("event_id").between(lo, hi))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def q_image_decode_stats(spark, sf):
     """REAL image decode end-to-end: encode one genuine 24-bit BMP per doc
     (pure-Python codec, deterministic fixture pixels — multimodal.py::
@@ -1651,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # covers the whole registry. The local oracle gate
     # (tests/test_queries_oracle.py) always runs ALL entries regardless.
     return {
+        "zonemap_range_scan": q_zonemap_range_scan,
         "image_decode_stats": q_image_decode_stats,
         "moving_avg": q_moving_avg,
         "rollup_agg": q_rollup_agg,
@@ -2529,6 +2612,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # multimodal features: the stub decode derives 32 values h_i/255
         # from sha256(content); mean/std come from exact integer sums, so
+        # The Spark side reads through the lake's zone-map pruning (and
+        # asserts files were actually skipped); the oracle states the same
+        # middle-quintile window over the raw fixture.
+        "zonemap_range_scan": """
+            WITH b AS (
+                SELECT (COUNT(*) * 2) // 5 AS lo,
+                       (COUNT(*) * 3) // 5 - 1 AS hi
+                FROM events
+            )
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+            FROM events, b
+            WHERE event_id BETWEEN b.lo AND b.hi
+            GROUP BY event_type
+        """,
         # The Spark side round-trips REAL BMP bytes (encode -> parse header/
         # padding/bottom-up rows -> channel sums); the oracle states the
         # closed-form fixture pattern directly. Channel means are one

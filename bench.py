@@ -196,10 +196,15 @@ def main() -> None:
                     choices=["auto", "jvm", "arrow", "pandas", "sql"])
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--zonemap", action="store_true",
+                    help="measure zone-map file skipping (read(ranges=)) "
+                         "vs a full scan at SF_DIR; appends to BENCH.md")
     args = ap.parse_args()
 
     if args.scaling:
         return run_scaling(args)
+    if args.zonemap:
+        return run_zonemap(args)
 
     from hemera_indexer_spark.session import get_spark
 
@@ -311,6 +316,120 @@ def run_scaling(args) -> None:
             f"| {label_hi} | {hi['events_per_sec']} |\n\n"
             f"Scaling efficiency (speedup / 4): **{eff:.3f}**\n"
         )
+
+
+def run_zonemap(args) -> None:
+    """Zone maps in anger: measured files-skipped + wall delta for a
+    ``read(ranges=)`` mid-range query against the same query over a full
+    scan, on a chunk-loaded fact lake (ZONE_SCALE x the sf events fixture,
+    inserted in ZONE_CHUNKS seq-range chunks so footer min/max are tight
+    per chunk). Alternating best-of-ZONE_REPS per arm (shared noisy box);
+    appends the evidence row to BENCH.md."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from hemera_indexer_spark.lake.table import LakeTable
+    from hemera_indexer_spark.session import get_spark
+
+    scale = int(os.environ.get("ZONE_SCALE", "32"))
+    chunks = int(os.environ.get("ZONE_CHUNKS", "16"))
+    reps = int(os.environ.get("ZONE_REPS", "3"))
+    load_at_start = round(os.getloadavg()[0], 2)  # the gate value, before
+    # this run's own Spark job inflates the 1-minute average
+    spark = get_spark("zonemap", cores=args.cores,
+                      shuffle_partitions=max(2 * args.cores, 16))
+    base_rows = 0
+    import pyarrow.parquet as pq
+
+    base_rows = pq.read_metadata(os.path.join(SF_DIR, "events.parquet")).num_rows
+    n = base_rows * scale
+    root = tempfile.mkdtemp(
+        prefix="hemera_zonelake_", dir=os.environ.get("BENCH_LAKE_DIR")
+    )
+    try:
+        ev = (
+            spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+            .crossJoin(spark.range(scale).select(F.col("id").alias("_rep")))
+            .select(
+                (F.col("event_id") + F.col("_rep") * base_rows).alias("event_id"),
+                "user_id", "event_type", "value",
+            )
+        )
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType(), False),
+                T.StructField("user_id", T.LongType(), True),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        )
+        t = LakeTable.create(
+            spark, os.path.join(root, "t"), schema, num_buckets=8,
+            key_col="user_id", seq_col="event_id",
+            stats_cols=("event_id",), properties={"table_type": "fact"},
+        )
+        for i in range(chunks):
+            lo, hi = i * n // chunks, (i + 1) * n // chunks
+            t.insert_if_absent(
+                ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi)),
+                epoch_id=i + 1,
+            )
+        t = LakeTable.load(spark, os.path.join(root, "t"))
+        # mid-range window one chunk wide
+        lo = n * (chunks // 2) // chunks
+        hi = n * (chunks // 2 + 1) // chunks - 1
+        ranges = {"event_id": (lo, hi)}
+        n_total = len(t.snapshot["files"])
+        n_kept = len(t._select_files(ranges=ranges))
+
+        def _run(pruned: bool) -> float:
+            df = t.read(ranges=ranges) if pruned else t.read()
+            q = (
+                df.where(F.col("event_id").between(lo, hi))
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+            )
+            t0 = time.monotonic()
+            q.collect()
+            return time.monotonic() - t0
+
+        _run(True)  # warm codegen/readers outside the timed arms
+        walls = {True: [], False: []}
+        for _ in range(reps):
+            for arm in (True, False):
+                walls[arm].append(round(_run(arm), 4))
+        best_p, best_f = min(walls[True]), min(walls[False])
+        report = {
+            "metric": "zonemap_range_scan",
+            "rows": n,
+            "chunks": chunks,
+            "files_total": n_total,
+            "files_kept": n_kept,
+            "wall_pruned_sec": best_p,
+            "wall_full_sec": best_f,
+            "speedup": round(best_f / best_p, 2),
+            "walls_pruned": walls[True],
+            "walls_full": walls[False],
+            "loadavg_1m_at_start": load_at_start,
+            "sf": _sf_of(SF_DIR),
+        }
+        print(json.dumps(report))
+        with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+            f.write(
+                f"\n## Zone-map pruning ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
+                f"Fact lake, {n} rows in {chunks} seq-range chunks "
+                f"(stats_cols=('event_id',), sf={_sf_of(SF_DIR)}, "
+                f"loadavg at start {load_at_start}); mid-range query one chunk "
+                f"wide, best-of-{reps} alternating:\n\n"
+                f"| read path | files scanned | wall (s) |\n|---|---|---|\n"
+                f"| `read(ranges=...)` | {n_kept} / {n_total} | {best_p} |\n"
+                f"| full scan + same predicate | {n_total} / {n_total} | {best_f} |\n\n"
+                f"Speedup from footer-proved skipping: **{report['speedup']}x** "
+                f"(all samples: pruned {walls[True]}, full {walls[False]}).\n"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
