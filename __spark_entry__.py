@@ -658,6 +658,52 @@ def q_ivf_topk(spark, sf):
     )
 
 
+def q_ivf_index_topk(spark, sf):
+    """The PERSISTED IVF path (operators/ivf_index.py): quantizer trained
+    ONCE into a LakeTable-backed index (centroids ride the snapshot as a
+    property, assignments as LWW rows), every query batch after that skips
+    the iters+1 training passes. Built once per sf dir under /tmp and
+    reused — the 100 TB posture, where the corpus is never re-quantized
+    per query. Oracle: identical to ivf_topk (the equality law on a synced
+    index, shared train/probe code path)."""
+    import hashlib as _h
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hemera_indexer_spark.lake.table import LakeTable
+    from hemera_indexer_spark.operators.ivf_index import IVFIndex
+
+    tag = _h.md5(f"{sf}|ivf16".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"hemera_q_ivflake_{tag}")
+    done = os.path.join(root, "_BUILT")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("seq", T.LongType()),
+                T.StructField("is_deleted", T.BooleanType(), False),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+        src = LakeTable.create(
+            spark, os.path.join(root, "emb"), schema, num_buckets=8,
+            key_col="vec_id", seq_col="seq",
+        )
+        src.bulk_load(
+            _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        )
+        IVFIndex.build_from_table(
+            spark, os.path.join(root, "idx"), src, ncells=16
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    src = LakeTable.load(spark, os.path.join(root, "emb"))
+    idx = IVFIndex.load(spark, os.path.join(root, "idx"))
+    return idx.topk(src, query_ids=[0, 1, 2, 3, 4], k=5, nprobe=4)
+
+
 # ------------------------------------------------------------ text suite
 def q_text_stats(spark, sf):
     from hemera_indexer_spark.operators.text import with_text_stats
@@ -1735,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "zonemap_range_scan": q_zonemap_range_scan,
         "image_decode_stats": q_image_decode_stats,
+        "ivf_index_topk": q_ivf_index_topk,
         "moving_avg": q_moving_avg,
         "rollup_agg": q_rollup_agg,
         "quantile_stats": q_quantile_stats,
@@ -1974,6 +2021,15 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_literal()
+    # equality law (tested): the persisted IVFIndex path answers exactly
+    # what the inline ivf_topk answers on a synced index — one shared
+    # quantizer/probe code path, so ONE oracle statement serves both.
+    d["ivf_index_topk"] = d["ivf_topk"]
+    return d
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2610,8 +2666,6 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
         """,
-        # multimodal features: the stub decode derives 32 values h_i/255
-        # from sha256(content); mean/std come from exact integer sums, so
         # The Spark side reads through the lake's zone-map pruning (and
         # asserts files were actually skipped); the oracle states the same
         # middle-quintile window over the raw fixture.
@@ -2650,6 +2704,8 @@ def oracle_sql() -> dict[str, str]:
             FROM px
             GROUP BY doc_id, width, height
         """,
+        # multimodal features: the stub decode derives 32 values h_i/255
+        # from sha256(content); mean/std come from exact integer sums, so
         # the formula is the same fixed sequence of IEEE double ops on both
         # engines (see operators/multimodal.py::extract_features).
         "multimodal_features": """

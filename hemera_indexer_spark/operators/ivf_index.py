@@ -165,8 +165,14 @@ class IVFIndex:
         return 2 * version + (1 if trained else 0)
 
     def _valid(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        # NULL, empty AND zero-norm vectors are unindexable: cosine to any
+        # centroid is 0/0 (an ANSI-mode DIVIDE_BY_ZERO crash, NaN
+        # otherwise). Real corpora do contain zero embeddings (failed
+        # encoder calls, padding rows); they drop out of the index like
+        # empties — no cosine neighbor is definable for them.
         return df.where(
-            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+            F.col(vec_col).isNotNull()
+            & F.exists(F.col(vec_col), lambda x: x != 0)
         )
 
     def _train_and_assign(
@@ -230,6 +236,7 @@ class IVFIndex:
         since_version: int | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        properties_update: dict | None = None,
     ) -> bool:
         """Assign CHANGED vectors against the FROZEN persisted quantizer —
         O(changed rows), never O(corpus). Inserted/updated vectors get their
@@ -276,7 +283,9 @@ class IVFIndex:
                 null_cell,
             )
             return self.table.merge_upsert(
-                rows.unionByName(emptied).unionByName(dels), epoch_id=target
+                rows.unionByName(emptied).unionByName(dels),
+                epoch_id=target,
+                properties_update=properties_update,
             )
         finally:
             ch.unpersist()

@@ -431,6 +431,7 @@ class SignatureIndexSink:
         text_col: str = "tokens",
         report_dir: str | None = None,
         report_threshold: float = 0.5,
+        fence_key: str | None = None,
     ):
         # ``index``: a SignatureIndex built over ``table`` (typically
         # build_from_table on the state table before the run, or a fresh
@@ -444,11 +445,26 @@ class SignatureIndexSink:
         # (new_id, base_id, jaccard). Deterministic path, overwritten on
         # re-drive — idempotent. Pairs against a doc deleted in the same
         # group verify against nothing (its text is gone) and drop out.
+        #
+        # ``fence_key``: REQUIRED when several tenant controllers share ONE
+        # index over a shared state table (pass the tenant id). Each
+        # controller's log-epoch sequence is independent, and the fence is
+        # monotone-max — one shared property would let tenant A's epoch 7
+        # fence out tenant B's epochs 0..7 in B's committed-floor check.
+        # The index CONTENT needs no namespacing (its sync cursor lives in
+        # the shared source-version domain and every sync covers all
+        # tenants' changes); only this log-epoch fence is per-controller.
+        # Give each tenant its own ``report_dir`` too — report partitions
+        # are keyed by log epoch.
         self.table = table
         self.index = index
         self.text_col = text_col
         self.report_dir = report_dir
         self.report_threshold = report_threshold
+        self.fence_prop = (
+            self.FENCE_PROP if fence_key is None
+            else f"{self.FENCE_PROP}:{fence_key}"
+        )
 
     def apply(self, seg: DataFrame, group_epoch, seg_idx, fence, manifest, min_seq):
         pass  # maintenance is change-feed-driven, after the state commit
@@ -459,7 +475,7 @@ class SignatureIndexSink:
     def committed_epoch(self) -> int:
         self.index.table.refresh()
         return int(
-            self.index.table.snapshot["properties"].get(self.FENCE_PROP, -1)
+            self.index.table.snapshot["properties"].get(self.fence_prop, -1)
         )
 
     def after_commit(self, group_epoch: int, is_last: bool):
@@ -473,13 +489,13 @@ class SignatureIndexSink:
             self.table,
             id_col=self.table.key_col,
             text_col=self.text_col,
-            properties_update={self.FENCE_PROP: fence},
+            properties_update={self.fence_prop: fence},
         )
         if not synced and self.committed_epoch() < fence:
             # state version unchanged (an all-fenced re-driven group) but the
             # log fence lags: advance it alone so the controller's committed
             # floor can't livelock on a group that will never change state
-            self.index.table.update_properties({self.FENCE_PROP: fence})
+            self.index.table.update_properties({self.fence_prop: fence})
 
     def _write_report(self, fence: int) -> None:
         """Admission report for the group: its inserted/updated docs checked
@@ -514,3 +530,86 @@ class SignatureIndexSink:
             # loop — leaked caches here accumulate executor storage forever
             for c in caches:
                 c.unpersist()
+
+
+class IVFIndexSink:
+    """ANN-index maintenance as part of the exporter fan-out: after each
+    committed group, the :class:`~hemera_indexer_spark.operators.ivf_index.
+    IVFIndex` syncs from the state table's net change feed — the
+    SignatureIndexSink discipline applied to the IVF quantizer, so the
+    ingest loop keeps a queryable vector index current at commit
+    granularity, assignments O(changed vectors) per group.
+
+    ``max_drift``: when set, the sink runs the index's ``maybe_retrain``
+    policy instead of a plain sync — the quantizer retrains in-line when
+    the corpus has drifted past the threshold since training (retraining is
+    a full-corpus pass; leave it to an offline ``lake_admin.py
+    ivf-maintain`` run by passing None, the default).
+
+    Epoch-domain and tenancy rules are SignatureIndexSink's: the index's
+    manifest fence stays in the source-snapshot-version domain; the
+    controller-facing ``committed_epoch()`` reads a log-epoch property
+    stamped with each sync (namespaced via ``fence_key`` when several
+    tenant controllers share one index)."""
+
+    FENCE_PROP = "source_log_epoch"
+
+    def __init__(
+        self,
+        table: LakeTable,
+        index,
+        id_col: str = "doc_id",
+        vec_col: str = "embedding",
+        max_drift: float | None = None,
+        fence_key: str | None = None,
+    ):
+        self.table = table
+        self.index = index
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.max_drift = max_drift
+        self.fence_prop = (
+            self.FENCE_PROP if fence_key is None
+            else f"{self.FENCE_PROP}:{fence_key}"
+        )
+
+    def apply(self, seg, group_epoch, seg_idx, fence, manifest, min_seq):
+        pass  # maintenance is change-feed-driven, after the state commit
+
+    def rollback(self, cond, seq_at_least: int):
+        pass  # the rollback rewrites state files -> changes_since nets it
+
+    def committed_epoch(self) -> int:
+        self.index.table.refresh()
+        return int(
+            self.index.table.snapshot["properties"].get(self.fence_prop, -1)
+        )
+
+    def after_commit(self, group_epoch: int, is_last: bool):
+        if not is_last:
+            return
+        self.table.refresh()
+        fence = max(int(group_epoch), self.committed_epoch())  # monotone
+        moved = False
+        if (
+            self.max_drift is not None
+            and self.index.drift(self.table, id_col=self.id_col)
+            >= self.max_drift
+        ):
+            moved = self.index.retrain(
+                self.table, id_col=self.id_col, vec_col=self.vec_col
+            )
+            if moved:
+                self.index.table.update_properties({self.fence_prop: fence})
+        else:
+            moved = self.index.update_from_changes(
+                self.table,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                properties_update={self.fence_prop: fence},
+            )
+        if not moved and self.committed_epoch() < fence:
+            # state version unchanged (an all-fenced re-driven group) but
+            # the log fence lags: advance it alone so the controller's
+            # committed floor can't livelock
+            self.index.table.update_properties({self.fence_prop: fence})

@@ -13,6 +13,13 @@ Usage:
     python scripts/lake_admin.py TABLE_ROOT compact [--strategy sql|jvm]
     python scripts/lake_admin.py TABLE_ROOT pack [--max-files N] [--small-rows R]
 
+ANN-index maintenance (TABLE_ROOT is the INDEX root; --source the corpus):
+    python scripts/lake_admin.py IDX_ROOT ivf-build --source SRC [--ncells N]
+    python scripts/lake_admin.py IDX_ROOT ivf-sync --source SRC
+    python scripts/lake_admin.py IDX_ROOT ivf-drift --source SRC
+    python scripts/lake_admin.py IDX_ROOT ivf-retrain --source SRC
+    python scripts/lake_admin.py IDX_ROOT ivf-maintain --source SRC [--max-drift F]
+
 Prints ONE JSON line per invocation (machine-consumable, like
 run_ingest.py's report).
 """
@@ -25,6 +32,56 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _ivf(spark, args) -> dict:
+    """ANN-index maintenance verbs: the SignatureIndex-style operational
+    surface for the persisted IVF quantizer (operators/ivf_index.py) —
+    build once, sync O(changed) after source commits, retrain on drift."""
+    from hemera_indexer_spark.lake import LakeTable
+    from hemera_indexer_spark.operators.ivf_index import IVFIndex
+
+    if not args.source:
+        raise SystemExit("ivf-* verbs require --source SRC_TABLE_ROOT")
+    src = LakeTable.load(spark, args.source)
+    kw = dict(id_col=args.id_col, vec_col=args.vec_col)
+    if args.verb == "ivf-build":
+        idx = IVFIndex.build_from_table(
+            spark, args.table_root, src, ncells=args.ncells,
+            num_buckets=args.num_buckets, **kw,
+        )
+        return {
+            "built": args.table_root,
+            "ncells": idx.ncells,
+            "trained_version": idx.trained_version(),
+            "rows_at_train": idx.rows_at_train(),
+        }
+    idx = IVFIndex.load(spark, args.table_root)
+    if args.verb == "ivf-sync":
+        return {
+            "synced": idx.update_from_changes(src, **kw),
+            "synced_version": idx.synced_version(),
+        }
+    if args.verb == "ivf-drift":
+        return {
+            "drift": round(idx.drift(src, id_col=args.id_col), 6),
+            "trained_version": idx.trained_version(),
+            "synced_version": idx.synced_version(),
+        }
+    if args.verb == "ivf-retrain":
+        idx.retrain(src, **kw)
+        return {
+            "retrained": True,
+            "trained_version": idx.trained_version(),
+            "rows_at_train": idx.rows_at_train(),
+        }
+    # ivf-maintain
+    action = idx.maybe_retrain(src, max_drift=args.max_drift, **kw)
+    return {
+        "action": action,
+        "trained_version": idx.trained_version(),
+        "synced_version": idx.synced_version(),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("table_root")
@@ -33,6 +90,8 @@ def main():
         choices=[
             "health", "tag", "clone", "purge", "expire", "vacuum",
             "compact", "pack",
+            "ivf-build", "ivf-sync", "ivf-drift", "ivf-retrain",
+            "ivf-maintain",
         ],
     )
     ap.add_argument("arg", nargs="?", default=None,
@@ -43,6 +102,13 @@ def main():
     ap.add_argument("--max-files", type=int, default=1)
     ap.add_argument("--small-rows", type=int, default=None)
     ap.add_argument("--cores", type=int, default=4)
+    ap.add_argument("--source", default=None,
+                    help="source corpus LakeTable root (ivf-* verbs)")
+    ap.add_argument("--ncells", type=int, default=16)
+    ap.add_argument("--id-col", default="vec_id")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--num-buckets", type=int, default=16)
+    ap.add_argument("--max-drift", type=float, default=0.25)
     args = ap.parse_args()
 
     from hemera_indexer_spark.lake import LakeTable
@@ -50,6 +116,10 @@ def main():
 
     spark = get_spark("lake-admin", cores=args.cores,
                       shuffle_partitions=2 * args.cores)
+
+    if args.verb.startswith("ivf-"):
+        print(json.dumps(_ivf(spark, args)))
+        return
     t = LakeTable.load(spark, args.table_root)
 
     if args.verb == "health":

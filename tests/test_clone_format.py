@@ -276,6 +276,72 @@ def test_lake_admin_cli_verbs(spark, tmp_path):
     assert not {"d1", "d2"} & left and len(left) == 8
 
 
+def test_lake_admin_ivf_verbs(spark, tmp_path):
+    """scripts/lake_admin.py ivf-*: build / drift / maintain round-trip in
+    real subprocesses against an embeddings source table mutated between
+    calls — the operational loop an index operator actually runs."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    src_root = str(tmp_path / "emb")
+    idx_root = str(tmp_path / "ivf")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("is_deleted", T.BooleanType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    src = LakeTable.create(spark, src_root, schema, num_buckets=4,
+                           key_col="vec_id", seq_col="seq")
+    src.bulk_load(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+
+    def admin(*argv):
+        r = subprocess.run(
+            [_sys.executable, "scripts/lake_admin.py", idx_root, *argv,
+             "--source", src_root],
+            capture_output=True, text=True, timeout=300,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    b = admin("ivf-build", "--ncells", "8")
+    assert b["ncells"] == 8 and b["rows_at_train"] > 0
+    d = admin("ivf-drift")
+    assert d["drift"] == 0.0
+    m = admin("ivf-maintain")
+    assert m["action"] == "noop"
+    # small mutation -> maintain syncs incrementally
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(90001, 100, [1.0] * 64, "update")],
+            "vec_id long, seq long, embedding array<float>, op string",
+        ),
+        epoch_id=1,
+    )
+    m = admin("ivf-maintain", "--max-drift", "0.5")
+    assert m["action"] == "sync"
+    # mass mutation past the drift threshold -> maintain retrains
+    n = b["rows_at_train"]
+    rows = [(91000 + i, 200 + i, [float(i % 7)] * 64, "update")
+            for i in range(n // 2 + 1)]
+    src.merge_upsert(
+        spark.createDataFrame(
+            rows, "vec_id long, seq long, embedding array<float>, op string"
+        ),
+        epoch_id=2,
+    )
+    m = admin("ivf-maintain", "--max-drift", "0.5")
+    assert m["action"] == "retrain"
+    assert m["trained_version"] == LakeTable.load(spark, src_root).snapshot["version"]
+
+
 def test_purge_keys_long_keyed_table_hits_right_bucket(spark, tmp_path):
     """Regression: bucket ids must come from bucket_col over the key
     COLUMN's type — xxhash64 of a Python-int literal (IntegerType) and of

@@ -247,6 +247,75 @@ def test_signature_index_sink_e2e(spark, tiny_log, tmp_path):
     assert sink.committed_epoch() == last_epoch
 
 
+def test_one_index_shared_by_tenant_controllers(spark, tmp_path):
+    """Two tenant controllers over ONE shared state table can maintain ONE
+    SignatureIndex when each sink namespaces its log-epoch fence
+    (fence_key=tenant): fences stay independent (tenant A's epochs never
+    fence out tenant B's), every sync covers both tenants' changes, and
+    the final index equals a fresh rebuild of the shared corpus."""
+    from hemera_indexer_spark.lake import LakeTable
+    from hemera_indexer_spark.operators.dedup_index import SignatureIndex
+    from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from hemera_indexer_spark.streaming import StreamController
+    from hemera_indexer_spark.streaming.sinks import SignatureIndexSink
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    idx = SignatureIndex.build_from_table(
+        spark, str(tmp_path / "idx"), table, text_col="tokens", k=8, bands=2
+    )
+    logs = {}
+    for tenant in (1, 2):
+        logs[tenant] = generate_changelog(
+            str(tmp_path / f"log{tenant}"),
+            ChangelogSpec(
+                n_docs=60, n_epochs=4, events_per_epoch=120, n_partitions=2,
+                seed=300 + tenant, schema_evolution_epoch=None,
+                rollback_epochs=(), doc_prefix=f"t{tenant}_doc",
+            ),
+        )
+
+    def ctl(tenant):
+        sink = SignatureIndexSink(
+            table, idx, text_col="tokens", fence_key=str(tenant)
+        )
+        return StreamController(
+            spark, table, logs[tenant].out_dir, 2,
+            tenant_col="chain_id", tenant_id=tenant, sinks=[sink],
+        ), sink
+
+    # interleave: t1 partial -> t2 full -> t1 rest. With a SHARED fence,
+    # t2's epochs (0..3) would have fenced out t1's remaining epochs.
+    c, s1a = ctl(1)
+    c.run(max_epochs=2)
+    assert s1a.committed_epoch() == 1
+    c, s2 = ctl(2)
+    c.run()
+    assert s2.committed_epoch() == 3
+    assert s1a.committed_epoch() == 1  # t2's run did not move t1's fence
+    c, s1b = ctl(1)
+    c.run()
+    assert s1b.committed_epoch() == 3
+    assert idx.synced_version() == table.snapshot["version"]
+
+    fresh = SignatureIndex.build_from_table(
+        spark, str(tmp_path / "idx2"), table, text_col="tokens", k=8, bands=2
+    )
+    cols = ["doc_id", "b0", "b1"]
+    got = sorted(map(tuple, idx.table.current_state().select(*cols).collect()))
+    want = sorted(map(tuple, fresh.table.current_state().select(*cols).collect()))
+    assert got == want and got
+    # both tenants' docs are in the one index
+    ids = {t[0] for t in got}
+    assert any(i.startswith("t1_") for i in ids)
+    assert any(i.startswith("t2_") for i in ids)
+
+
 def _write_log_epoch(out_dir, epoch, rows, seq0):
     """Hand-crafted 1-partition changelog epoch: rows = [(doc_id, tokens)]."""
     import os

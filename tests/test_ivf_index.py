@@ -78,7 +78,8 @@ def test_update_from_changes_is_incremental_and_idempotent(spark, tmp_path):
     idx = IVFIndex.build_from_table(spark, str(tmp_path / "idx"), src, ncells=8)
     before = {r["vec_id"]: r["cell"] for r in idx.assignments().collect()}
     trained0 = idx.trained_version()
-    # epoch 1: insert 9001, move vec 5, delete vec 7, empty vec 11's vector
+    # epoch 1: insert 9001, move vec 5, delete vec 7, empty vec 11's
+    # vector, zero out vec 13's (zero-norm = unindexable by cosine)
     _merge(
         src,
         spark,
@@ -87,15 +88,16 @@ def test_update_from_changes_is_incremental_and_idempotent(spark, tmp_path):
             (5, 101, _vec(5), "update"),
             (7, 102, None, "delete"),
             (11, 103, [], "update"),
+            (13, 104, [0.0] * 64, "update"),
         ],
         epoch=1,
     )
     assert idx.update_from_changes(src)
     after = {r["vec_id"]: r["cell"] for r in idx.assignments().collect()}
     assert 9001 in after
-    assert 7 not in after and 11 not in after
+    assert 7 not in after and 11 not in after and 13 not in after
     # untouched keys keep their assignment (O(changed) maintenance)
-    untouched = set(before) - {5, 7, 11}
+    untouched = set(before) - {5, 7, 11, 13}
     assert all(after[k] == before[k] for k in untouched)
     # the quantizer itself is FROZEN: training metadata unchanged
     assert idx.trained_version() == trained0
@@ -173,6 +175,115 @@ def test_maybe_retrain_policy(spark, tmp_path):
     )
     assert idx.maybe_retrain(src, max_drift=0.5) == "retrain"
     assert idx.trained_version() == src.snapshot["version"]
+
+
+def _write_vec_epoch(log_dir, epoch, rows, seq0):
+    """1-partition changelog epoch carrying an `embedding` payload column
+    (additive evolution adds it to the state table on first sight).
+    rows = [(doc_id, op, emb|None)]. All-nullable arrow schema — see the
+    pyarrow not-null write gotcha in tests/test_model_walk.py."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("seq", pa.int64()),
+            pa.field("epoch", pa.int64()),
+            pa.field("partition", pa.int32()),
+            pa.field("doc_id", pa.string()),
+            pa.field("op", pa.string()),
+            pa.field("embedding", pa.list_(pa.float32())),
+            pa.field("rollback_to_seq", pa.int64()),
+        ]
+    )
+    cols = {
+        "seq": [seq0 + i for i in range(len(rows))],
+        "epoch": [epoch] * len(rows),
+        "partition": [0] * len(rows),
+        "doc_id": [r[0] for r in rows],
+        "op": [r[1] for r in rows],
+        "embedding": [r[2] for r in rows],
+        "rollback_to_seq": [None] * len(rows),
+    }
+    path = os.path.join(log_dir, f"epoch={epoch:05d}", "partition=000")
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pydict(cols, schema=schema),
+        os.path.join(path, "events.parquet"),
+    )
+
+
+def test_ivf_index_sink_maintains_index_through_ingest(spark, tmp_path):
+    """Full CDC replay with an IVFIndexSink: the persisted ANN index stays
+    synced at commit granularity (inserts assigned, deletes dropped), the
+    empty-corpus cold start self-heals via the drift-triggered retrain,
+    the log fence tracks the last epoch, and a re-driven controller moves
+    nothing (fenced)."""
+    from hemera_indexer_spark.lake import LakeTable
+    from hemera_indexer_spark.operators.ivf_index import IVFIndex
+    from hemera_indexer_spark.streaming import StreamController
+    from hemera_indexer_spark.streaming.sinks import IVFIndexSink
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("is_deleted", T.BooleanType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    log = str(tmp_path / "log")
+    _write_vec_epoch(
+        log, 0,
+        [(f"a{i}", "update", _vec(i, 16)) for i in range(12)],
+        seq0=0,
+    )
+    _write_vec_epoch(
+        log, 1,
+        [("a3", "delete", None), ("b1", "update", _vec(100, 16)),
+         ("a5", "update", _vec(205, 16))],
+        seq0=20,
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), schema, num_buckets=4
+    )
+    idx = IVFIndex.build_from_table(
+        spark, str(tmp_path / "idx"), table, ncells=4,
+        id_col="doc_id", vec_col="embedding",
+    )
+    sink = IVFIndexSink(
+        table, idx, id_col="doc_id", vec_col="embedding", max_drift=0.5
+    )
+    StreamController(
+        spark, table, log, 1, sinks=[sink], max_batch_epochs=1
+    ).run()
+    assert sink.committed_epoch() == 1
+    assert idx.synced_version() == table.snapshot["version"]
+    live = {
+        r["doc_id"]
+        for r in table.current_state().where(
+            F.col("embedding").isNotNull()
+        ).collect()
+    }
+    assigned = {r["vec_id"] for r in idx.assignments().collect()}
+    assert assigned == live and "a3" not in assigned and "b1" in assigned
+    # the index answers: top-1 neighbor of a0 among the ingested vectors
+    res = idx.topk(table, ["a0"], k=1, nprobe=2,
+                   id_col="doc_id", vec_col="embedding").collect()
+    assert len(res) == 1 and res[0]["neighbor_id"] != "a0"
+    # re-drive: fenced; neither fence nor index move
+    v = idx.table.snapshot["version"]
+    StreamController(
+        spark, LakeTable.load(spark, str(tmp_path / "lake")), log, 1,
+        sinks=[IVFIndexSink(table, idx, id_col="doc_id",
+                            vec_col="embedding", max_drift=0.5)],
+        max_batch_epochs=1,
+    ).run()
+    idx.table.refresh()
+    assert idx.table.snapshot["version"] == v
+    assert sink.committed_epoch() == 1
 
 
 def test_family_and_non_index_guards(spark, tmp_path):
