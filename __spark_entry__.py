@@ -975,6 +975,24 @@ def q_decontaminate(spark, sf):
     return cross_corpus_span_overlap(train, bench, "doc_id", "text", window=8)
 
 
+def q_bloom_decontaminate(spark, sf):
+    """Decontamination through the BLOOM SURROGATE of the benchmark span
+    set (operators/dedup.py::bloom_span_decontaminate): k md5-prefix
+    positions per span, bench reduced to distinct (i, pos) pairs bounded
+    by k*16^prefix regardless of bench size, training span positive iff
+    all k positions hit. Same split as q_decontaminate; the oracle
+    replicates the position derivation exactly (no-false-negatives law vs
+    cross_corpus_span_overlap is property-tested separately)."""
+    from hemera_indexer_spark.operators.dedup import bloom_span_decontaminate
+
+    docs = _t(spark, sf, "documents")
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    return bloom_span_decontaminate(
+        train, bench, "doc_id", "text", window=8, k=3, prefix_len=6
+    )
+
+
 def q_pack_sequences(spark, sf):
     """Sequence packing (concat-and-chunk): variable-length docs packed
     into fixed 64-token training rows per language group — the step between
@@ -1782,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_range_scan": q_zonemap_range_scan,
         "image_decode_stats": q_image_decode_stats,
         "ivf_index_topk": q_ivf_index_topk,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "moving_avg": q_moving_avg,
         "rollup_agg": q_rollup_agg,
         "quantile_stats": q_quantile_stats,
@@ -2849,6 +2868,53 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT doc_id, COUNT(*) AS n_hits
                 FROM tr SEMI JOIN bench USING (span_hash)
                 GROUP BY doc_id
+            )
+            SELECT h.doc_id, h.n_hits, p.n_spans,
+                   ROUND(h.n_hits / p.n_spans, 6) AS contamination
+            FROM hits h JOIN per_doc p USING (doc_id)
+        """,
+        # Bloom-surrogate decontamination: the oracle replicates the k
+        # md5-prefix positions per span exactly, so the hash (including
+        # any Bloom false positives) must match bit-for-bit.
+        "bloom_decontaminate": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+                FROM documents
+            ),
+            occ AS (
+                SELECT doc_id,
+                       md5(array_to_string(words[i + 1 : i + 8], ' ')) AS span_hash
+                FROM w, LATERAL unnest(generate_series(0, len(words) - 8)) AS t(i)
+                WHERE len(words) >= 8
+            ),
+            bench AS (SELECT DISTINCT span_hash FROM occ WHERE doc_id % 10 = 0),
+            tr AS (SELECT * FROM occ WHERE doc_id % 10 <> 0),
+            per_doc AS (SELECT doc_id, COUNT(*) AS n_spans FROM tr GROUP BY doc_id),
+            spans AS (
+                SELECT doc_id, span_hash, COUNT(*) AS n_occ
+                FROM tr GROUP BY doc_id, span_hash
+            ),
+            ks AS (SELECT unnest(generate_series(0, 2)) AS i),
+            bench_pos AS (
+                SELECT DISTINCT ks.i,
+                       substr(md5(b.span_hash || '#' || CAST(ks.i AS VARCHAR)), 1, 6) AS pos
+                FROM bench b CROSS JOIN ks
+            ),
+            tr_pos AS (
+                SELECT s.doc_id, s.span_hash, s.n_occ, ks.i,
+                       substr(md5(s.span_hash || '#' || CAST(ks.i AS VARCHAR)), 1, 6) AS pos
+                FROM spans s CROSS JOIN ks
+            ),
+            positive AS (
+                SELECT doc_id, span_hash, n_occ
+                FROM tr_pos SEMI JOIN bench_pos USING (i, pos)
+                GROUP BY doc_id, span_hash, n_occ
+                HAVING COUNT(DISTINCT i) = 3
+            ),
+            hits AS (
+                SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_hits
+                FROM positive GROUP BY doc_id
             )
             SELECT h.doc_id, h.n_hits, p.n_spans,
                    ROUND(h.n_hits / p.n_spans, 6) AS contamination

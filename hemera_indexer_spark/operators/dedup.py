@@ -680,6 +680,26 @@ def duplicated_spans(
 
 
 # -------------------------------------------------- benchmark decontamination
+def _span_hash_arrays(
+    df: DataFrame, id_col: str, text_col: str, window: int, stride: int
+) -> DataFrame:
+    """(doc_id, _spans): per-doc array of md5 hashes of every ``window``-word
+    span at ``stride`` — the shared span derivation of the decontamination
+    operators (one map-only pass, no shuffle)."""
+    w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
+    arr = F.col("_w")
+    starts = F.when(
+        F.size(arr) >= window,
+        F.sequence(F.lit(0), F.size(arr) - window, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        starts,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i + 1, window))),
+    )
+    return base.select("doc_id", sh.alias("_spans"))
+
+
 def cross_corpus_span_overlap(
     train: DataFrame,
     bench: DataFrame,
@@ -707,18 +727,7 @@ def cross_corpus_span_overlap(
     Returns (doc_id, n_hits, n_spans, contamination) per contaminated
     training doc, where contamination = n_hits / n_spans."""
     def span_arrays(df: DataFrame) -> DataFrame:
-        w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
-        base = df.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
-        arr = F.col("_w")
-        starts = F.when(
-            F.size(arr) >= window,
-            F.sequence(F.lit(0), F.size(arr) - window, F.lit(stride)),
-        ).otherwise(F.array().cast("array<int>"))
-        sh = F.transform(
-            starts,
-            lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i + 1, window))),
-        )
-        return base.select("doc_id", sh.alias("_spans"))
+        return _span_hash_arrays(df, id_col, text_col, window, stride)
 
     bench_spans = (
         span_arrays(bench)
@@ -738,6 +747,102 @@ def cross_corpus_span_overlap(
         occ.join(F.broadcast(bench_spans), "span_hash", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"), F.first("n_spans").alias("n_spans"))
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_spans",
+            F.round(F.col("n_hits") / F.col("n_spans"), 6).alias("contamination"),
+        )
+    )
+
+
+def bloom_span_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    stride: int = 1,
+    k: int = 3,
+    prefix_len: int = 6,
+) -> DataFrame:
+    """Decontamination via a BLOOM SURROGATE of the benchmark span set —
+    the scale path when the bench side is too big to broadcast raw
+    (``cross_corpus_span_overlap`` broadcasts the distinct span hashes;
+    fine for benchmarks, not for checking a corpus against another CORPUS).
+
+    Each span hash maps to ``k`` positions — the first ``prefix_len`` hex
+    chars of md5(span_hash + '#' + i) — a domain of 16^prefix_len cells.
+    The bench side reduces to its DISTINCT (i, position) pairs: at most
+    k x |distinct bench spans| rows of ``prefix_len`` chars, and BOUNDED
+    ABOVE by k x 16^prefix_len regardless of bench size — that bound is
+    the point: the surrogate saturates at the filter size while raw span
+    hashes grow with the corpus. A training span is bloom-POSITIVE iff all
+    k of its positions appear (classic Bloom semantics as an equi-join —
+    left unhinted so AQE broadcasts the surrogate when it fits and
+    shuffle-joins when it does not).
+
+    Guarantees, matching a Bloom filter's: NO false negatives (every truly
+    contaminated span hits all k positions by construction — tested as a
+    superset law against ``cross_corpus_span_overlap``); false positives
+    at rate ~(1 - e^(-k·n/m))^k for n distinct bench spans, m =
+    16^prefix_len — flagged docs are candidates to verify or to drop
+    conservatively. Deterministic and engine-portable (md5 both sides).
+
+    Returns the same shape as ``cross_corpus_span_overlap``:
+    (doc_id, n_hits, n_spans, contamination), where n_hits counts
+    bloom-positive span OCCURRENCES."""
+    def positions(col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.substring(
+                        F.md5(F.concat(col, F.lit(f"#{i}"))), 1, prefix_len
+                    ).alias("pos"),
+                )
+                for i in range(k)
+            ]
+        )
+
+    bench_pos = (
+        _span_hash_arrays(bench, id_col, text_col, window, stride)
+        .select(F.explode("_spans").alias("span_hash"))
+        .distinct()
+        .select(F.explode(positions(F.col("span_hash"))).alias("_p"))
+        .select("_p.i", "_p.pos")
+        .distinct()
+    )
+    # one map-only training pass; occurrences collapse to (span, n_occ)
+    # BEFORE the k-way position explode so the join input is k rows per
+    # DISTINCT span per doc, not per occurrence
+    spans = (
+        _span_hash_arrays(train, id_col, text_col, window, stride)
+        .select(
+            "doc_id",
+            F.size("_spans").alias("n_spans"),
+            F.explode("_spans").alias("span_hash"),
+        )
+        .groupBy("doc_id", "n_spans", "span_hash")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    probed = (
+        spans.select(
+            "doc_id", "n_spans", "span_hash", "n_occ",
+            F.explode(positions(F.col("span_hash"))).alias("_p"),
+        )
+        .select("doc_id", "n_spans", "span_hash", "n_occ", "_p.i", "_p.pos")
+        .join(bench_pos, ["i", "pos"], "left_semi")
+        .groupBy("doc_id", "n_spans", "span_hash", "n_occ")
+        .agg(F.countDistinct("i").alias("_k_hit"))
+        .where(F.col("_k_hit") == k)
+    )
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_hits"),
+            F.first("n_spans").alias("n_spans"),
+        )
         .select(
             "doc_id",
             "n_hits",

@@ -144,6 +144,70 @@ def test_multimodal_features_deterministic(spark):
     assert all(r[2] > 0 for r in f1)  # n_bytes
 
 
+def test_bloom_decontaminate_laws(spark):
+    """Bloom-surrogate decontamination vs the exact broadcast path:
+    (a) NO false negatives — every exactly-contaminated doc is flagged
+    with at least the exact hit count and the identical denominator;
+    (b) false positives stay rare at prefix_len=6 (m = 16^6 cells vs a
+    few thousand bench spans)."""
+    from hemera_indexer_spark.operators.dedup import (
+        bloom_span_decontaminate,
+        cross_corpus_span_overlap,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    exact = {
+        r["doc_id"]: (r["n_hits"], r["n_spans"])
+        for r in cross_corpus_span_overlap(
+            train, bench, "doc_id", "text", window=8
+        ).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_hits"], r["n_spans"])
+        for r in bloom_span_decontaminate(
+            train, bench, "doc_id", "text", window=8, k=3, prefix_len=6
+        ).collect()
+    }
+    assert exact, "fixture produced no contamination — test is vacuous"
+    assert set(exact) <= set(bloom)
+    for d, (h, n) in exact.items():
+        assert bloom[d][1] == n
+        assert bloom[d][0] >= h
+    # FP budget: spurious flags (docs or extra hits) stay a tiny fraction
+    extra_docs = len(bloom) - len(exact)
+    assert extra_docs <= max(2, len(exact) // 10), (extra_docs, len(exact))
+
+
+def test_bloom_decontaminate_crafted_no_false_negative(spark):
+    """A doc sharing one verbatim 8-word span with the bench corpus is
+    flagged; an unrelated doc is not (at this fixture size the surrogate
+    has no collisions, so the negative assertion is stable)."""
+    from hemera_indexer_spark.operators.dedup import bloom_span_decontaminate
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words then {span} and a tail here"),
+            (2, "totally unrelated text with eight plus words in it today"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark prefix {span} benchmark suffix words")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in bloom_span_decontaminate(
+            train, bench, "doc_id", "text", window=8
+        ).collect()
+    }
+    assert 1 in got and got[1] >= 1
+    assert 2 not in got
+
+
 def test_image_codec_roundtrip_and_guards():
     """Pure-Python BMP/PPM codecs: encode∘decode is identity (including the
     4-byte row-padding widths 5 and 7), top-down BMPs decode, and malformed
