@@ -13,6 +13,8 @@ the indexer produces). Here the names resolve to the engine's sink set:
   (the aggr_jobs layer, commit-granular).
 - ``DEDUP_INDEX`` — CDC-maintained near-dup signature index over the
   state table (operators/dedup_index.py, commit-granular).
+- ``ANN_INDEX`` — CDC-maintained IVF vector index over an embedding
+  column of the state table (operators/ivf_index.py, commit-granular).
 - ``ALL``     — everything.
 
 ``parse_entity_types("state,facts")`` → flags; unknown names raise with
@@ -29,8 +31,9 @@ class EntityType(IntFlag):
     EXPORTS = 4
     VIEWS = 8
     DEDUP_INDEX = 16
+    ANN_INDEX = 32
 
-    ALL = STATE | FACTS | EXPORTS | VIEWS | DEDUP_INDEX
+    ALL = STATE | FACTS | EXPORTS | VIEWS | DEDUP_INDEX | ANN_INDEX
 
 
 def parse_entity_types(spec: str) -> EntityType:

@@ -83,6 +83,20 @@ def main() -> None:
                          "per fenced epoch")
     ap.add_argument("--dedup-report-threshold", type=float, default=0.5,
                     help="verified-jaccard cutoff for the admission report")
+    ap.add_argument("--ann-index-dir", default=None,
+                    help="maintain an IVF vector index over an embedding "
+                         "column of the state table at this root "
+                         "(IVFIndexSink; loaded if it exists, else trained "
+                         "from the current state before the run)")
+    ap.add_argument("--ann-vec-col", default="embedding",
+                    help="state column holding the vectors (array<float>)")
+    ap.add_argument("--ann-ncells", type=int, default=16,
+                    help="IVF cell count when building a new index")
+    ap.add_argument("--ann-max-drift", type=float, default=None,
+                    help="retrain the quantizer in-line when the corpus "
+                         "drift since training exceeds this fraction "
+                         "(default: never — retrain offline via "
+                         "lake_admin.py ivf-maintain)")
     ap.add_argument("--confirmation-lag", type=int, default=0,
                     help="stay this many epochs behind the log head (--delay analog)")
     ap.add_argument("--max-batch-epochs", type=int, default=8,
@@ -170,6 +184,8 @@ def main() -> None:
         entities |= EntityType.VIEWS
     if args.dedup_index_dir:
         entities |= EntityType.DEDUP_INDEX
+    if args.ann_index_dir:
+        entities |= EntityType.ANN_INDEX
 
     fact_table = None
     if EntityType.FACTS in entities:
@@ -222,8 +238,29 @@ def main() -> None:
             table, idx, text_col=args.dedup_index_text_col,
             report_dir=args.dedup_report_dir,
             report_threshold=args.dedup_report_threshold,
+            fence_key=args.tenant_id if args.tenant_col else None,
         )
         sinks.append(index_sink)
+    if EntityType.ANN_INDEX in entities:
+        if not args.ann_index_dir:
+            ap.error("--entity-types ANN_INDEX requires --ann-index-dir")
+        from hemera_indexer_spark.operators.ivf_index import IVFIndex
+        from hemera_indexer_spark.streaming.sinks import IVFIndexSink
+
+        if os.path.exists(os.path.join(args.ann_index_dir, "meta", "VERSION")):
+            ann = IVFIndex.load(spark, args.ann_index_dir)
+        else:
+            ann = IVFIndex.build_from_table(
+                spark, args.ann_index_dir, table, ncells=args.ann_ncells,
+                id_col=table.key_col, vec_col=args.ann_vec_col,
+            )
+        sinks.append(
+            IVFIndexSink(
+                table, ann, id_col=table.key_col, vec_col=args.ann_vec_col,
+                max_drift=args.ann_max_drift,
+                fence_key=args.tenant_id if args.tenant_col else None,
+            )
+        )
 
     t0 = time.monotonic()
     if args.repair is not None:
