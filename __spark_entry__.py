@@ -658,6 +658,56 @@ def q_ivf_topk(spark, sf):
     )
 
 
+def q_secidx_lookup(spark, sf):
+    """Secondary-index range lookup (operators/secondary_index.py): a
+    value band answered from the CDC-maintained narrow index's VALUE-
+    SORTED projection — per-file ranges disjoint by construction, so the
+    lookup opens only footer-overlapping files (asserted in-query) and
+    never scans the corpus. Built once per sf dir under /tmp; the oracle
+    states the same filter over the raw fixture."""
+    import hashlib as _h
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hemera_indexer_spark.lake.table import LakeTable
+    from hemera_indexer_spark.operators.secondary_index import SecondaryIndex
+
+    tag = _h.md5(f"{sf}|secidx".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"hemera_q_secidx_{tag}")
+    done = os.path.join(root, "_BUILT")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("seq", T.LongType()),
+                T.StructField("is_deleted", T.BooleanType(), False),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        src = LakeTable.create(
+            spark, os.path.join(root, "src"), schema, num_buckets=8,
+            key_col="doc_id", seq_col="seq",
+        )
+        src.bulk_load(
+            _t(spark, sf, "documents").select("doc_id", "n_chars")
+        )
+        idx = SecondaryIndex.build_from_table(
+            spark, os.path.join(root, "idx"), src, "n_chars", num_buckets=8
+        )
+        idx.maintain(n_files=8)
+        with open(done, "w") as f:
+            f.write("ok")
+    idx = SecondaryIndex.load(spark, os.path.join(root, "idx"))
+    kept, total = idx._proj_files(200, 260)
+    if not (0 < len(kept) < total):
+        raise AssertionError(
+            f"projection pruned nothing: kept {len(kept)} of {total} files"
+        )
+    return idx.lookup(200, 260)
+
+
 def q_ivf_index_topk(spark, sf):
     """The PERSISTED IVF path (operators/ivf_index.py): quantizer trained
     ONCE into a LakeTable-backed index (centroids ride the snapshot as a
@@ -1801,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": q_image_decode_stats,
         "ivf_index_topk": q_ivf_index_topk,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "secidx_lookup": q_secidx_lookup,
         "moving_avg": q_moving_avg,
         "rollup_agg": q_rollup_agg,
         "quantile_stats": q_quantile_stats,
@@ -2872,6 +2923,13 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT h.doc_id, h.n_hits, p.n_spans,
                    ROUND(h.n_hits / p.n_spans, 6) AS contamination
             FROM hits h JOIN per_doc p USING (doc_id)
+        """,
+        # The Spark side answers from the secondary index's sorted
+        # projection (file-skipping asserted in-query); the oracle states
+        # the same band over the raw fixture.
+        "secidx_lookup": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars BETWEEN 200 AND 260
         """,
         # Bloom-surrogate decontamination: the oracle replicates the k
         # md5-prefix positions per span exactly, so the hash (including
