@@ -54,7 +54,14 @@ class StructuredIngest:
         index_sink=None,
         fact_compact_max_files: int | None = None,
         fact_compact_small_rows: int | None = 1_000_000,
+        event_schema=None,
     ):
+        # ``event_schema``: the log's event schema (default: the engine's
+        # CHANGE_EVENT_SCHEMA). A streaming query's source schema is FIXED
+        # for its lifetime, so logs carrying extra payload columns (an
+        # embedding column, an evolved field) must declare them here — the
+        # batch controller discovers them from footers instead.
+        self.event_schema = event_schema
         self.spark = spark
         self.table = table
         self.log_dir = log_dir
@@ -241,7 +248,7 @@ class StructuredIngest:
         currently-available files then stops at a consistent point (the
         reference's catch-up-then-sleep loop)."""
         reader = (
-            self.spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+            self.spark.readStream.schema(self.event_schema or CHANGE_EVENT_SCHEMA)
             .option("pathGlobFilter", "*.parquet")
             .option("recursiveFileLookup", "true")
         )

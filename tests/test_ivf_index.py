@@ -286,6 +286,84 @@ def test_ivf_index_sink_maintains_index_through_ingest(spark, tmp_path):
     assert sink.committed_epoch() == 1
 
 
+def test_structured_ingest_maintains_ivf_index(spark, tmp_path):
+    """Streaming parity for the ANN index: StructuredIngest drives the
+    same IVFIndexSink through foreachBatch (event_schema declares the
+    embedding payload column — a streaming source schema is fixed, unlike
+    the batch controller's footer discovery); after draining, assignments
+    equal the live vector-bearing docs, and a restarted query over the
+    drained checkpoint moves nothing."""
+    from hemera_indexer_spark.lake import LakeTable
+    from hemera_indexer_spark.operators.ivf_index import IVFIndex
+    from hemera_indexer_spark.streaming.sinks import IVFIndexSink
+    from hemera_indexer_spark.streaming.structured import StructuredIngest
+
+    state_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("is_deleted", T.BooleanType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    event_schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("epoch", T.LongType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("rollback_to_seq", T.LongType()),
+        ]
+    )
+    log = str(tmp_path / "log")
+    _write_vec_epoch(
+        log, 0, [(f"a{i}", "update", _vec(i, 16)) for i in range(12)], seq0=0
+    )
+    _write_vec_epoch(
+        log, 1,
+        [("a3", "delete", None), ("b1", "update", _vec(100, 16))],
+        seq0=20,
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), state_schema, num_buckets=4
+    )
+    idx = IVFIndex.build_from_table(
+        spark, str(tmp_path / "idx"), table, ncells=4,
+        id_col="doc_id", vec_col="embedding",
+    )
+    StructuredIngest(
+        spark, table, log, 1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_sink=IVFIndexSink(
+            table, idx, id_col="doc_id", vec_col="embedding", max_drift=0.5
+        ),
+        event_schema=event_schema,
+    ).start(available_now=True).awaitTermination(300)
+    assert idx.synced_version() == table.snapshot["version"]
+    live = {
+        r["doc_id"]
+        for r in table.current_state()
+        .where(F.col("embedding").isNotNull())
+        .collect()
+    }
+    assigned = {r["vec_id"] for r in idx.assignments().collect()}
+    assert assigned == live and "a3" not in assigned and "b1" in assigned
+    # restart over the drained checkpoint: nothing moves
+    v = idx.table.snapshot["version"]
+    StructuredIngest(
+        spark, table, log, 1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_sink=IVFIndexSink(
+            table, idx, id_col="doc_id", vec_col="embedding", max_drift=0.5
+        ),
+        event_schema=event_schema,
+    ).start(available_now=True).awaitTermination(300)
+    idx.table.refresh()
+    assert idx.table.snapshot["version"] == v
+
+
 def test_family_and_non_index_guards(spark, tmp_path):
     from hemera_indexer_spark.operators.dedup_index import IndexFamilyError
     from hemera_indexer_spark.operators.ivf_index import IVFIndex
