@@ -15,6 +15,8 @@ the indexer produces). Here the names resolve to the engine's sink set:
   state table (operators/dedup_index.py, commit-granular).
 - ``ANN_INDEX`` — CDC-maintained IVF vector index over an embedding
   column of the state table (operators/ivf_index.py, commit-granular).
+- ``SEC_INDEX`` — CDC-maintained value->key secondary index over a
+  payload column (operators/secondary_index.py, commit-granular).
 - ``ALL``     — everything.
 
 ``parse_entity_types("state,facts")`` → flags; unknown names raise with
@@ -32,8 +34,9 @@ class EntityType(IntFlag):
     VIEWS = 8
     DEDUP_INDEX = 16
     ANN_INDEX = 32
+    SEC_INDEX = 64
 
-    ALL = STATE | FACTS | EXPORTS | VIEWS | DEDUP_INDEX | ANN_INDEX
+    ALL = STATE | FACTS | EXPORTS | VIEWS | DEDUP_INDEX | ANN_INDEX | SEC_INDEX
 
 
 def parse_entity_types(spec: str) -> EntityType:

@@ -137,7 +137,10 @@ class SecondaryIndex:
 
     # ---------------------------------------------------------- maintenance
     def update_from_changes(
-        self, source: LakeTable, since_version: int | None = None
+        self,
+        source: LakeTable,
+        since_version: int | None = None,
+        properties_update: dict | None = None,
     ) -> bool:
         """Standard net-feed maintenance: O(changed rows), fenced on the
         source's current snapshot version. The projection goes stale (its
@@ -163,7 +166,11 @@ class SecondaryIndex:
             F.lit("delete").alias("op"),
             F.lit(None).cast(self.table.schema[vc].dataType.simpleString()).alias(vc),
         )
-        return self.table.merge_upsert(ups.unionByName(dels), epoch_id=target)
+        return self.table.merge_upsert(
+            ups.unionByName(dels),
+            epoch_id=target,
+            properties_update=properties_update,
+        )
 
     def maintain(self, n_files: int | None = None) -> None:
         """Compact the maintenance table (value-clustered for row-group

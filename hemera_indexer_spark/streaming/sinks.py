@@ -613,3 +613,63 @@ class IVFIndexSink:
             # the log fence lags: advance it alone so the controller's
             # committed floor can't livelock
             self.index.table.update_properties({self.fence_prop: fence})
+
+
+class SecondaryIndexSink:
+    """Secondary-index maintenance as part of the exporter fan-out: after
+    each committed group the :class:`~hemera_indexer_spark.operators.
+    secondary_index.SecondaryIndex` syncs from the state table's change
+    feed (O(changed rows)); the value-sorted projection is refreshed when
+    its staleness crosses ``maintain_after`` sync rounds — between
+    refreshes lookups stay correct through the index's narrow-scan path,
+    so projection rewrites are a cost knob, never a correctness one.
+    Epoch-domain and tenancy rules are the index-sink family's
+    (SignatureIndexSink docstring)."""
+
+    FENCE_PROP = "source_log_epoch"
+
+    def __init__(
+        self,
+        table: LakeTable,
+        index,
+        maintain_after: int | None = None,
+        fence_key: str | None = None,
+    ):
+        self.table = table
+        self.index = index
+        self.maintain_after = maintain_after
+        self.fence_prop = (
+            self.FENCE_PROP if fence_key is None
+            else f"{self.FENCE_PROP}:{fence_key}"
+        )
+
+    def apply(self, seg, group_epoch, seg_idx, fence, manifest, min_seq):
+        pass  # maintenance is change-feed-driven, after the state commit
+
+    def rollback(self, cond, seq_at_least: int):
+        pass  # the rollback rewrites state files -> changes_since nets it
+
+    def committed_epoch(self) -> int:
+        self.index.table.refresh()
+        return int(
+            self.index.table.snapshot["properties"].get(self.fence_prop, -1)
+        )
+
+    def after_commit(self, group_epoch: int, is_last: bool):
+        if not is_last:
+            return
+        self.table.refresh()
+        fence = max(int(group_epoch), self.committed_epoch())  # monotone
+        moved = self.index.update_from_changes(
+            self.table, properties_update={self.fence_prop: fence}
+        )
+        if not moved and self.committed_epoch() < fence:
+            # all-fenced re-driven group: advance the log fence alone so
+            # the controller's committed floor can't livelock
+            self.index.table.update_properties({self.fence_prop: fence})
+        if (
+            self.maintain_after is not None
+            and self.index.synced_version() - self.index.projection_synced()
+            >= self.maintain_after
+        ):
+            self.index.maintain()

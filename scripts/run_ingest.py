@@ -97,6 +97,18 @@ def main() -> None:
                          "drift since training exceeds this fraction "
                          "(default: never — retrain offline via "
                          "lake_admin.py ivf-maintain)")
+    ap.add_argument("--secidx-dir", default=None,
+                    help="maintain a value->key secondary index over a "
+                         "payload column at this root (SecondaryIndexSink; "
+                         "loaded if it exists, else built from the current "
+                         "state before the run)")
+    ap.add_argument("--secidx-value-col", default="n_tok",
+                    help="state column the secondary index covers")
+    ap.add_argument("--secidx-maintain-after", type=int, default=None,
+                    help="rewrite the value-sorted projection when it lags "
+                         "the sync cursor by this many rounds (default: "
+                         "never in-line — lookups stay correct through the "
+                         "narrow-scan path; refresh offline)")
     ap.add_argument("--confirmation-lag", type=int, default=0,
                     help="stay this many epochs behind the log head (--delay analog)")
     ap.add_argument("--max-batch-epochs", type=int, default=8,
@@ -186,6 +198,8 @@ def main() -> None:
         entities |= EntityType.DEDUP_INDEX
     if args.ann_index_dir:
         entities |= EntityType.ANN_INDEX
+    if args.secidx_dir:
+        entities |= EntityType.SEC_INDEX
 
     fact_table = None
     if EntityType.FACTS in entities:
@@ -258,6 +272,26 @@ def main() -> None:
             IVFIndexSink(
                 table, ann, id_col=table.key_col, vec_col=args.ann_vec_col,
                 max_drift=args.ann_max_drift,
+                fence_key=args.tenant_id if args.tenant_col else None,
+            )
+        )
+    if EntityType.SEC_INDEX in entities:
+        if not args.secidx_dir:
+            ap.error("--entity-types SEC_INDEX requires --secidx-dir")
+        from hemera_indexer_spark.operators.secondary_index import (
+            SecondaryIndex,
+        )
+        from hemera_indexer_spark.streaming.sinks import SecondaryIndexSink
+
+        if os.path.exists(os.path.join(args.secidx_dir, "meta", "VERSION")):
+            sidx = SecondaryIndex.load(spark, args.secidx_dir)
+        else:
+            sidx = SecondaryIndex.build_from_table(
+                spark, args.secidx_dir, table, args.secidx_value_col,
+            )
+        sinks.append(
+            SecondaryIndexSink(
+                table, sidx, maintain_after=args.secidx_maintain_after,
                 fence_key=args.tenant_id if args.tenant_col else None,
             )
         )

@@ -139,6 +139,52 @@ def test_fetch_equals_source_filter(spark, tmp_path):
     assert plain == want and pruned == want
 
 
+def test_secondary_index_sink_e2e(spark, tiny_log, tmp_path):
+    """Full CDC replay (rollback + schema evolution included) with a
+    SecondaryIndexSink over n_tok: after the run the index answers range
+    lookups identical to filtering the state table, the projection is
+    fresh (maintain_after=1 refreshes every sync round), the log fence
+    tracks the last epoch, and a re-driven controller moves nothing."""
+    from hemera_indexer_spark.operators.secondary_index import SecondaryIndex
+    from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+    from hemera_indexer_spark.streaming import StreamController
+    from hemera_indexer_spark.streaming.sinks import SecondaryIndexSink
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    idx = SecondaryIndex.build_from_table(
+        spark, str(tmp_path / "idx"), table, "n_tok", num_buckets=4
+    )
+    sink = SecondaryIndexSink(table, idx, maintain_after=1)
+    stats = StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions,
+        sinks=[sink],
+    ).run()
+    last_epoch = max(e.epoch for e in stats.epochs)
+    assert sink.committed_epoch() == last_epoch
+    assert idx.synced_version() == table.snapshot["version"]
+    assert idx.is_projection_fresh()
+    want = {
+        (r["doc_id"], r["n_tok"])
+        for r in table.current_state()
+        .where(F.col("n_tok").between(10, 25))
+        .collect()
+    }
+    got = {tuple(r) for r in idx.lookup(10, 25).collect()}
+    assert got == want and got
+    # re-drive: fenced groups never reach the sink's merge
+    v = idx.table.snapshot["version"]
+    StreamController(
+        spark, LakeTable.load(spark, str(tmp_path / "lake")),
+        tiny_log.out_dir, tiny_log.spec.n_partitions,
+        sinks=[SecondaryIndexSink(table, idx, maintain_after=1)],
+    ).run()
+    idx.table.refresh()
+    assert idx.table.snapshot["version"] == v
+    assert sink.committed_epoch() == last_epoch
+
+
 def test_guards(spark, tmp_path):
     from hemera_indexer_spark.operators.dedup_index import IndexFamilyError
     from hemera_indexer_spark.operators.secondary_index import SecondaryIndex
