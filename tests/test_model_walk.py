@@ -11,6 +11,7 @@ visits (not just the interleavings the targeted tests chose)."""
 import random
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hemera_indexer_spark.lake import LakeTable
@@ -206,6 +207,14 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
         )
         for t in tenants
     }
+    # ONE secondary index SHARED by both tenant controllers — the
+    # namespaced-fence shape (each sink keeps its own log-epoch fence;
+    # the index content/cursor live in the shared source-version domain)
+    from hemera_indexer_spark.operators.secondary_index import SecondaryIndex
+
+    sidx = SecondaryIndex.build_from_table(
+        spark, str(tmp_path / "sidx"), table, "n_tok", num_buckets=4
+    )
 
     # model: per-tenant LWW fold keyed by doc_id -> (seq, tokens, dead);
     # plus the quarantine ledger and the committed seq high-water mark
@@ -260,15 +269,20 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
 
     def drive(t):
         nonlocal committed_max_seq
+        from hemera_indexer_spark.streaming.sinks import SecondaryIndexSink
+
         sink = SignatureIndexSink(
             table, idx[t], text_col="tokens",
             report_dir=reports[t], report_threshold=0.9,
+        )
+        ssink = SecondaryIndexSink(
+            table, sidx, maintain_after=2, fence_key=str(t)
         )
         StreamController(
             spark, table, logs[t], 1,
             tenant_col="chain_id", tenant_id=t,
             quarantine_dir=qdirs[t], quarantine_scan="always",
-            sinks=[sink],
+            sinks=[sink, ssink],
         ).run()
         had_pending = bool(pending[t])
         for rows in pending[t]:
@@ -330,6 +344,19 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
                 k for m in state.values() for k in m
             } - flagged
             assert got_cur == want_cur, (seed, step, ops, tt)
+        # the SHARED secondary index answers exactly the state filter
+        # whenever its cursor is at the table head (drives sync it;
+        # maintenance/purge ops between drives legitimately leave it
+        # behind — lookups then reflect the last synced cut)
+        if sidx.synced_version() == table.snapshot["version"]:
+            want_l = {
+                r["doc_id"]
+                for r in table.current_state()
+                .where(F.col("n_tok").between(10, 30))
+                .collect()
+            }
+            got_l = {r["doc_id"] for r in sidx.lookup(10, 30).collect()}
+            assert got_l == want_l, (seed, step, ops)
 
     ops = []
     step = 0
@@ -377,6 +404,8 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
             for tt in tenants:
                 if idx[tt].synced_version() < table.snapshot["version"]:
                     idx[tt].update_from_changes(table, text_col="tokens")
+            if sidx.synced_version() < table.snapshot["version"]:
+                sidx.update_from_changes(table)
             table.expire_snapshots(keep_last=rng.randint(2, 3))
             table.vacuum_orphans()
         elif op == "purge":
