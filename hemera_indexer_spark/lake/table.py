@@ -393,12 +393,21 @@ class LakeTable:
         return {int(k): v for k, v in self.snapshot["manifest"]["offsets"].items()}
 
     # ------------------------------------------------------------ commit core
-    def _write_snapshot(self, snap: dict, expected_parent: int | None) -> None:
+    def _write_snapshot(
+        self, snap: dict, expected_parent: int | None, wap_id: str | None = None
+    ) -> None:
         """Best-effort compare-and-swap on the version pointer: the snapshot
         only lands if VERSION still equals the version this commit was based
         on. Single-writer is the supported model (as in the reference's
         fix_record lock); this check makes accidental racing writers fail
-        loudly instead of losing updates."""
+        loudly instead of losing updates.
+
+        ``wap_id`` (write-audit-publish): the snapshot is written as a
+        STAGED file (``wap-<id>.json``) and the version pointer is NOT
+        flipped — data files exist on disk but are unreachable from the
+        live table until ``publish_staged(wap_id)`` CASes the pointer.
+        The parent precondition is checked here too (fail fast), and again
+        at publish."""
         if getattr(self, "_pinned", False):
             raise ConcurrentCommitError(
                 "this handle is pinned to a historical snapshot (as_of); "
@@ -418,6 +427,13 @@ class LakeTable:
         # the writer stamps its own generation (legacy tables upgrade on
         # their next commit; readers reject only NEWER generations)
         snap["format_version"] = FORMAT_VERSION
+        if wap_id is not None:
+            snap["wap_id"] = wap_id
+            _atomic_write(
+                os.path.join(self.meta_dir, f"wap-{wap_id}.json"),
+                json.dumps(snap),
+            )
+            return  # pointer untouched; the live snapshot is unchanged
         spath = os.path.join(self.meta_dir, f"snap-{snap['version']:010d}.json")
         _atomic_write(spath, json.dumps(snap))
         _atomic_write(vpath, str(snap["version"]))
@@ -759,8 +775,16 @@ class LakeTable:
         touched_buckets: set[int] | None = None,
         mode: str | None = None,
         properties_update: dict | None = None,
+        wap_id: str | None = None,
     ) -> bool:
         """LWW merge of an update batch into the table.
+
+        ``wap_id``: write-audit-publish — the merge's data files land on
+        disk and its snapshot is STAGED under that id instead of becoming
+        the live table; ``audit_staged(wap_id)`` reads the would-be state
+        for validation, then ``publish_staged``/``discard_staged`` makes it
+        visible or drops it. Epoch fencing takes effect at PUBLISH (an
+        unpublished stage fences nothing).
 
         ``updates`` columns: the table payload columns plus ``op``
         (insert|update|delete) and the seq column. Multiple rows per key are
@@ -823,7 +847,7 @@ class LakeTable:
             new_files = self._write_data(compacted, version, kind="delta")
             return self._commit_files(
                 base, version, new_files, set(), epoch_id, manifest,
-                properties_update,
+                properties_update, wap_id=wap_id,
             )
 
         # --- cow ---
@@ -837,7 +861,8 @@ class LakeTable:
         )
         if not touched:
             return self._commit_files(
-                base, version, [], set(), epoch_id, manifest, properties_update
+                base, version, [], set(), epoch_id, manifest,
+                properties_update, wap_id=wap_id,
             )
 
         replaced = {f["path"] for f in self._select_files(buckets=touched)}
@@ -853,7 +878,7 @@ class LakeTable:
         new_files = self._write_data(merged, version)
         return self._commit_files(
             base, version, new_files, replaced, epoch_id, manifest,
-            properties_update,
+            properties_update, wap_id=wap_id,
         )
 
     def merge_patch(
@@ -1570,6 +1595,7 @@ class LakeTable:
         manifest: dict | None,
         properties_update: dict | None = None,
         num_buckets_update: int | None = None,
+        wap_id: str | None = None,
     ) -> bool:
         kept = [f for f in base["files"] if f["path"] not in replaced_paths]
         snap = {
@@ -1599,7 +1625,7 @@ class LakeTable:
             m = dict(base["manifest"])
             m["epoch_id"] = epoch_id
             snap["manifest"] = m
-        self._write_snapshot(snap, expected_parent=base["version"])
+        self._write_snapshot(snap, expected_parent=base["version"], wap_id=wap_id)
         return True
 
     # ------------------------------------------------------------ MAINTENANCE
@@ -1891,6 +1917,73 @@ class LakeTable:
         dest._write_snapshot(snap, expected_parent=None)
         return dest
 
+    # ---------------------------------------------------- write-audit-publish
+    def staged_snapshots(self) -> list[dict]:
+        """Summaries of unpublished staged commits (Iceberg's WAP surface):
+        wap_id, parent, would-be version, fenced epoch, new-file count."""
+        out = []
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if not (fn.startswith("wap-") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.meta_dir, fn)) as f:
+                s = json.load(f)
+            out.append(
+                {
+                    "wap_id": s["wap_id"],
+                    "parent": s["parent"],
+                    "version": s["version"],
+                    "epoch_id": s["manifest"]["epoch_id"],
+                    "files": len(s["files"]),
+                }
+            )
+        return out
+
+    def _staged_path(self, wap_id: str) -> str:
+        p = os.path.join(self.meta_dir, f"wap-{wap_id}.json")
+        if not os.path.exists(p):
+            raise KeyError(
+                f"no staged commit {wap_id!r}; staged: "
+                f"{[s['wap_id'] for s in self.staged_snapshots()]}"
+            )
+        return p
+
+    def audit_staged(self, wap_id: str) -> "LakeTable":
+        """PINNED read handle over a staged commit's would-be state — the
+        AUDIT half of write-audit-publish: run validation queries
+        (row counts, quality gates, contamination checks) against exactly
+        what ``publish_staged`` would make visible. Mutations through the
+        handle raise, like ``as_of``."""
+        with open(self._staged_path(wap_id)) as f:
+            snap = json.load(f)
+        fv = snap.get("format_version", 0)
+        if fv > FORMAT_VERSION:
+            raise FormatVersionError(
+                f"staged snapshot format_version {fv} > supported {FORMAT_VERSION}"
+            )
+        t = LakeTable(self.spark, self.root)
+        t._snapshot = snap
+        t._pinned = True
+        return t
+
+    def publish_staged(self, wap_id: str) -> int:
+        """Make a staged commit the live table (the PUBLISH half): CAS —
+        the pointer must still be at the stage's parent, else
+        ``ConcurrentCommitError`` (no rebase under the single-writer
+        model; re-stage on the new head instead). The staged manifest's
+        epoch fence takes effect now. Returns the published version."""
+        path = self._staged_path(wap_id)
+        with open(path) as f:
+            snap = json.load(f)
+        self._write_snapshot(snap, expected_parent=snap["parent"])
+        os.remove(path)
+        return snap["version"]
+
+    def discard_staged(self, wap_id: str) -> None:
+        """Drop a staged commit. Its data files become orphans and are
+        collected by the next ``vacuum_orphans`` (they were never reachable
+        from the live table)."""
+        os.remove(self._staged_path(wap_id))
+
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Drop snapshot metadata older than the newest ``keep_last``
         versions (Iceberg's ``expireSnapshots`` analog). Without this the
@@ -1921,7 +2014,11 @@ class LakeTable:
         files removed."""
         referenced: set[str] = set()
         for fn in os.listdir(self.meta_dir):
-            if fn.startswith("snap-") and fn.endswith(".json"):
+            # staged (wap-*) snapshots count as retained: their data files
+            # must survive until the stage is published or discarded
+            if (
+                fn.startswith("snap-") or fn.startswith("wap-")
+            ) and fn.endswith(".json"):
                 with open(os.path.join(self.meta_dir, fn)) as f:
                     for entry in json.load(f)["files"]:
                         referenced.add(os.path.normpath(entry["path"]))
