@@ -13,6 +13,11 @@ Usage:
     python scripts/lake_admin.py TABLE_ROOT compact [--strategy sql|jvm]
     python scripts/lake_admin.py TABLE_ROOT pack [--max-files N] [--small-rows R]
 
+Write-audit-publish:
+    python scripts/lake_admin.py TABLE_ROOT staged
+    python scripts/lake_admin.py TABLE_ROOT publish WAP_ID
+    python scripts/lake_admin.py TABLE_ROOT discard WAP_ID
+
 ANN-index maintenance (TABLE_ROOT is the INDEX root; --source the corpus):
     python scripts/lake_admin.py IDX_ROOT ivf-build --source SRC [--ncells N]
     python scripts/lake_admin.py IDX_ROOT ivf-sync --source SRC
@@ -89,7 +94,7 @@ def main():
         "verb",
         choices=[
             "health", "tag", "clone", "purge", "expire", "vacuum",
-            "compact", "pack",
+            "compact", "pack", "staged", "publish", "discard",
             "ivf-build", "ivf-sync", "ivf-drift", "ivf-retrain",
             "ivf-maintain",
         ],
@@ -159,6 +164,17 @@ def main():
             keys,
             keep_last=args.keep_last if args.keep_last is not None else 1,
         )
+    elif args.verb == "staged":
+        out = {"staged": t.staged_snapshots()}
+    elif args.verb == "publish":
+        if not args.arg:
+            ap.error("publish requires a WAP_ID")
+        out = {"published_version": t.publish_staged(args.arg)}
+    elif args.verb == "discard":
+        if not args.arg:
+            ap.error("discard requires a WAP_ID")
+        t.discard_staged(args.arg)
+        out = {"discarded": args.arg}
     elif args.verb == "expire":
         out = {"snapshots_expired": t.expire_snapshots(
             keep_last=args.keep_last if args.keep_last is not None else 10)}

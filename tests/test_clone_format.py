@@ -274,6 +274,22 @@ def test_lake_admin_cli_verbs(spark, tmp_path):
     left = {r["doc_id"] for r in LakeTable.load(spark, root)
             .current_state().collect()}
     assert not {"d1", "d2"} & left and len(left) == 8
+    # write-audit-publish verbs: stage in-process, drive the rest via CLI
+    t = LakeTable.load(spark, root)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("w1doc", 10_000, "staged", "upsert")],
+            "doc_id string, seq long, val string, op string",
+        ),
+        wap_id="rc-wap",
+    )
+    st = admin("staged")
+    assert [s["wap_id"] for s in st["staged"]] == ["rc-wap"]
+    pub = admin("publish", "rc-wap")
+    t.refresh()
+    assert pub["published_version"] == t.snapshot["version"]
+    assert "w1doc" in {r["doc_id"] for r in t.current_state().collect()}
+    assert admin("staged")["staged"] == []
 
 
 def test_lake_admin_ivf_verbs(spark, tmp_path):
