@@ -158,3 +158,57 @@ def test_range_join_avoids_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_bloom_decontaminate_plan_no_cartesian(spark):
+    """The Bloom-surrogate probe must plan as equi-joins on (i, pos) — a
+    nested-loop/cartesian anywhere would defeat the bounded-surrogate
+    design at corpus-vs-corpus scale."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_bloom_decontaminate(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan  # the (i, pos) surrogate probe
+
+
+def test_secidx_projection_lookup_pushes_predicate(spark):
+    """The secondary-index fast path must scan ONLY footer-overlapping
+    projection files AND push the range predicate into that scan (row-group
+    pruning inside the kept files)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from hemera_indexer_spark.lake.table import LakeTable
+    from hemera_indexer_spark.operators.secondary_index import SecondaryIndex
+
+    base = tempfile.mkdtemp()
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("is_deleted", T.BooleanType(), False),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    src = LakeTable.create(
+        spark, f"{base}/src", schema, num_buckets=4, key_col="doc_id",
+        seq_col="seq",
+    )
+    src.bulk_load(
+        spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+    )
+    idx = SecondaryIndex.build_from_table(
+        spark, f"{base}/idx", src, "n_chars", num_buckets=4
+    )
+    idx.maintain(n_files=8)
+    df = idx.lookup(200, 260)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "n_chars" in pushed
+    kept, total = idx._proj_files(200, 260)
+    assert 0 < len(kept) < total
