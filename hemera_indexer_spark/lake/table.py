@@ -97,6 +97,42 @@ class FormatVersionError(RuntimeError):
     """Snapshot written by a newer engine generation than this reader."""
 
 
+#: Integral promotion ladder for type widening (strictly increasing width).
+_INT_LADDER = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _is_widening(old: T.DataType, new: T.DataType) -> bool:
+    """True iff Spark's vectorized Parquet reader can serve a file whose
+    physical column type is ``old`` through a read schema declaring ``new``
+    — the lossless promotions Iceberg V3 / Parquet type promotion allow.
+    Probed on this Spark build (4.1.x): integral up-casts, int/long →
+    decimal with enough integer headroom, int → double, float → double,
+    and decimal widening that shrinks neither scale nor headroom. NOT
+    supported (probed to fail at scan time): any narrowing, int → float,
+    float/double → decimal, anything → string."""
+    if old == new:
+        return False
+    for i, t in enumerate(_INT_LADDER):
+        if isinstance(old, t):
+            return (
+                any(isinstance(new, w) for w in _INT_LADDER[i + 1:])
+                or (isinstance(new, T.DoubleType) and isinstance(old, T.IntegerType))
+                or (
+                    isinstance(new, T.DecimalType)
+                    and new.precision - new.scale
+                    >= (20 if isinstance(old, T.LongType) else 10)
+                )
+            )
+    if isinstance(old, T.FloatType):
+        return isinstance(new, T.DoubleType)
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        return (
+            new.scale >= old.scale
+            and new.precision - new.scale >= old.precision - old.scale
+        )
+    return False
+
+
 def _validate_stats_cols(schema: T.StructType, cols) -> None:
     """Zone-mappable = atomic orderable types only: array/struct/map/
     binary columns have no usable footer order."""
@@ -322,7 +358,13 @@ class LakeTable:
                 old_side = old_side.withColumn(
                     fld.name, F.lit(None).cast(fld.dataType)
                 )
-        old_side = old_side.select(*[F.col(c) for c in new_side.columns])
+        # cast, not just reorder: after widen_schema the old snapshot serves
+        # the narrow type, and the fact path's exceptAll (and the state
+        # path's struct join) require exact type equality across sides
+        new_types = {f.name: f.dataType for f in new_side.schema.fields}
+        old_side = old_side.select(
+            *[F.col(c).cast(new_types[c]).alias(c) for c in new_side.columns]
+        )
         if self.is_fact_table:
             # append-only history has no per-key uniqueness: the net change
             # is the multiset difference (inserts since v, plus the rare
@@ -458,8 +500,15 @@ class LakeTable:
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
                 if st is not None and st.has_min_max:
-                    mn = st.min if mn is None else min(mn, st.min)
-                    mx = st.max if mx is None else max(mx, st.max)
+                    try:
+                        # pyarrow raises ArrowNotImplementedError extracting
+                        # stats for some physical types (e.g. decimal) —
+                        # degrade to "no zone map", never crash the commit
+                        smin, smax = st.min, st.max
+                    except Exception:
+                        return None, None
+                    mn = smin if mn is None else min(mn, smin)
+                    mx = smax if mx is None else max(mx, smax)
             if not isinstance(mn, (int, float, str, bool, type(None))):
                 return None, None  # non-JSON-safe footer value: no zone map
             return mn, mx
@@ -755,15 +804,86 @@ class LakeTable:
         snap["schema"] = json.loads(new_schema.json())
         self._write_snapshot(snap, expected_parent=self.snapshot["version"])
 
+    def widen_schema(self, changes: dict[str, T.DataType]) -> None:
+        """Type-widening ALTER TABLE ALTER COLUMN TYPE (Iceberg V3's type
+        promotion): metadata-only — no data rewrite. Existing files keep
+        their narrow physical type and are served through the widened read
+        schema by Spark's Parquet reader (every read path passes
+        ``self.schema``); every write entry point up-casts incoming batches
+        via ``_fill_missing_columns``, so post-widen files are physically
+        wide. Time travel to a pre-widen version serves the narrow schema
+        (that snapshot lists only narrow files).
+
+        Allowed promotions are exactly ``_is_widening``'s set. Refused:
+
+        - the KEY column — bucket layout is ``pmod(xxhash64(key), B)`` and
+          xxhash64 is physical-type-sensitive (probed: int 42 → bucket 0,
+          bigint 42 → bucket 6 at B=8), so a widened key would hash new
+          writes into different buckets than the rows they must fold with,
+          silently corrupting the per-bucket LWW merge. Widening a key
+          requires a full rewrite: ``clone_to`` into a table created with
+          the wide key type.
+        - any non-widening change (narrowing, cross-family) — loud error,
+          existing files would fail or corrupt at scan time.
+
+        A widened column that is zone-mapped (``stats_cols``) keeps
+        working: integral/float widenings still produce JSON-safe footer
+        stats; a decimal target degrades that column's new-file stats to
+        "no zone map" (pruning keeps the file — always safe).
+
+        Reference analog: hemera-indexer migrates column types with
+        Alembic ALTER TABLE (full-table rewrite in PG); the lake form is
+        O(metadata). Fails with ``ConcurrentCommitError`` if the snapshot
+        moved underneath (retry on the fresh handle)."""
+        cur = self.schema
+        fields = {f.name: f for f in cur.fields}
+        for name, new_t in changes.items():
+            if name not in fields:
+                raise ValueError(f"widen_schema: no column {name!r}")
+            if name == self.key_col:
+                raise ValueError(
+                    f"widen_schema: refusing key column {name!r} — bucket "
+                    f"assignment pmod(xxhash64(key), B) is type-sensitive; "
+                    f"widened-key writes would land in different buckets "
+                    f"than the rows they must fold with. Use clone_to into "
+                    f"a table created with the wide key type."
+                )
+            old_t = fields[name].dataType
+            if not _is_widening(old_t, new_t):
+                raise ValueError(
+                    f"widen_schema: {name}: {old_t.simpleString()} -> "
+                    f"{new_t.simpleString()} is not a supported widening"
+                )
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name, changes.get(f.name, f.dataType), f.nullable
+                )
+                for f in cur.fields
+            ]
+        )
+        snap = json.loads(json.dumps(dict(self.snapshot)))
+        snap["version"] = self.snapshot["version"] + 1
+        snap["parent"] = self.snapshot["version"]
+        snap["schema"] = json.loads(new_schema.json())
+        self._write_snapshot(snap, expected_parent=self.snapshot["version"])
+
     # ------------------------------------------------------------ MERGE
     def _fill_missing_columns(self, df: DataFrame) -> DataFrame:
-        """NULL-fill state-schema columns absent from ``df`` — the additive
-        schema-evolution law applied at every write entry point (merge,
-        fact insert, bulk load)."""
+        """Align ``df`` to the state schema at every write entry point
+        (merge, patch, fact insert, bulk load): NULL-fill absent payload
+        columns (the additive schema-evolution law) and up-cast columns a
+        writer still supplies at a pre-widen type (the type-widening law —
+        keeps old writers valid after ``widen_schema``; the cast is exact
+        by construction of ``_is_widening``). Non-widening type mismatches
+        are left untouched for Spark to reject downstream."""
         schema = self.schema
+        df_types = {f.name: f.dataType for f in df.schema.fields}
         for c in schema.fieldNames():
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast(schema[c].dataType))
+            elif _is_widening(df_types[c], schema[c].dataType):
+                df = df.withColumn(c, F.col(c).cast(schema[c].dataType))
         return df
 
     def merge_upsert(
