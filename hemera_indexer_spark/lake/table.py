@@ -8,12 +8,16 @@ subset of Iceberg semantics the CDC engine needs is implemented on public
 Spark + filesystem primitives:
 
 - **Snapshot isolation / atomic commit** — each commit writes an immutable
-  ``meta/snap-<v>.json`` (file list + schema + manifest + properties), then
+  ``meta/snap-<v>.json`` (schema + manifest cursor + properties + per-bucket
+  pointers into content-addressed ``meta/manifest-*.json`` file lists), then
   atomically flips ``meta/VERSION`` via ``os.replace``. A crash before the
   flip leaves only unreachable orphan files; readers always see a complete
   snapshot. This is the transactional boundary that replaces the reference's
   per-batch PostgreSQL commit
   (/root/reference/indexer/exporters/postgres_item_exporter.py:96-99).
+- **Two-level metadata** — a commit touching K of B buckets writes K new
+  manifest files + one pointer snapshot, never the full file list (format
+  v2; Iceberg's manifest-list discipline). See ``FORMAT_VERSION``.
 - **Bucketed layout** — rows hash into ``num_buckets`` storage buckets by
   ``pmod(xxhash64(doc_id), B)`` (Iceberg's ``bucket(B, key)`` transform).
   A MERGE only rewrites the buckets the update batch touches; at 100 TB the
@@ -66,6 +70,7 @@ partitioned write):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -86,7 +91,19 @@ VERSION_FILE = "VERSION"
 # ``format_version``; a reader encountering a NEWER generation fails
 # loudly instead of silently misreading metadata written by future code.
 # Absent field = 0 (pre-versioning snapshots, readable forever).
-FORMAT_VERSION = 1
+#
+# v2: two-level metadata (Iceberg's manifest-list analog). On disk the
+# snapshot stores ``file_manifests`` — per-bucket pointers to
+# content-addressed ``manifest-<sha1>.json`` files holding that bucket's
+# file entries — instead of the inline ``files`` list. A commit touching
+# K of B buckets writes K new manifest files plus a B-pointer snapshot:
+# metadata write cost is O(touched buckets + B), not O(total files). At
+# the 100 TB design point (millions of data files) the v1 inline form
+# rewrites the full file list on EVERY commit — the Hive-style metadata
+# bottleneck Iceberg's manifest split exists to kill. Readers resolve
+# pointers back into the in-memory ``files`` list (manifests are
+# immutable, so they cache by name); v0/v1 snapshots stay readable.
+FORMAT_VERSION = 2
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -167,6 +184,10 @@ class LakeTable:
         self.meta_dir = os.path.join(root, "meta")
         self.data_dir = os.path.join(root, "data")
         self._snapshot = None
+        # manifest files are content-addressed and immutable: cache by
+        # name so repeated refresh/as_of/snapshots() resolution re-reads
+        # only manifests this handle has never seen
+        self._manifest_cache: dict[str, list[dict]] = {}
 
     # ------------------------------------------------------------ lifecycle
     @classmethod
@@ -224,7 +245,20 @@ class LakeTable:
             )
         with open(os.path.join(self.meta_dir, VERSION_FILE)) as f:
             v = int(f.read().strip())
-        with open(os.path.join(self.meta_dir, f"snap-{v:010d}.json")) as f:
+        snap = self._load_snap_file(
+            os.path.join(self.meta_dir, f"snap-{v:010d}.json")
+        )
+        self._snapshot = snap
+        return self._snapshot
+
+    # --------------------------------------------- two-level metadata (v2)
+    def _load_snap_file(self, path: str) -> dict:
+        """Read one snapshot/stage JSON and resolve it to the in-memory
+        form: ``files`` always inline, ``file_manifests`` pointers gone.
+        Every consumer of ``snapshot["files"]`` (merge, resolve, vacuum,
+        changes_since, sinks, the controller) sees the v1 shape regardless
+        of the on-disk generation."""
+        with open(path) as f:
             snap = json.load(f)
         fv = snap.get("format_version", 0)
         if fv > FORMAT_VERSION:
@@ -232,8 +266,48 @@ class LakeTable:
                 f"snapshot format_version {fv} > supported {FORMAT_VERSION}"
                 f" — upgrade the engine before reading {self.root}"
             )
-        self._snapshot = snap
-        return self._snapshot
+        fm = snap.pop("file_manifests", None)
+        if fm is not None:
+            files: list[dict] = []
+            for _b, name in sorted(fm.items(), key=lambda kv: int(kv[0])):
+                entries = self._manifest_cache.get(name)
+                if entries is None:
+                    with open(os.path.join(self.meta_dir, name)) as f:
+                        entries = json.load(f)
+                    self._manifest_cache[name] = entries
+                # shallow-copy each entry: cached lists are shared across
+                # snapshots and callers mutate entry dicts in test rigs
+                files.extend(dict(e) for e in entries)
+            snap["files"] = files
+        return snap
+
+    def _split_files_to_manifests(self, snap: dict) -> dict:
+        """The writer half: produce the on-disk form of ``snap`` — per-
+        bucket content-addressed manifest files plus a ``file_manifests``
+        pointer map in place of the inline ``files`` list. A bucket whose
+        entry set is unchanged since any prior commit hashes to the SAME
+        name, so nothing is rewritten for it: commit metadata cost is
+        O(touched buckets), the property that keeps a million-file table's
+        commits cheap."""
+        groups: dict[int, list[dict]] = {}
+        for e in snap["files"]:
+            groups.setdefault(int(e["bucket"]), []).append(e)
+        fm: dict[str, str] = {}
+        for b, entries in groups.items():
+            payload = json.dumps(
+                sorted(entries, key=lambda e: e["path"]), sort_keys=True
+            )
+            name = (
+                f"manifest-{hashlib.sha1(payload.encode()).hexdigest()[:20]}"
+                f".json"
+            )
+            mpath = os.path.join(self.meta_dir, name)
+            if not os.path.exists(mpath):
+                _atomic_write(mpath, payload)
+            fm[str(b)] = name
+        disk = {k: v for k, v in snap.items() if k != "files"}
+        disk["file_manifests"] = fm
+        return disk
 
     @property
     def snapshot(self) -> dict:
@@ -285,8 +359,7 @@ class LakeTable:
         for fn in sorted(os.listdir(self.meta_dir)):
             if not (fn.startswith("snap-") and fn.endswith(".json")):
                 continue
-            with open(os.path.join(self.meta_dir, fn)) as f:
-                s = json.load(f)
+            s = self._load_snap_file(os.path.join(self.meta_dir, fn))
             out.append(
                 {
                     "version": s["version"],
@@ -312,14 +385,7 @@ class LakeTable:
                 f"existed); retained: {[s['version'] for s in self.snapshots()]}"
             )
         t = LakeTable(self.spark, self.root)
-        with open(spath) as f:
-            snap = json.load(f)
-        fv = snap.get("format_version", 0)
-        if fv > FORMAT_VERSION:
-            raise FormatVersionError(
-                f"snapshot format_version {fv} > supported {FORMAT_VERSION}"
-            )
-        t._snapshot = snap
+        t._snapshot = self._load_snap_file(spath)
         t._pinned = True
         return t
 
@@ -469,15 +535,19 @@ class LakeTable:
         # the writer stamps its own generation (legacy tables upgrade on
         # their next commit; readers reject only NEWER generations)
         snap["format_version"] = FORMAT_VERSION
+        # two-level split: manifests land first (content-addressed, so a
+        # crash between manifest and snapshot writes leaves only reusable
+        # or orphaned manifests, never a dangling pointer)
+        disk = self._split_files_to_manifests(snap)
         if wap_id is not None:
-            snap["wap_id"] = wap_id
+            snap["wap_id"] = disk["wap_id"] = wap_id
             _atomic_write(
                 os.path.join(self.meta_dir, f"wap-{wap_id}.json"),
-                json.dumps(snap),
+                json.dumps(disk),
             )
             return  # pointer untouched; the live snapshot is unchanged
         spath = os.path.join(self.meta_dir, f"snap-{snap['version']:010d}.json")
-        _atomic_write(spath, json.dumps(snap))
+        _atomic_write(spath, json.dumps(disk))
         _atomic_write(vpath, str(snap["version"]))
         self._snapshot = snap
 
@@ -2045,8 +2115,7 @@ class LakeTable:
         for fn in sorted(os.listdir(self.meta_dir)):
             if not (fn.startswith("wap-") and fn.endswith(".json")):
                 continue
-            with open(os.path.join(self.meta_dir, fn)) as f:
-                s = json.load(f)
+            s = self._load_snap_file(os.path.join(self.meta_dir, fn))
             out.append(
                 {
                     "wap_id": s["wap_id"],
@@ -2073,15 +2142,8 @@ class LakeTable:
         (row counts, quality gates, contamination checks) against exactly
         what ``publish_staged`` would make visible. Mutations through the
         handle raise, like ``as_of``."""
-        with open(self._staged_path(wap_id)) as f:
-            snap = json.load(f)
-        fv = snap.get("format_version", 0)
-        if fv > FORMAT_VERSION:
-            raise FormatVersionError(
-                f"staged snapshot format_version {fv} > supported {FORMAT_VERSION}"
-            )
         t = LakeTable(self.spark, self.root)
-        t._snapshot = snap
+        t._snapshot = self._load_snap_file(self._staged_path(wap_id))
         t._pinned = True
         return t
 
@@ -2092,8 +2154,10 @@ class LakeTable:
         model; re-stage on the new head instead). The staged manifest's
         epoch fence takes effect now. Returns the published version."""
         path = self._staged_path(wap_id)
-        with open(path) as f:
-            snap = json.load(f)
+        # resolve to the in-memory form; re-splitting in _write_snapshot
+        # finds every manifest already on disk from staging (content-
+        # addressed), so publish writes only the pointer snapshot
+        snap = self._load_snap_file(path)
         self._write_snapshot(snap, expected_parent=snap["parent"])
         os.remove(path)
         return snap["version"]
@@ -2130,18 +2194,26 @@ class LakeTable:
         Safe under the single-writer model: every live commit's files are
         referenced by its snapshot before this walks the data dir, and
         ``grace_seconds`` additionally protects files newer than the given
-        age (pass >0 when a writer may be mid-commit). Returns the number of
-        files removed."""
+        age (pass >0 when a writer may be mid-commit). Also collects v2
+        manifest files referenced by no retained snapshot/stage (expired
+        history's manifests, crashed-commit leftovers). Returns the number
+        of files removed."""
         referenced: set[str] = set()
+        kept_manifests: set[str] = set()
         for fn in os.listdir(self.meta_dir):
             # staged (wap-*) snapshots count as retained: their data files
             # must survive until the stage is published or discarded
             if (
                 fn.startswith("snap-") or fn.startswith("wap-")
             ) and fn.endswith(".json"):
-                with open(os.path.join(self.meta_dir, fn)) as f:
-                    for entry in json.load(f)["files"]:
-                        referenced.add(os.path.normpath(entry["path"]))
+                p = os.path.join(self.meta_dir, fn)
+                s = self._load_snap_file(p)
+                for entry in s["files"]:
+                    referenced.add(os.path.normpath(entry["path"]))
+                with open(p) as f:
+                    kept_manifests.update(
+                        json.load(f).get("file_manifests", {}).values()
+                    )
         now = time.time()
         removed = 0
         for dirpath, _dirnames, filenames in os.walk(self.data_dir, topdown=False):
@@ -2170,4 +2242,16 @@ class LakeTable:
             except OSError:
                 pass
         os.makedirs(self.data_dir, exist_ok=True)
+        for fn in os.listdir(self.meta_dir):
+            if (
+                fn.startswith("manifest-")
+                and fn.endswith(".json")
+                and fn not in kept_manifests
+            ):
+                p = os.path.join(self.meta_dir, fn)
+                if grace_seconds and now - os.path.getmtime(p) < grace_seconds:
+                    continue  # a mid-commit writer stages manifests first
+                os.remove(p)
+                self._manifest_cache.pop(fn, None)
+                removed += 1
         return removed

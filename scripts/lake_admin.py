@@ -12,6 +12,7 @@ Usage:
     python scripts/lake_admin.py TABLE_ROOT vacuum
     python scripts/lake_admin.py TABLE_ROOT compact [--strategy sql|jvm]
     python scripts/lake_admin.py TABLE_ROOT pack [--max-files N] [--small-rows R]
+    python scripts/lake_admin.py TABLE_ROOT widen COL:TYPE[,COL:TYPE...]
 
 Write-audit-publish:
     python scripts/lake_admin.py TABLE_ROOT staged
@@ -94,13 +95,14 @@ def main():
         "verb",
         choices=[
             "health", "tag", "clone", "purge", "expire", "vacuum",
-            "compact", "pack", "staged", "publish", "discard",
+            "compact", "pack", "staged", "publish", "discard", "widen",
             "ivf-build", "ivf-sync", "ivf-drift", "ivf-retrain",
             "ivf-maintain",
         ],
     )
     ap.add_argument("arg", nargs="?", default=None,
-                    help="tag NAME / clone DEST / purge KEY[,KEY...]")
+                    help="tag NAME / clone DEST / purge KEY[,KEY...] / "
+                         "widen COL:TYPE[,COL:TYPE...]")
     ap.add_argument("--version", type=int, default=None)
     ap.add_argument("--keep-last", type=int, default=None)
     ap.add_argument("--strategy", default="sql", choices=["sql", "jvm"])
@@ -164,6 +166,23 @@ def main():
             keys,
             keep_last=args.keep_last if args.keep_last is not None else 1,
         )
+    elif args.verb == "widen":
+        if not args.arg:
+            ap.error("widen requires COL:TYPE[,COL:TYPE...] "
+                     "(e.g. n_tok:bigint,score:'decimal(18,2)')")
+        from pyspark.sql import types as T
+
+        changes = {}
+        for spec in args.arg.split(","):
+            col, _, ddl = spec.partition(":")
+            if not ddl:
+                ap.error(f"widen spec {spec!r} is not COL:TYPE")
+            changes[col] = T.DataType.fromDDL(ddl)
+        t.widen_schema(changes)
+        out = {
+            "widened": {c: dt.simpleString() for c, dt in changes.items()},
+            "version": t.snapshot["version"],
+        }
     elif args.verb == "staged":
         out = {"staged": t.staged_snapshots()}
     elif args.verb == "publish":

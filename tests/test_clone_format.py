@@ -42,7 +42,7 @@ def _state(t):
 
 def test_snapshots_carry_format_version(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"))
-    assert t.snapshot["format_version"] == 1
+    assert t.snapshot["format_version"] == 2
 
 
 def test_newer_format_version_rejected_loudly(spark, tmp_path):
@@ -404,15 +404,22 @@ def test_purge_keys_statless_footer_falls_back_to_scan(spark, tmp_path):
     root = str(tmp_path / "t")
     t = _mk(spark, root)  # seqs up to 2*100+9 = 209
     # simulate a stats-less file: null out max_seq on the file that holds
-    # the highest seq (a pre-stats writer / foreign tool would do this)
+    # the highest seq (a pre-stats writer / foreign tool would do this).
+    # v2 metadata: entries live in the per-bucket manifest files the
+    # snapshot points at — tamper with those in place (readers don't
+    # re-verify the content hash)
+    hi = max(
+        f["max_seq"] for f in t.snapshot["files"] if f["max_seq"] is not None
+    )
     v = t.snapshot["version"]
     spath = os.path.join(t.meta_dir, f"snap-{v:010d}.json")
-    snap = json.load(open(spath))
-    hi = max(f["max_seq"] for f in snap["files"] if f["max_seq"] is not None)
-    for f in snap["files"]:
-        if f["max_seq"] == hi:
-            f["max_seq"] = None
-    open(spath, "w").write(json.dumps(snap))
+    for mname in set(json.load(open(spath))["file_manifests"].values()):
+        mpath = os.path.join(t.meta_dir, mname)
+        entries = json.load(open(mpath))
+        for f in entries:
+            if f["max_seq"] == hi:
+                f["max_seq"] = None
+        open(mpath, "w").write(json.dumps(entries))
     t = LakeTable.load(spark, root)
     t.purge_keys(["d3"])
     # the tombstone must have out-sequenced the hidden max: d3 stays gone
