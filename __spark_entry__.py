@@ -878,6 +878,95 @@ def q_zonemap_range_scan(spark, sf):
     )
 
 
+def _zorderlake(spark, sf, splits: int = 16):
+    """Build (once per sf dir, cached under /tmp) a STATE LakeTable over
+    the events fixture, z-order-compacted on (user_id, event_id) with
+    zone maps on both. Keys are immutable after the bulk load (one
+    version per event_id), so the state-table zone-map caveat is
+    satisfied. The z-split rewrite yields per-bucket files whose footer
+    min/max are tight in BOTH dimensions."""
+    import hashlib as _h
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hemera_indexer_spark.lake.table import LakeTable
+
+    tag = _h.md5(f"{sf}|z{splits}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"hemera_q_zorderlake_{tag}")
+    done = os.path.join(root, "_BUILT")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType(), False),
+                T.StructField("seq", T.LongType(), False),
+                T.StructField("user_id", T.LongType(), True),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+                T.StructField("is_deleted", T.BooleanType(), False),
+            ]
+        )
+        t = LakeTable.create(
+            spark,
+            os.path.join(root, "t"),
+            schema,
+            num_buckets=4,
+            key_col="event_id",
+            stats_cols=("user_id", "event_id"),
+        )
+        t.bulk_load(
+            _t(spark, sf, "events").select(
+                "event_id", "user_id", "event_type", "value"
+            )
+        )
+        t.compact(
+            buckets=set(range(t.num_buckets)),
+            zorder=("user_id", "event_id"),
+            zorder_splits=splits,
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return LakeTable.load(spark, os.path.join(root, "t"))
+
+
+def q_zorder_box_scan(spark, sf):
+    """Z-order clustered 2-D box scan (lake/table.py compact(zorder=) +
+    functions/zorder.py): the lake is Morton-clustered on
+    (user_id, event_id), so a box constraining BOTH dimensions skips
+    files at the zone-map layer in both at once — a lexicographic sort
+    can only be tight in its leading column. Bounds derive from footer
+    stats (metadata-only) with integer arithmetic so the oracle states
+    the identical box from SQL min/max. Asserts pruning actually dropped
+    files, then applies the real predicate on the kept ones."""
+    t = _zorderlake(spark, sf)
+    files = t.snapshot["files"]
+    umin = min(f["stats"]["user_id"][0] for f in files)
+    umax = max(f["stats"]["user_id"][1] for f in files)
+    emin = min(f["stats"]["event_id"][0] for f in files)
+    emax = max(f["stats"]["event_id"][1] for f in files)
+    ulo, uhi = umin + (umax - umin) * 3 // 10, umin + (umax - umin) * 45 // 100
+    elo, ehi = emin + (emax - emin) * 5 // 10, emin + (emax - emin) * 7 // 10
+    box = {"user_id": (ulo, uhi), "event_id": (elo, ehi)}
+    kept = t._select_files(ranges=box)
+    if len(kept) >= len(files):
+        raise AssertionError(
+            f"z-order box pruned nothing: kept {len(kept)} of {len(files)}"
+        )
+    return (
+        t.read(ranges=box)
+        .where(
+            F.col("user_id").between(ulo, uhi)
+            & F.col("event_id").between(elo, ehi)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def q_image_decode_stats(spark, sf):
     """REAL image decode end-to-end: encode one genuine 24-bit BMP per doc
     (pure-Python codec, deterministic fixture pixels — multimodal.py::
@@ -1870,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_queries_oracle.py) always runs ALL entries regardless.
     return {
         "zonemap_range_scan": q_zonemap_range_scan,
+        "zorder_box_scan": q_zorder_box_scan,
         "image_decode_stats": q_image_decode_stats,
         "ivf_index_topk": q_ivf_index_topk,
         "bloom_decontaminate": q_bloom_decontaminate,
@@ -2774,6 +2864,26 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS sum_value
             FROM events, b
             WHERE event_id BETWEEN b.lo AND b.hi
+            GROUP BY event_type
+        """,
+        # The Spark side reads a z-order-compacted lake through 2-D zone-map
+        # pruning (and asserts files were skipped in BOTH dimensions); the
+        # oracle states the same integer-arithmetic box over the raw fixture.
+        "zorder_box_scan": """
+            WITH b AS (
+                SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+                       MIN(event_id) AS emin, MAX(event_id) AS emax
+                FROM events
+            )
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+            FROM events, b
+            WHERE user_id BETWEEN b.umin + (b.umax - b.umin) * 3 // 10
+                              AND b.umin + (b.umax - b.umin) * 45 // 100
+              AND event_id BETWEEN b.emin + (b.emax - b.emin) * 5 // 10
+                               AND b.emin + (b.emax - b.emin) * 7 // 10
             GROUP BY event_type
         """,
         # The Spark side round-trips REAL BMP bytes (encode -> parse header/

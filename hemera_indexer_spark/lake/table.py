@@ -1290,6 +1290,8 @@ class LakeTable:
         buckets: set[int] | None = None,
         strategy: str = "jvm",
         cluster_by: tuple[str, ...] = (),
+        zorder: tuple[str, ...] = (),
+        zorder_splits: int = 4,
     ) -> bool:
         """Fold base+delta files of the given buckets (default: every bucket
         holding deltas) into fresh base files. Pure reorganization: the
@@ -1304,7 +1306,24 @@ class LakeTable:
         ``ts BETWEEN`` then skips whole row groups. Trade-off: the default
         key-only sort optimizes point lookups; clustering first loosens
         per-row-group key stats (file-level zone maps and the snapshot's
-        min/max(seq) are order-independent and unaffected)."""
+        min/max(seq) are order-independent and unaffected).
+
+        ``zorder``: multi-dimensional clustering (Delta/Iceberg's
+        ``OPTIMIZE ZORDER BY`` analog; mutually exclusive with
+        ``cluster_by``). Rows sort by the Morton interleave of the named
+        numeric columns and each bucket splits into ~``zorder_splits``
+        z-contiguous FILES, so per-file footer min/max become tight in
+        EVERY interleaved dimension at once — a ``read(ranges=...)`` box
+        predicate over zone-mapped z-order columns then skips files at
+        the metadata layer in all dimensions, where a lexicographic sort
+        prunes only its leading column. Normalization ranges come from
+        footer stats when ``zorder ⊆ stats_cols`` (metadata-only), else
+        one column-pruned scan of the touched buckets. The z-sorted fold
+        is persisted for the duration of the rewrite (the range split
+        samples its input; without the cache that sampling would re-run
+        the LWW merge). State-table caveat unchanged: zone maps must not
+        prune on per-key-MUTABLE columns — z-order the immutable
+        attributes only."""
         base = self.snapshot
         if self.is_fact_table:
             return False
@@ -1336,11 +1355,67 @@ class LakeTable:
         # inside the bucket file instead of scanning it end to end. The hot
         # commit path (merge_upsert) stays unsorted — micro-batch deltas are
         # small and latency-critical; only the background fold pays.
-        sorted_folded = folded.sortWithinPartitions(
-            "_bucket", *cluster_by, self.key_col
-        )
-        new_files = self._write_data(sorted_folded, version, kind="base")
+        if zorder:
+            if cluster_by:
+                raise ValueError(
+                    "cluster_by and zorder are mutually exclusive sort "
+                    "layouts — zorder subsumes multi-column clustering"
+                )
+            from ..functions.zorder import validate_zorder_cols, zorder_key
+
+            validate_zorder_cols(self.schema, zorder)
+            zranges = self._zorder_ranges(buckets, zorder)
+            zk = zorder_key([(c, *zranges[c]) for c in zorder])
+            folded = folded.withColumn("_zkey", zk).persist()
+            try:
+                n_parts = max(1, len(buckets) * max(1, int(zorder_splits)))
+                sorted_folded = (
+                    folded.repartitionByRange(n_parts, "_bucket", "_zkey")
+                    .sortWithinPartitions("_bucket", "_zkey", self.key_col)
+                    .drop("_zkey")
+                )
+                new_files = self._write_data(sorted_folded, version, kind="base")
+            finally:
+                folded.unpersist()
+        else:
+            sorted_folded = folded.sortWithinPartitions(
+                "_bucket", *cluster_by, self.key_col
+            )
+            new_files = self._write_data(sorted_folded, version, kind="base")
         return self._commit_files(base, version, new_files, replaced, None, None)
+
+    def _zorder_ranges(
+        self, buckets: set[int], cols: tuple[str, ...]
+    ) -> dict[str, tuple[float, float]]:
+        """Per-column (min, max) normalization ranges for a z-order
+        rewrite of ``buckets``. Metadata-only when every touched file
+        carries footer stats for every z-order column (the common case:
+        you zone-map exactly the columns you z-order); otherwise one
+        column-pruned scan. Either way the cost is bounded by the rewrite
+        the caller is already paying."""
+        from ..functions.zorder import column_ranges
+
+        files = self._select_files(buckets=buckets)
+        if set(cols) <= set(self.stats_cols):
+            out: dict[str, tuple[float, float]] = {}
+            for c in cols:
+                los, his = [], []
+                for f in files:
+                    st = (f.get("stats") or {}).get(c)
+                    if not st or st[0] is None or st[1] is None:
+                        break
+                    los.append(st[0])
+                    his.append(st[1])
+                else:
+                    if los:
+                        out[c] = (float(min(los)), float(max(his)))
+                        continue
+                break
+            if len(out) == len(cols):
+                return out
+        return column_ranges(
+            self.read(buckets=buckets).select(*cols), list(cols)
+        )
 
     def compact_files(
         self,

@@ -11,6 +11,7 @@ Usage:
     python scripts/lake_admin.py TABLE_ROOT expire [--keep-last N]
     python scripts/lake_admin.py TABLE_ROOT vacuum
     python scripts/lake_admin.py TABLE_ROOT compact [--strategy sql|jvm]
+        [--zorder COL,COL [--zorder-splits N]]
     python scripts/lake_admin.py TABLE_ROOT pack [--max-files N] [--small-rows R]
     python scripts/lake_admin.py TABLE_ROOT widen COL:TYPE[,COL:TYPE...]
 
@@ -108,6 +109,9 @@ def main():
     ap.add_argument("--strategy", default="sql", choices=["sql", "jvm"])
     ap.add_argument("--max-files", type=int, default=1)
     ap.add_argument("--small-rows", type=int, default=None)
+    ap.add_argument("--zorder", default=None,
+                    help="compact: z-order layout columns, comma-separated")
+    ap.add_argument("--zorder-splits", type=int, default=4)
     ap.add_argument("--cores", type=int, default=4)
     ap.add_argument("--source", default=None,
                     help="source corpus LakeTable root (ivf-* verbs)")
@@ -200,7 +204,11 @@ def main():
     elif args.verb == "vacuum":
         out = {"files_vacuumed": t.vacuum_orphans()}
     elif args.verb == "compact":
-        out = {"compacted": t.compact(strategy=args.strategy)}
+        zcols = tuple(args.zorder.split(",")) if args.zorder else ()
+        out = {"compacted": t.compact(
+            strategy=args.strategy,
+            buckets=set(range(t.num_buckets)) if zcols else None,
+            zorder=zcols, zorder_splits=args.zorder_splits)}
     else:  # pack
         out = {"packed": t.compact_files(
             max_files=args.max_files, small_rows=args.small_rows)}
