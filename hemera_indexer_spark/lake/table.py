@@ -1423,6 +1423,8 @@ class LakeTable:
         max_files: int = 1,
         cluster_by: tuple[str, ...] = (),
         small_rows: int | None = None,
+        zorder: tuple[str, ...] = (),
+        zorder_splits: int = 4,
     ) -> bool:
         """Small-file compaction for FACT tables: bin-pack each bucket's
         per-epoch append files into one file. Pure file reorganization —
@@ -1456,7 +1458,18 @@ class LakeTable:
         <= small_rows extra rows written per group per bucket) — the
         size-tiered rule every LSM/lakehouse compactor uses. None keeps
         the full-rewrite behavior (right for a one-shot pack after a
-        backfill)."""
+        backfill).
+
+        ``zorder`` / ``zorder_splits``: Morton-clustered layout for the
+        history table (see ``compact``) — each packed bucket splits into
+        z-contiguous files tight in every interleaved dimension, for
+        analytical box scans over e.g. (ts, entity). EXPLICIT TRADE-OFF:
+        z-splitting widens each file's min/max(seq) span (rows re-sort by
+        z-key, not arrival), so the redelivery anti-join and
+        ``repair_range`` prune FEWER files afterwards — correctness is
+        untouched (footer pruning is skip-only) but ingest-adjacent scans
+        read more. Right for history partitions consumed analytically;
+        keep the default seq sort for buckets under active ingest."""
         base = self.snapshot
         if not self.is_fact_table:
             raise ValueError(
@@ -1477,18 +1490,40 @@ class LakeTable:
             f["path"] for b in packable for f in cand[b]
         }
         paths = [os.path.join(self.root, p) for p in sorted(replaced)]
-        rows = (
-            self.spark.read.schema(self.schema)
-            .parquet(*paths)
-            .withColumn(
-                "_bucket", bucket_col(F.col(self.key_col), self.num_buckets)
-            )
-            # one partition per bucket value -> exactly one output file per
-            # bucket; in-partition sort only, no extra exchange beyond the
-            # clustering repartition
-            .repartition(min(len(packable), 256), "_bucket")
-            .sortWithinPartitions("_bucket", *cluster_by, self.seq_col)
+        rows = self.spark.read.schema(self.schema).parquet(*paths).withColumn(
+            "_bucket", bucket_col(F.col(self.key_col), self.num_buckets)
         )
+        if zorder:
+            if cluster_by:
+                raise ValueError(
+                    "cluster_by and zorder are mutually exclusive sort "
+                    "layouts — zorder subsumes multi-column clustering"
+                )
+            from ..functions.zorder import validate_zorder_cols, zorder_key
+
+            validate_zorder_cols(self.schema, zorder)
+            zranges = self._zorder_ranges(packable, zorder)
+            zk = zorder_key([(c, *zranges[c]) for c in zorder])
+            # no persist: the range split samples a plain parquet read
+            # (cheap re-scan), unlike compact()'s LWW fold
+            rows = (
+                rows.withColumn("_zkey", zk)
+                .repartitionByRange(
+                    max(1, len(packable) * max(1, int(zorder_splits))),
+                    "_bucket",
+                    "_zkey",
+                )
+                .sortWithinPartitions("_bucket", "_zkey", self.seq_col)
+                .drop("_zkey")
+            )
+        else:
+            rows = (
+                # one partition per bucket value -> exactly one output file
+                # per bucket; in-partition sort only, no extra exchange
+                # beyond the clustering repartition
+                rows.repartition(min(len(packable), 256), "_bucket")
+                .sortWithinPartitions("_bucket", *cluster_by, self.seq_col)
+            )
         new_files = self._write_data(rows, version, kind="base")
         return self._commit_files(base, version, new_files, replaced, None, None)
 

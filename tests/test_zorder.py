@@ -174,3 +174,85 @@ def test_zorder_ranges_fallback_without_stats(spark, tmp_path):
                      zorder=("x", "y"), zorder_splits=4)
     t.refresh()
     assert _sorted(t.current_state()) == before
+
+
+FACT_SCHEMA = T.StructType(
+    [
+        T.StructField("ev_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+    ]
+)
+
+
+def _mk_fact(spark, tmp_path, epochs=4):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "zf"),
+        FACT_SCHEMA,
+        num_buckets=2,
+        key_col="ev_id",
+        properties={"table_type": "fact"},
+        stats_cols=("x", "y"),
+    )
+    per = GRID * GRID // epochs
+    rows = [
+        (x * GRID + y, x * GRID + y, x, y)
+        for x in range(GRID)
+        for y in range(GRID)
+    ]
+    for e in range(epochs):
+        t.insert_if_absent(
+            spark.createDataFrame(
+                rows[e * per : (e + 1) * per],
+                "ev_id long, seq long, x long, y long",
+            ),
+            epoch_id=e,
+        )
+    return t
+
+
+def test_compact_files_zorder_multiset_and_box_prune(spark, tmp_path):
+    t = _mk_fact(spark, tmp_path)
+    before = _sorted(t.read())
+    assert t.compact_files(zorder=("x", "y"), zorder_splits=8)
+    t.refresh()
+    assert _sorted(t.read()) == before
+    box = {"x": (4, 11), "y": (20, 27)}
+    kept = t._select_files(ranges=box)
+    assert 0 < len(kept) < len(t.snapshot["files"])
+    got = _sorted(
+        t.read(ranges=box)
+        .where("x BETWEEN 4 AND 11 AND y BETWEEN 20 AND 27")
+        .select("ev_id")
+    )
+    assert len(got) == 8 * 8
+
+
+def test_compact_files_zorder_redelivery_still_fenced(spark, tmp_path):
+    """The documented trade-off is pruning TIGHTNESS, never correctness:
+    re-delivering an already-packed epoch after a z-order pack must still
+    be a no-op."""
+    t = _mk_fact(spark, tmp_path)
+    assert t.compact_files(zorder=("x", "y"), zorder_splits=8)
+    t.refresh()
+    n_before = t.stats_row_count()
+    per = GRID * GRID // 4
+    rows = [
+        (x * GRID + y, x * GRID + y, x, y)
+        for x in range(GRID)
+        for y in range(GRID)
+    ][:per]
+    t.insert_if_absent(
+        spark.createDataFrame(rows, "ev_id long, seq long, x long, y long"),
+        epoch_id=0,
+    )
+    t.refresh()
+    assert t.stats_row_count() == n_before
+
+
+def test_compact_files_zorder_cluster_by_exclusive(spark, tmp_path):
+    t = _mk_fact(spark, tmp_path)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.compact_files(cluster_by=("x",), zorder=("y",))
