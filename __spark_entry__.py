@@ -1949,6 +1949,40 @@ def q_bpe_pairs(spark, sf):
     )
 
 
+def q_audio_decode_stats(spark, sf):
+    """REAL audio decode end-to-end: encode one genuine RIFF/WAVE PCM16
+    blob per doc (pure-Python codec with a JUNK chunk the decoder must
+    walk over — multimodal.py::_fixture_samples), then parse it back
+    (chunk walk, fmt validation, interleaved int16 frames) and emit
+    rate/channels/frames/duration/mean/rms. The fixture samples are
+    closed-form (((id*(c+1) + 13*f) % 4001) - 2000), so the oracle
+    reproduces every statistic without running the codec — any decoder
+    bug (chunk offsets, channel deinterleave, sign) breaks the hash."""
+    from hemera_indexer_spark.operators.multimodal import (
+        audio_stats,
+        synthesize_audio_blobs,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return audio_stats(synthesize_audio_blobs(docs, "doc_id"))
+
+
+def q_video_frame_stats(spark, sf):
+    """REAL video decode + frame sampling: encode one genuine YUV4MPEG2
+    stream per doc (pure-Python codec, C420 chroma, closed-form luma
+    (id + 31*f + i) % 251 — multimodal.py::_fixture_frames), parse the
+    stream back (tagged header, FRAME markers, plane sizing) and keep
+    every 2nd frame with its exact-int mean luma — the frame-sample step
+    of a video training pipeline. One output row per sampled frame."""
+    from hemera_indexer_spark.operators.multimodal import (
+        synthesize_video_blobs,
+        video_frame_stats,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return video_frame_stats(synthesize_video_blobs(docs, "doc_id"), every=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the per-round driver CORRECTNESS check covers only
     # the FIRST 50 entries in insertion order. Rounds 1-4 attested the block
@@ -2007,6 +2041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "shard_ntile": q_shard_ntile,
         "bpe_pairs": q_bpe_pairs,
+        "audio_decode_stats": q_audio_decode_stats,
+        "video_frame_stats": q_video_frame_stats,
         # --- driver-attested in rounds 1-4 (CORRECTNESS_r01..r04) ---
         "pricing_summary": q_pricing_summary,
         "filter_pushdown": q_filter_pushdown,
@@ -4045,6 +4081,51 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT x, y, CAST(SUM(freq) AS BIGINT) AS cnt
             FROM p GROUP BY x, y
             ORDER BY cnt DESC, x, y LIMIT 50
+        """,
+        # The Spark side round-trips REAL RIFF/WAVE bytes (encode with a
+        # JUNK chunk -> chunk-walk parse -> int16 deinterleave); the
+        # oracle states the closed-form fixture samples directly. mean is
+        # one exact-int-sum double division; rms is division + sqrt —
+        # the same IEEE op sequence on both engines.
+        "audio_decode_stats": """
+            WITH s AS (
+                SELECT d.doc_id,
+                       CAST(8000 * (1 + d.doc_id % 3) AS INT) AS sample_rate,
+                       CAST(1 + d.doc_id % 2 AS INT) AS n_channels,
+                       CAST(24 + d.doc_id % 9 AS INT) AS n_frames,
+                       ((d.doc_id * ((t.i % (1 + d.doc_id % 2)) + 1)
+                         + 13 * (t.i // (1 + d.doc_id % 2))) % 4001) - 2000 AS v
+                FROM documents d
+                JOIN range(0, 64) t(i)
+                  ON t.i < (24 + d.doc_id % 9) * (1 + d.doc_id % 2)
+            )
+            SELECT doc_id AS blob_id, sample_rate, n_channels, n_frames,
+                   CAST(n_frames AS DOUBLE) / sample_rate AS duration_sec,
+                   SUM(v)::DOUBLE / COUNT(*) AS mean_amp,
+                   sqrt(SUM(v * v)::DOUBLE / COUNT(*)) AS rms
+            FROM s
+            GROUP BY doc_id, sample_rate, n_channels, n_frames
+        """,
+        # Spark round-trips REAL Y4M bytes (header tags, FRAME markers,
+        # C420 plane sizing) and samples every 2nd frame; the oracle
+        # states the closed-form luma pattern per sampled frame.
+        "video_frame_stats": """
+            WITH f AS (
+                SELECT d.doc_id,
+                       CAST(4 + 2 * (d.doc_id % 3) AS INT) AS width,
+                       CAST(4 + 2 * (d.doc_id % 2) AS INT) AS height,
+                       CAST(6 + d.doc_id % 5 AS INT) AS n_frames,
+                       CAST(fr.f AS INT) AS frame_idx
+                FROM documents d
+                JOIN range(0, 10) fr(f)
+                  ON fr.f < 6 + d.doc_id % 5 AND fr.f % 2 = 0
+            )
+            SELECT f.doc_id AS blob_id, width, height, n_frames, frame_idx,
+                   SUM((f.doc_id + 31 * frame_idx + t.i) % 251)::DOUBLE
+                       / (width * height) AS mean_y
+            FROM f
+            JOIN range(0, 48) t(i) ON t.i < width * height
+            GROUP BY f.doc_id, width, height, n_frames, frame_idx
         """,
     }
 

@@ -274,6 +274,85 @@ def test_decode_blob_real_path_vs_stub():
     assert len(decode_blob(b"anything", "audio")) == 32
 
 
+def test_audio_codec_roundtrip_and_guards():
+    """Pure-Python RIFF/WAVE PCM16 codec: encode∘decode is identity for
+    mono and stereo, the decoder's chunk walk skips the JUNK chunk the
+    encoder plants (and odd-sized unknown chunks with their pad byte),
+    and malformed inputs raise instead of returning garbage."""
+    import struct as _s
+
+    import numpy as np
+    import pytest as _pt
+
+    from hemera_indexer_spark.operators.multimodal import (
+        decode_blob,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    for channels in (1, 2):
+        for frames in (1, 17, 64):
+            s = rng.integers(
+                -32768, 32768, size=(frames, channels)
+            ).astype(np.int16)
+            s2, rate = decode_wav(encode_wav(s, 16000))
+            assert rate == 16000 and (s2 == s).all()
+    # odd-sized unknown chunk before data: the walk must consume the pad
+    s = rng.integers(-100, 100, size=(5, 1)).astype(np.int16)
+    wav = encode_wav(s, 8000)
+    head, data_chunk = wav.split(b"data", 1)
+    odd = b"odd " + _s.pack("<I", 3) + b"xyz\x00"  # 3 bytes + pad
+    patched = head + odd + b"data" + data_chunk
+    patched = patched[:4] + _s.pack("<I", len(patched) - 8) + patched[8:]
+    s2, _ = decode_wav(patched)
+    assert (s2 == s).all()
+    with _pt.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav(b"RIFX" + b"\x00" * 40)
+    with _pt.raises(ValueError, match="truncated"):
+        decode_wav(wav[:-3])
+    with _pt.raises(ValueError, match="unsupported WAV"):
+        bad = bytearray(wav)
+        _s.pack_into("<H", bad, bad.index(b"fmt ") + 8, 3)  # float format
+        decode_wav(bytes(bad))
+    # real WAV bytes take the REAL decode_blob path: full sample vector
+    assert len(decode_blob(wav, "audio")) == 5
+    assert len(decode_blob(b"\xffMP3ish", "audio")) == 32
+
+
+def test_video_codec_roundtrip_and_guards():
+    """Pure-Python YUV4MPEG2 codec: encode∘decode preserves every luma
+    plane, header params parse tag-wise, and truncated/misframed streams
+    raise."""
+    import numpy as np
+    import pytest as _pt
+
+    from hemera_indexer_spark.operators.multimodal import (
+        decode_blob,
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(13)
+    for w, h, n in ((2, 2, 1), (6, 4, 3), (8, 6, 5)):
+        planes = [
+            rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        got, gw, gh = decode_y4m(encode_y4m(planes))
+        assert (gw, gh) == (w, h) and len(got) == n
+        assert all((a == b).all() for a, b in zip(planes, got))
+    data = encode_y4m([np.zeros((4, 4), dtype=np.uint8)])
+    with _pt.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"AVI stream")
+    with _pt.raises(ValueError, match="truncated"):
+        decode_y4m(data[:-4])
+    with _pt.raises(ValueError, match="FRAME marker"):
+        decode_y4m(data[: data.index(b"FRAME")] + b"XXXXX\n" + b"\x00" * 24)
+    assert len(decode_blob(data, "video")) == 16
+    assert len(decode_blob(b"h264 nal", "video")) == 32
+
+
 def test_csv_source_sink_roundtrip(spark, tmp_path):
     from hemera_indexer_spark.schemas import CHANGE_EVENT_SCHEMA
     from hemera_indexer_spark.sources.files import (
