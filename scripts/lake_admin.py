@@ -20,6 +20,13 @@ Write-audit-publish:
     python scripts/lake_admin.py TABLE_ROOT publish WAP_ID
     python scripts/lake_admin.py TABLE_ROOT discard WAP_ID
 
+Catalog / atomic multi-table publish (TABLE_ROOT is the CATALOG root):
+    python scripts/lake_admin.py CAT_ROOT cat-create
+    python scripts/lake_admin.py CAT_ROOT cat-register NAME=TABLE_ROOT
+    python scripts/lake_admin.py CAT_ROOT cat-versions
+    python scripts/lake_admin.py CAT_ROOT cat-publish NAME=WAP_ID[,NAME=WAP_ID]
+    python scripts/lake_admin.py CAT_ROOT cat-recover
+
 ANN-index maintenance (TABLE_ROOT is the INDEX root; --source the corpus):
     python scripts/lake_admin.py IDX_ROOT ivf-build --source SRC [--ncells N]
     python scripts/lake_admin.py IDX_ROOT ivf-sync --source SRC
@@ -89,6 +96,36 @@ def _ivf(spark, args) -> dict:
     }
 
 
+def _catalog(spark, args) -> dict:
+    """cat-* verbs: TABLE_ROOT positional is the CATALOG root."""
+    from hemera_indexer_spark.lake import LakeCatalog
+
+    root = args.table_root
+    if args.verb == "cat-create":
+        LakeCatalog.create(spark, root)
+        return {"catalog_created": root}
+    cat = LakeCatalog.load(spark, root)
+    if args.verb == "cat-register":
+        if not args.arg or "=" not in args.arg:
+            raise SystemExit("cat-register requires NAME=TABLE_ROOT")
+        name, _, troot = args.arg.partition("=")
+        cat.register(name, troot)
+        return {"registered": name, "catalog_version": cat.snapshot["version"]}
+    if args.verb == "cat-versions":
+        return {"catalog_version": cat.snapshot["version"],
+                "tables": cat.versions()}
+    if args.verb == "cat-publish":
+        if not args.arg:
+            raise SystemExit(
+                "cat-publish requires NAME=WAP_ID[,NAME=WAP_ID...]"
+            )
+        stages = dict(s.partition("=")[::2] for s in args.arg.split(","))
+        return {"published": cat.publish_all(stages)}
+    # cat-recover
+    done = cat.recover()
+    return {"recovered": done}
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("table_root")
@@ -99,6 +136,8 @@ def main():
             "compact", "pack", "staged", "publish", "discard", "widen",
             "ivf-build", "ivf-sync", "ivf-drift", "ivf-retrain",
             "ivf-maintain",
+            "cat-create", "cat-register", "cat-versions", "cat-publish",
+            "cat-recover",
         ],
     )
     ap.add_argument("arg", nargs="?", default=None,
@@ -130,6 +169,9 @@ def main():
 
     if args.verb.startswith("ivf-"):
         print(json.dumps(_ivf(spark, args)))
+        return
+    if args.verb.startswith("cat-"):
+        print(json.dumps(_catalog(spark, args)))
         return
     t = LakeTable.load(spark, args.table_root)
 
@@ -210,8 +252,10 @@ def main():
             buckets=set(range(t.num_buckets)) if zcols else None,
             zorder=zcols, zorder_splits=args.zorder_splits)}
     else:  # pack
+        zcols = tuple(args.zorder.split(",")) if args.zorder else ()
         out = {"packed": t.compact_files(
-            max_files=args.max_files, small_rows=args.small_rows)}
+            max_files=args.max_files, small_rows=args.small_rows,
+            zorder=zcols, zorder_splits=args.zorder_splits)}
     print(json.dumps(out))
 
 

@@ -191,6 +191,41 @@ def test_register_mid_txn_survives_catalog_flip(spark, tmp_path):
     assert _val(fresh.table("c"), "d0") == "c0"
 
 
+def test_lake_admin_catalog_verbs(spark, tmp_path):
+    """scripts/lake_admin.py cat-*: create / register / publish / recover
+    in real subprocesses (one JSON line each) — the operator workflow for
+    a coordinated two-table release."""
+    import subprocess
+    import sys as _sys
+
+    a = _mk_table(spark, str(tmp_path / "a"), "a")
+    b = _mk_table(spark, str(tmp_path / "b"), "b")
+    cat_root = str(tmp_path / "cat")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def admin(*argv):
+        r = subprocess.run(
+            [_sys.executable, "scripts/lake_admin.py", cat_root, *argv],
+            capture_output=True, text=True, timeout=300, cwd=repo,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    assert admin("cat-create")["catalog_created"] == cat_root
+    admin("cat-register", f"a={a.root}")
+    admin("cat-register", f"b={b.root}")
+    v = admin("cat-versions")
+    assert set(v["tables"]) == {"a", "b"}
+    assert a.merge_upsert(_batch(spark, "a"), epoch_id=1, wap_id="wa")
+    assert b.merge_upsert(_batch(spark, "b"), epoch_id=1, wap_id="wb")
+    pub = admin("cat-publish", "a=wa,b=wb")
+    assert set(pub["published"]) == {"a", "b"}
+    cat = LakeCatalog.load(spark, cat_root)
+    assert _val(cat.table("a"), "d0") == "a-new"
+    assert _val(cat.table("b"), "d0") == "b-new"
+    assert admin("cat-recover")["recovered"] is None
+
+
 def test_catalog_view_pins_across_out_of_band_commits(spark, tmp_path):
     """Out-of-band table commits don't move the catalog view until the
     next catalog transaction touches that table."""
