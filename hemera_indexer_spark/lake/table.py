@@ -389,7 +389,9 @@ class LakeTable:
         t._pinned = True
         return t
 
-    def changes_since(self, version: int, strategy: str = "sql") -> DataFrame:
+    def changes_since(
+        self, version: int, strategy: str = "sql", cdf: bool = False
+    ) -> DataFrame:
         """Incremental read (Iceberg's changelog-scan / CDF analog): the
         net row-level changes between a retained snapshot and the current
         one, as (change_op ∈ insert|update|delete, <row>). Downstream consumers
@@ -401,7 +403,17 @@ class LakeTable:
         whose files changed are resolved on each side, and the two resolved
         states full-outer join on the key. Net semantics: a key upserted
         then rolled back between the versions reports nothing; a delete
-        reports the OLD row."""
+        reports the OLD row.
+
+        ``cdf=True``: Delta-CDF-shaped feed — updates emit TWO rows
+        (change_op ∈ update_preimage|update_postimage) so consumers that
+        need the old value (reverse indexes un-keying the previous term,
+        aggregate maintainers subtracting the old contribution, audit
+        trails) get it without a second time-travel read. Same join, same
+        cost; inserts/deletes are unchanged. Still a NET feed: the images
+        are the resolved states at the two versions, not the intermediate
+        hops. Fact tables ignore the flag (append-only history has no
+        updates; the multiset diff already carries full images)."""
         old = self.as_of(version)
         old_files: dict[int, list[str]] = {}
         for f in old.snapshot["files"]:
@@ -459,13 +471,50 @@ class LakeTable:
         n_live = F.col("_n").isNotNull() & (
             ~F.col(f"_n.{del_col}") if has_del else F.lit(True)
         )
+        is_update = o_live & n_live & (
+            F.col(f"_n.{seqc}") != F.col(f"_o.{seqc}")
+        )
+        if cdf:
+            pre = F.struct(
+                F.lit("update_preimage").alias("_op"), F.col("_o").alias("_img")
+            )
+            post = F.struct(
+                F.lit("update_postimage").alias("_op"),
+                F.col("_n").alias("_img"),
+            )
+            pairs = (
+                F.when(
+                    ~o_live & n_live,
+                    F.array(F.struct(
+                        F.lit("insert").alias("_op"), F.col("_n").alias("_img")
+                    )),
+                )
+                .when(
+                    o_live & ~n_live,
+                    F.array(F.struct(
+                        F.lit("delete").alias("_op"), F.col("_o").alias("_img")
+                    )),
+                )
+                .when(is_update, F.array(pre, post))
+            )
+            return (
+                j.withColumn("_c", pairs)
+                .where(F.col("_c").isNotNull())
+                .select("_k", F.explode("_c").alias("_e"))
+                .select(
+                    F.col("_e._op").alias("change_op"),
+                    F.col("_k").alias(key),
+                    *[
+                        F.col(f"_e._img.{c}").alias(c)
+                        for c in new_side.columns
+                        if c not in (key, del_col)
+                    ],
+                )
+            )
         op = (
             F.when(~o_live & n_live, F.lit("insert"))
             .when(o_live & ~n_live, F.lit("delete"))
-            .when(
-                o_live & n_live & (F.col(f"_n.{seqc}") != F.col(f"_o.{seqc}")),
-                F.lit("update"),
-            )
+            .when(is_update, F.lit("update"))
         )
         picked = F.when(op == "delete", F.col("_o")).otherwise(F.col("_n"))
         out = (
