@@ -137,6 +137,35 @@ class LakeCatalog:
     def versions(self) -> dict[str, int]:
         return {n: e["version"] for n, e in self.snapshot["tables"].items()}
 
+    def advance(self, names: list[str] | None = None) -> dict[str, int]:
+        """Re-pin tables at their CURRENT versions in ONE catalog commit —
+        the read-side companion to ``publish_all`` for pipelines whose
+        writes are already individually consistent (e.g. a controller
+        that commits state then syncs its index sinks: calling
+        ``advance(["state", "index"])`` after the sync exposes the pair
+        to catalog readers as one atomic step). Returns the new pinned
+        versions. No-op (no catalog commit) when nothing moved."""
+        snap = self.snapshot
+        picked = names if names is not None else sorted(snap["tables"])
+        tables = {n: dict(e) for n, e in snap["tables"].items()}
+        moved = False
+        for name in picked:
+            e = self._entry(name)
+            v = LakeTable.load(self.spark, e["root"]).snapshot["version"]
+            if v != tables[name]["version"]:
+                tables[name]["version"] = v
+                moved = True
+        if not moved:
+            return self.versions()
+        self._write(
+            {
+                "version": snap["version"] + 1,
+                "parent": snap["version"],
+                "tables": tables,
+            }
+        )
+        return self.versions()
+
     def live_table(self, name: str) -> LakeTable:
         """The table's CURRENT state — per-table read-committed; may be
         ahead of the catalog's pinned version."""

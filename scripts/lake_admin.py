@@ -26,6 +26,7 @@ Catalog / atomic multi-table publish (TABLE_ROOT is the CATALOG root):
     python scripts/lake_admin.py CAT_ROOT cat-versions
     python scripts/lake_admin.py CAT_ROOT cat-publish NAME=WAP_ID[,NAME=WAP_ID]
     python scripts/lake_admin.py CAT_ROOT cat-recover
+    python scripts/lake_admin.py CAT_ROOT cat-advance [NAME[,NAME...]]
 
 ANN-index maintenance (TABLE_ROOT is the INDEX root; --source the corpus):
     python scripts/lake_admin.py IDX_ROOT ivf-build --source SRC [--ncells N]
@@ -114,6 +115,9 @@ def _catalog(spark, args) -> dict:
     if args.verb == "cat-versions":
         return {"catalog_version": cat.snapshot["version"],
                 "tables": cat.versions()}
+    if args.verb == "cat-advance":
+        names = args.arg.split(",") if args.arg else None
+        return {"pinned": cat.advance(names)}
     if args.verb == "cat-publish":
         if not args.arg:
             raise SystemExit(
@@ -137,7 +141,7 @@ def main():
             "ivf-build", "ivf-sync", "ivf-drift", "ivf-retrain",
             "ivf-maintain",
             "cat-create", "cat-register", "cat-versions", "cat-publish",
-            "cat-recover",
+            "cat-recover", "cat-advance",
         ],
     )
     ap.add_argument("arg", nargs="?", default=None,

@@ -191,6 +191,42 @@ def test_register_mid_txn_survives_catalog_flip(spark, tmp_path):
     assert _val(fresh.table("c"), "d0") == "c0"
 
 
+def test_advance_repins_in_one_commit(spark, tmp_path):
+    """advance(): the read-side companion to publish_all — re-pin tables
+    at their current versions in ONE catalog commit (controller calls it
+    after state commit + index sync so catalog readers see the pair move
+    together). No-op when nothing moved."""
+    cat, a, b = _mk(spark, tmp_path)
+    cv0 = cat.snapshot["version"]
+    assert cat.advance() == cat.versions()
+    assert cat.snapshot["version"] == cv0  # nothing moved -> no commit
+    a.merge_upsert(_batch(spark, "a"), epoch_id=1)
+    b.merge_upsert(_batch(spark, "b"), epoch_id=1)
+    assert _val(cat.table("a"), "d0") == "a0"  # still pinned pre-advance
+    pinned = cat.advance()
+    assert cat.snapshot["version"] == cv0 + 1  # ONE commit for both
+    assert pinned == {"a": a.snapshot["version"] + 1,
+                      "b": b.snapshot["version"] + 1} or pinned == {
+        "a": LakeTable.load(spark, a.root).snapshot["version"],
+        "b": LakeTable.load(spark, b.root).snapshot["version"],
+    }
+    assert _val(cat.table("a"), "d0") == "a-new"
+    assert _val(cat.table("b"), "d0") == "b-new"
+    # selective advance moves only the named table
+    a2 = LakeTable.load(spark, a.root)
+    a2.merge_upsert(
+        spark.createDataFrame(
+            [("d0", 300, "a-newer", "upsert")],
+            "doc_id string, seq long, val string, op string",
+        ),
+        epoch_id=2,
+    )
+    cat.advance(["b"])
+    assert _val(cat.table("a"), "d0") == "a-new"
+    cat.advance(["a"])
+    assert _val(cat.table("a"), "d0") == "a-newer"
+
+
 def test_lake_admin_catalog_verbs(spark, tmp_path):
     """scripts/lake_admin.py cat-*: create / register / publish / recover
     in real subprocesses (one JSON line each) — the operator workflow for
@@ -224,6 +260,17 @@ def test_lake_admin_catalog_verbs(spark, tmp_path):
     assert _val(cat.table("a"), "d0") == "a-new"
     assert _val(cat.table("b"), "d0") == "b-new"
     assert admin("cat-recover")["recovered"] is None
+    # out-of-band commit + cat-advance re-pins via the CLI
+    a2 = LakeTable.load(spark, a.root)
+    a2.merge_upsert(
+        spark.createDataFrame(
+            [("d0", 500, "a-cli", "upsert")],
+            "doc_id string, seq long, val string, op string",
+        ),
+        epoch_id=2,
+    )
+    pin = admin("cat-advance", "a")
+    assert pin["pinned"]["a"] == a2.snapshot["version"]
 
 
 def test_catalog_view_pins_across_out_of_band_commits(spark, tmp_path):
