@@ -1983,6 +1983,18 @@ def q_video_frame_stats(spark, sf):
     return video_frame_stats(synthesize_video_blobs(docs, "doc_id"), every=2)
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): deterministic k-means clustering
+    turns all-pairs cosine into within-cluster pairs (O(Σ cluster²), the
+    method's scale trick), 4dp exact-cosine threshold, keep-first drop
+    rule (operators/embeddings.py ``semantic_dedup``). The oracle replays
+    the shared Lloyd CTE chain plus the identical pair filter."""
+    from hemera_indexer_spark.operators.embeddings import semantic_dedup
+
+    emb = _t(spark, sf, "embeddings")
+    return semantic_dedup(emb, in_dim=64, k=4, iters=2, threshold=0.35)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the per-round driver CORRECTNESS check covers only
     # the FIRST 50 entries in insertion order. Rounds 1-4 attested the block
@@ -2043,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "audio_decode_stats": q_audio_decode_stats,
         "video_frame_stats": q_video_frame_stats,
+        "semantic_dedup": q_semantic_dedup,
         # --- driver-attested in rounds 1-4 (CORRECTNESS_r01..r04) ---
         "pricing_summary": q_pricing_summary,
         "filter_pushdown": q_filter_pushdown,
@@ -2190,11 +2203,13 @@ def _jl_oracle() -> str:
     """
 
 
-def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
-    """DuckDB side of ``kmeans_clusters``: the Lloyd chain unrolled as
-    CTEs — c0 (first-k init) → a0 (exact-decimal argmin) → c1 (6dp-rounded
-    means) → a1 → ... — the same quantized-centroid definition the Spark
-    operator implements, recomputed from scratch."""
+def _kmeans_ctes(k: int = 4, iters: int = 2) -> tuple[str, str]:
+    """The Lloyd chain unrolled as CTEs — c0 (first-k init) → a0
+    (exact-decimal argmin) → c1 (6dp-rounded means) → a1 → ... — the same
+    quantized-centroid definition the Spark operator implements,
+    recomputed from scratch. Returns (cte_body, final_assignment_name) so
+    both the plain k-means oracle and consumers that build ON the
+    assignment (semantic_dedup) share one definition."""
     assign = """
         a{n} AS (
             SELECT ex.vec_id, c.cid,
@@ -2233,10 +2248,38 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
         ctes.append(assign.format(n=n))
         ctes.append(update.format(n=n, m=n + 1))
     ctes.append(assign.format(n=iters))
-    return (
-        "WITH " + ",".join(ctes)
-        + f" SELECT vec_id, cid AS cluster FROM a{iters}"
-    )
+    return ",".join(ctes), f"a{iters}"
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    body, final = _kmeans_ctes(k, iters)
+    return f"WITH {body} SELECT vec_id, cid AS cluster FROM {final}"
+
+
+def _semantic_dedup_oracle(
+    k: int = 4, iters: int = 2, threshold: float = 0.2
+) -> str:
+    """DuckDB side of ``semantic_dedup``: the shared k-means chain, then
+    within-cluster pairs (a.vec_id < b.vec_id) filtered by the same
+    4dp-rounded cosine, keep-first drop rule."""
+    body, final = _kmeans_ctes(k, iters)
+    cos = _cos_sql("pa.embedding", "pb.embedding")
+    return f"""
+        WITH {body},
+        asg AS (SELECT vec_id, cid AS cluster FROM {final}),
+        ev AS (
+            SELECT e.vec_id, e.embedding, a.cluster
+            FROM embeddings e JOIN asg a USING (vec_id)
+        ),
+        drops AS (
+            SELECT DISTINCT pb.vec_id
+            FROM ev pa JOIN ev pb
+              ON pa.cluster = pb.cluster AND pa.vec_id < pb.vec_id
+            WHERE round({cos}, 4) >= {threshold}
+        )
+        SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS kept
+        FROM asg a LEFT JOIN drops d ON a.vec_id = d.vec_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3774,6 +3817,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "jl_projection": _jl_oracle(),
         "kmeans_clusters": _kmeans_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(threshold=0.35),
         "funnel": """
             WITH t1 AS (
                 SELECT user_id, MIN(ts) AS ts FROM events

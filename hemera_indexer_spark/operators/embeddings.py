@@ -285,3 +285,69 @@ def kmeans_lloyd(
         # function leak-free for long-lived callers (cache covers exactly
         # the iters+1 driver-side collects above, where the reuse is).
         base.unpersist()
+
+
+def semantic_dedup(
+    df: DataFrame,
+    in_dim: int,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 shape): cluster the embedding corpus,
+    then mark semantic near-duplicates WITHIN each cluster only — the
+    clustering is what turns an O(n²) all-pairs cosine into
+    O(Σ cluster_size²), the whole point of the method at corpus scale.
+
+    Pipeline: deterministic ``kmeans_lloyd`` assignment (engine-portable
+    by construction) → within-cluster self-join on cluster id (shuffle
+    keyed by cluster; both sides are the (id, vec, cluster) projection) →
+    exact cosine at 4dp on candidate pairs only.
+
+    Keep rule (deterministic one-pass, the same keep-first law as
+    ``chunk_dedup``/``duplicated_spans``): a doc is dropped iff SOME
+    smaller-id doc in its cluster is ≥ threshold similar — whether or not
+    that senior doc was itself dropped. This is not transitive-closure
+    grouping (see ``dedup.py`` connected components for that); it is the
+    order-independent approximation production SemDeDup uses, and it
+    needs no iteration.
+
+    Returns (id, cluster, kept). Scale shape: the k-means passes (see
+    ``kmeans_lloyd``), ONE cluster-keyed self-join whose output is pruned
+    by the cosine filter before the distinct, ONE left anti-ish join to
+    label. Skewed clusters are the known failure mode at scale — raise k
+    (smaller clusters) rather than salting: splitting a semantic cluster
+    across salts would lose dup pairs.
+    """
+    from .similarity import cosine
+
+    assigned = kmeans_lloyd(
+        df, in_dim, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    e = (
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .join(assigned, id_col)
+    )
+    a = e.select(
+        F.col(id_col).alias("_ia"), F.col("_v").alias("_va"), "cluster"
+    )
+    b = e.select(
+        F.col(id_col).alias("_ib"), F.col("_v").alias("_vb"), "cluster"
+    )
+    drops = (
+        a.join(b, "cluster")
+        .where(F.col("_ia") < F.col("_ib"))
+        .where(F.round(cosine(F.col("_va"), F.col("_vb")), 4) >= threshold)
+        .select(F.col("_ib").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return assigned.join(drops, id_col, "left").select(
+        F.col(id_col),
+        "cluster",
+        F.col("_drop").isNull().alias("kept"),
+    )
