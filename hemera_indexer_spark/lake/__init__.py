@@ -1,4 +1,8 @@
 from hemera_indexer_spark.lake.catalog import CatalogTxnError, LakeCatalog
+from hemera_indexer_spark.lake.maintenance import (
+    MaintenancePolicy,
+    run_maintenance,
+)
 from hemera_indexer_spark.lake.table import (
     ConcurrentCommitError,
     FormatVersionError,
@@ -9,6 +13,8 @@ __all__ = [
     "LakeTable",
     "LakeCatalog",
     "CatalogTxnError",
+    "MaintenancePolicy",
+    "run_maintenance",
     "ConcurrentCommitError",
     "FormatVersionError",
 ]

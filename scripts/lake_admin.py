@@ -13,6 +13,8 @@ Usage:
     python scripts/lake_admin.py TABLE_ROOT compact [--strategy sql|jvm]
         [--zorder COL,COL [--zorder-splits N]]
     python scripts/lake_admin.py TABLE_ROOT pack [--max-files N] [--small-rows R]
+    python scripts/lake_admin.py TABLE_ROOT maintain [--compact-depth N]
+        [--max-files N] [--small-rows R] [--rebucket-rows R] [--keep-last N]
     python scripts/lake_admin.py TABLE_ROOT widen COL:TYPE[,COL:TYPE...]
 
 Write-audit-publish:
@@ -137,7 +139,8 @@ def main():
         "verb",
         choices=[
             "health", "tag", "clone", "purge", "expire", "vacuum",
-            "compact", "pack", "staged", "publish", "discard", "widen",
+            "compact", "pack", "maintain", "staged", "publish", "discard",
+            "widen",
             "ivf-build", "ivf-sync", "ivf-drift", "ivf-retrain",
             "ivf-maintain",
             "cat-create", "cat-register", "cat-versions", "cat-publish",
@@ -163,6 +166,10 @@ def main():
     ap.add_argument("--vec-col", default="embedding")
     ap.add_argument("--num-buckets", type=int, default=16)
     ap.add_argument("--max-drift", type=float, default=0.25)
+    ap.add_argument("--compact-depth", type=int, default=8,
+                    help="maintain: compact buckets with >= this delta depth")
+    ap.add_argument("--rebucket-rows", type=int, default=None,
+                    help="maintain: rebucket when mean rows/bucket exceeds")
     args = ap.parse_args()
 
     from hemera_indexer_spark.lake import LakeTable
@@ -255,6 +262,22 @@ def main():
             strategy=args.strategy,
             buckets=set(range(t.num_buckets)) if zcols else None,
             zorder=zcols, zorder_splits=args.zorder_splits)}
+    elif args.verb == "maintain":
+        from hemera_indexer_spark.lake import (
+            MaintenancePolicy,
+            run_maintenance,
+        )
+
+        out = run_maintenance(t, MaintenancePolicy(
+            compact_delta_depth=args.compact_depth,
+            pack_max_files=args.max_files,
+            pack_small_rows=args.small_rows,
+            rebucket_rows_per_bucket=args.rebucket_rows,
+            expire_keep_last=(
+                args.keep_last if args.keep_last is not None else 10
+            ),
+            strategy=args.strategy,
+        ))
     else:  # pack
         zcols = tuple(args.zorder.split(",")) if args.zorder else ()
         out = {"packed": t.compact_files(
