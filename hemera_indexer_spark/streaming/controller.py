@@ -188,6 +188,8 @@ class StreamController:
         rebucket_target_rows: int | None = None,
         fact_compact_max_files: int | None = None,
         fact_compact_small_rows: int | None = 1_000_000,
+        catalog=None,
+        catalog_tables: list[str] | None = None,
     ):
         # Dead-letter quarantine (the reference logs-and-skips items its
         # exporters cannot convert rather than poisoning the batch,
@@ -263,6 +265,14 @@ class StreamController:
         # optional grow-only layout policy (maybe_rebucket) run in the same
         # post-group maintenance slot as compaction; None = never rebucket
         self.rebucket_target_rows = rebucket_target_rows
+        # Catalog advance (lake/catalog.py): when set, each committed
+        # group ends by re-pinning ``catalog_tables`` (default: every
+        # registered table) at their current versions in ONE catalog
+        # commit, so catalog readers always see the state table and its
+        # index sinks at a mutually-consistent point — the read-side
+        # atomicity the per-table fences alone can't give a JOIN.
+        self.catalog = catalog
+        self.catalog_tables = catalog_tables
         # catch-up batching caps: how many backlogged rollback-free epochs may
         # share one merge+commit, and a row budget per commit (from footer
         # counts, no scan) so a deep backlog cannot produce an unbounded
@@ -1253,6 +1263,11 @@ class StreamController:
             self.table.maybe_rebucket(
                 self.rebucket_target_rows, strategy=strategy
             )
+        if self.catalog is not None:
+            # AFTER state commit, sink syncs and layout maintenance: the
+            # group's full effect becomes one catalog step. advance() is a
+            # no-op commit-wise when nothing moved (empty groups).
+            self.catalog.advance(self.catalog_tables)
         wall = int((time.monotonic() - t0) * 1000)
 
         # per-epoch stats: events from the per-epoch footer metas; the wall

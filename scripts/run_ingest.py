@@ -145,6 +145,12 @@ def main() -> None:
                          "pass through); 'always': every group pays one "
                          "filtered scan and catches those too (streaming "
                          "mode always behaves like 'always')")
+    ap.add_argument("--catalog-dir", default=None,
+                    help="LakeCatalog root: auto-created; the state table "
+                         "(and any index/fact sinks' tables) are registered "
+                         "under fixed names and re-pinned after every "
+                         "committed group, so catalog readers always see a "
+                         "mutually-consistent multi-table point")
     args = ap.parse_args()
     tenant_kw = {}
     if args.quarantine_dir is not None:
@@ -296,6 +302,35 @@ def main() -> None:
             )
         )
 
+    catalog_kw = {}
+    if args.catalog_dir is not None:
+        if args.streaming:
+            ap.error("--catalog-dir uses the batch controller; the "
+                     "streaming path has no per-group advance slot yet")
+        from hemera_indexer_spark.lake import LakeCatalog
+
+        if os.path.exists(os.path.join(args.catalog_dir, "VERSION")):
+            catalog = LakeCatalog.load(spark, args.catalog_dir)
+        else:
+            catalog = LakeCatalog.create(spark, args.catalog_dir)
+        roots = {"state": args.table_root}
+        if fact_table is not None:
+            roots["fact"] = args.fact_table_root
+        for nm, d in (
+            ("dedup_index", args.dedup_index_dir),
+            ("ann_index", args.ann_index_dir),
+            ("sec_index", args.secidx_dir),
+        ):
+            if d:
+                roots[nm] = d
+        registered = set(catalog.versions())
+        for nm, root in roots.items():
+            if nm not in registered:
+                catalog.register(nm, root)
+        catalog_kw = {
+            "catalog": catalog, "catalog_tables": sorted(roots),
+        }
+
     t0 = time.monotonic()
     if args.repair is not None:
         if args.streaming:
@@ -320,7 +355,7 @@ def main() -> None:
             rebucket_target_rows=args.rebucket_target_rows,
             fact_compact_max_files=args.fact_compact_max_files,
             fact_compact_small_rows=args.fact_compact_small_rows or None,
-            **tenant_kw,
+            **tenant_kw, **catalog_kw,
         ).repair_range(lo, hi, lock_ttl_s=args.repair_lock_ttl)
         events = stats.total_events
     elif args.streaming:
@@ -362,7 +397,7 @@ def main() -> None:
             rebucket_target_rows=args.rebucket_target_rows,
             fact_compact_max_files=args.fact_compact_max_files,
             fact_compact_small_rows=args.fact_compact_small_rows or None,
-            **tenant_kw,
+            **tenant_kw, **catalog_kw,
         ).run(max_epochs=args.max_epochs)
         events = stats.total_events
     wall = time.monotonic() - t0

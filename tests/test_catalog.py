@@ -273,6 +273,108 @@ def test_lake_admin_catalog_verbs(spark, tmp_path):
     assert pin["pinned"]["a"] == a2.snapshot["version"]
 
 
+def test_controller_advances_catalog_per_group(spark, tiny_log, tmp_path):
+    """StreamController(catalog=): after a full CDC replay with a
+    SecondaryIndexSink, the catalog pins state + index at a mutually-
+    consistent point — a catalog reader's index lookup answers exactly
+    what filtering the catalog's state view answers, and both pins equal
+    the live heads (the last group's advance saw everything, including
+    post-group layout maintenance)."""
+    from pyspark.sql import functions as F
+
+    from hemera_indexer_spark.lake import LakeCatalog
+    from hemera_indexer_spark.operators.secondary_index import SecondaryIndex
+    from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+    from hemera_indexer_spark.streaming import StreamController
+    from hemera_indexer_spark.streaming.sinks import SecondaryIndexSink
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    idx = SecondaryIndex.build_from_table(
+        spark, str(tmp_path / "idx"), table, "n_tok", num_buckets=4
+    )
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    cat.register("state", table.root)
+    cat.register("index", idx.table.root)
+    cv0 = cat.snapshot["version"]
+    StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions,
+        sinks=[SecondaryIndexSink(table, idx, maintain_after=1)],
+        catalog=cat, catalog_tables=["state", "index"],
+    ).run()
+    assert cat.snapshot["version"] > cv0  # advanced at least once
+    live_state = LakeTable.load(spark, table.root).snapshot["version"]
+    live_index = LakeTable.load(spark, idx.table.root).snapshot["version"]
+    assert cat.versions() == {"state": live_state, "index": live_index}
+    # cross-table consistency of the pinned pair: the index's sorted
+    # projection answers the same rows as filtering the pinned state
+    view = cat.read_view()
+    want = {
+        (r["doc_id"], r["n_tok"])
+        for r in view["state"].current_state()
+        .where(F.col("n_tok").between(10, 25))
+        .collect()
+    }
+    got = {tuple(r) for r in idx.lookup(10, 25).collect()}
+    assert got == want and got
+
+
+def test_run_ingest_catalog_dir_cli(spark, tmp_path):
+    """scripts/run_ingest.py --catalog-dir: the catalog is auto-created,
+    state + secondary index register under fixed names, and after the run
+    the pins equal the live heads; a resumed run reuses the existing
+    catalog (no re-register error)."""
+    import subprocess
+    import sys as _sys
+
+    from hemera_indexer_spark.lake import LakeCatalog
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = ChangelogSpec(
+        n_docs=80, n_epochs=3, events_per_epoch=150, n_partitions=2,
+        seed=5, schema_evolution_epoch=None, rollback_epochs=(),
+    )
+    log_dir = str(tmp_path / "log")
+    generate_changelog(log_dir, spec)
+    root, idx_dir, cat_dir = (
+        str(tmp_path / "lake"), str(tmp_path / "idx"), str(tmp_path / "cat")
+    )
+
+    def cli():
+        res = subprocess.run(
+            [
+                _sys.executable,
+                os.path.join(repo, "scripts", "run_ingest.py"),
+                "--log-dir", log_dir, "--table-root", root,
+                "--partitions", "2", "--num-buckets", "4", "--cores", "2",
+                "--secidx-dir", idx_dir, "--catalog-dir", cat_dir,
+            ],
+            capture_output=True, text=True, cwd=repo, timeout=300,
+        )
+        lines = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
+        assert lines, res.stdout[-1500:] + "\n" + res.stderr[-3000:]
+        return json.loads(lines[-1])
+
+    out = cli()
+    assert out["committed_epoch"] == spec.n_epochs - 1
+    cat = LakeCatalog.load(spark, cat_dir)
+    assert set(cat.versions()) == {"state", "sec_index"}
+    assert cat.versions() == {
+        "state": LakeTable.load(spark, root).snapshot["version"],
+        "sec_index": LakeTable.load(spark, idx_dir).snapshot["version"],
+    }
+    # resume run: existing catalog reused, nothing re-registered, pins hold
+    out2 = cli()
+    assert out2["committed_epoch"] == spec.n_epochs - 1
+    cat2 = LakeCatalog.load(spark, cat_dir)
+    assert set(cat2.versions()) == {"state", "sec_index"}
+
+
 def test_catalog_view_pins_across_out_of_band_commits(spark, tmp_path):
     """Out-of-band table commits don't move the catalog view until the
     next catalog transaction touches that table."""
