@@ -55,6 +55,8 @@ class StructuredIngest:
         fact_compact_max_files: int | None = None,
         fact_compact_small_rows: int | None = 1_000_000,
         event_schema=None,
+        catalog=None,
+        catalog_tables: list[str] | None = None,
     ):
         # ``event_schema``: the log's event schema (default: the engine's
         # CHANGE_EVENT_SCHEMA). A streaming query's source schema is FIXED
@@ -99,6 +101,17 @@ class StructuredIngest:
         # its log fence rides table.committed_epoch() (the LOG-epoch
         # domain, same rule as the view sink above)
         self.index_sink = index_sink
+        # catalog advance parity with the batch controller: after each
+        # fenced micro-batch (including the replayed/no-op arms, whose
+        # sink refreshes may still move index tables), re-pin the named
+        # tables in one catalog commit so catalog readers see the batch's
+        # full multi-table effect atomically
+        self.catalog = catalog
+        self.catalog_tables = catalog_tables
+
+    def _advance_catalog(self) -> None:
+        if self.catalog is not None:
+            self.catalog.advance(self.catalog_tables)
 
     # -------------------------------------------------------------- sink
     @property
@@ -152,6 +165,7 @@ class StructuredIngest:
                 self.view_sink.refresh(self.table.committed_epoch())
             if self.index_sink is not None:
                 self.index_sink.after_commit(self.table.committed_epoch(), True)
+            self._advance_catalog()
             return
         if state_done:
             self.fact_table.refresh()
@@ -241,6 +255,7 @@ class StructuredIngest:
             self.view_sink.refresh(self.table.committed_epoch())
         if self.index_sink is not None:
             self.index_sink.after_commit(self.table.committed_epoch(), True)
+        self._advance_catalog()
 
     # -------------------------------------------------------------- query
     def start(self, available_now: bool = True):

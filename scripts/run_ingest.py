@@ -304,9 +304,6 @@ def main() -> None:
 
     catalog_kw = {}
     if args.catalog_dir is not None:
-        if args.streaming:
-            ap.error("--catalog-dir uses the batch controller; the "
-                     "streaming path has no per-group advance slot yet")
         from hemera_indexer_spark.lake import LakeCatalog
 
         if os.path.exists(os.path.join(args.catalog_dir, "VERSION")):
@@ -380,6 +377,7 @@ def main() -> None:
             index_sink=index_sink,
             fact_compact_max_files=args.fact_compact_max_files,
             fact_compact_small_rows=args.fact_compact_small_rows or None,
+            **catalog_kw,
         ).start(available_now=True)
         q.awaitTermination()
         events = None

@@ -383,3 +383,39 @@ def test_structured_ingest_maintains_signature_index(spark, tmp_path):
     ).start(available_now=True).awaitTermination(300)
     idx.table.refresh()
     assert idx.table.snapshot["version"] == v
+
+
+def test_structured_ingest_advances_catalog(spark, tmp_path):
+    """Streaming parity for the catalog advance: after each fenced
+    micro-batch the catalog re-pins state (and would-be index tables) at
+    a consistent point; end state pins equal the live heads, and the
+    replayed/no-op restart leaves the catalog version unchanged."""
+    from hemera_indexer_spark.lake import LakeCatalog
+
+    spec = ChangelogSpec(
+        n_docs=150, n_epochs=3, events_per_epoch=300, n_partitions=2,
+        seed=9, schema_evolution_epoch=None, rollback_epochs=(),
+    )
+    log_dir = str(tmp_path / "log")
+    generate_changelog(log_dir, spec)
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    cat.register("state", table.root)
+    cv0 = cat.snapshot["version"]
+    ingest = StructuredIngest(
+        spark, table, log_dir, spec.n_partitions,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        catalog=cat, catalog_tables=["state"],
+    )
+    ingest.start(available_now=True).awaitTermination(300)
+    cat2 = LakeCatalog.load(spark, cat.root)
+    assert cat2.snapshot["version"] > cv0
+    table.refresh()
+    assert cat2.versions()["state"] == table.snapshot["version"]
+    # restart drains nothing: the advance is a no-op, catalog unmoved
+    cv1 = cat2.snapshot["version"]
+    ingest.start(available_now=True).awaitTermination(120)
+    assert LakeCatalog.load(spark, cat.root).snapshot["version"] == cv1
