@@ -43,7 +43,7 @@ def _model_state(model):
     }
 
 
-@pytest.mark.parametrize("seed", [11, 23])
+@pytest.mark.parametrize("seed", [11, 23, 37])
 def test_random_walk_matches_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     root = str(tmp_path / f"walk{seed}")
@@ -53,47 +53,118 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
     epoch = 0
     clones = 0
 
-    def merge_batch():
-        nonlocal seq, epoch
-        rows = []
+    def gen_rows():
+        """A random batch and its would-be model delta (not yet applied)."""
+        nonlocal seq
+        rows, delta = [], {}
         for _ in range(rng.randint(1, 8)):
             k = rng.choice(KEYS)
             seq += 1
             if rng.random() < 0.2:
                 rows.append((k, seq, None, "delete"))
-                model[k] = (seq, None, True)
+                delta[k] = (seq, None, True)
             else:
                 v = f"v{seq}"
                 rows.append((k, seq, v, "upsert"))
-                model[k] = (seq, v, False)
-        epoch += 1
-        t.merge_upsert(
-            spark.createDataFrame(
-                rows, "doc_id string, seq long, val string, op string"
-            ),
-            epoch_id=epoch,
+                delta[k] = (seq, v, False)
+        return rows, delta
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, seq long, val string, op string"
         )
 
+    def merge_batch():
+        nonlocal epoch
+        rows, delta = gen_rows()
+        epoch += 1
+        t.merge_upsert(_df(rows), epoch_id=epoch)
+        model.update(delta)
+
+    def expected_cdf(old_model):
+        """The Delta-CDF rows the engine must report from old -> now."""
+        out = set()
+        old_live = _model_state(old_model)
+        new_live = _model_state(model)
+        for k in set(old_live) | set(new_live):
+            o, n = old_live.get(k), new_live.get(k)
+            if o is None and n is not None:
+                out.add(("insert", k, *n))
+            elif o is not None and n is None:
+                out.add(("delete", k, *o))
+            elif o is not None and n is not None and o[0] != n[0]:
+                out.add(("update_preimage", k, *o))
+                out.add(("update_postimage", k, *n))
+        return out
+
+    checkpoints = [(0, dict(model))]
     ops = []
     for step in range(24):
         r = rng.random()
-        if step < 2 or r < 0.55:
+        if step < 2 or r < 0.45:
             op = "merge"
-        elif r < 0.65:
+        elif r < 0.55:
             op = "compact"
-        elif r < 0.72:
+        elif r < 0.62:
             op = "rebucket"
-        elif r < 0.80:
+        elif r < 0.68:
             op = "retention"
-        elif r < 0.88:
+        elif r < 0.73:
             op = "clone"
-        elif r < 0.94:
+        elif r < 0.78:
             op = "tag"
-        else:
+        elif r < 0.83:
             op = "purge"
+        elif r < 0.89:
+            op = "wap"
+        elif r < 0.95:
+            op = "cdf"
+        else:
+            op = "maintain"
         ops.append(op)
         if op == "merge":
             merge_batch()
+        elif op == "wap":
+            # stage -> (invisible) -> audit equals model+delta -> publish
+            # applies / discard leaves the world untouched
+            nonlocal_epoch = epoch + 1
+            rows, delta = gen_rows()
+            wid = f"w{step}"
+            before = _model_state(model)
+            assert t.merge_upsert(_df(rows), epoch_id=nonlocal_epoch,
+                                  wap_id=wid)
+            epoch = nonlocal_epoch
+            assert _table_state(t) == before, (seed, step, ops)
+            staged_model = dict(model)
+            staged_model.update(delta)
+            assert _table_state(t.audit_staged(wid)) == _model_state(
+                staged_model
+            ), (seed, step, ops)
+            if rng.random() < 0.5:
+                t.publish_staged(wid)
+                model.update(delta)
+            else:
+                t.discard_staged(wid)
+        elif op == "cdf":
+            retained = {s["version"] for s in t.snapshots()}
+            live_ckpts = [c for c in checkpoints if c[0] in retained]
+            if live_ckpts:
+                v0, m0 = rng.choice(live_ckpts)
+                got = {
+                    (r2["change_op"], r2["doc_id"], r2["seq"], r2["val"])
+                    for r2 in t.changes_since(v0, cdf=True).collect()
+                }
+                assert got == expected_cdf(m0), (seed, step, v0, ops)
+        elif op == "maintain":
+            from hemera_indexer_spark.lake import (
+                MaintenancePolicy,
+                run_maintenance,
+            )
+
+            run_maintenance(t, MaintenancePolicy(
+                compact_delta_depth=rng.randint(1, 6),
+                expire_keep_last=rng.randint(2, 5),
+            ))
         elif op == "compact":
             t.compact(strategy=rng.choice(["sql", "jvm"]))
         elif op == "rebucket":
@@ -122,6 +193,7 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
                 seq += 1
                 model[k] = (seq, None, True)
         assert _table_state(t) == _model_state(model), (seed, step, ops)
+        checkpoints.append((t.snapshot["version"], dict(model)))
     # the walk must have exercised a real mix
     assert {"merge"} < set(ops)
 
