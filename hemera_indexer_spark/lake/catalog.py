@@ -201,6 +201,8 @@ class LakeCatalog:
         then intent -> per-table publish -> catalog CAS. The intent file
         is also the lock: one in-flight transaction at a time, and a
         pending one must be ``recover()``-ed first."""
+        if not stages:
+            raise ValueError("publish_all requires at least one stage")
         txn_path = os.path.join(self.root, TXN_FILE)
         if os.path.exists(txn_path):  # fail fast; O_EXCL below is the guard
             raise CatalogTxnError(

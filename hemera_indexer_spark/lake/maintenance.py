@@ -91,16 +91,14 @@ def run_maintenance(
             cluster_by=p.cluster_by,
         )
         t.refresh()
-    # 1b. layout: bucket-count evolution on sustained overgrowth
+    # 1b. layout: bucket-count evolution on sustained overgrowth — the
+    # table's own grow-only policy (next power of two, <= 4x per call)
     if p.rebucket_rows_per_bucket:
-        mean = before["rows_total"] / max(before["num_buckets"], 1)
-        if mean > p.rebucket_rows_per_bucket:
-            nb = before["num_buckets"]
-            while before["rows_total"] / nb > p.rebucket_rows_per_bucket:
-                nb *= 2
-            report["rebucketed_to"] = nb
-            t.rebucket(nb, strategy=p.strategy)
+        if t.maybe_rebucket(
+            p.rebucket_rows_per_bucket, strategy=p.strategy
+        ):
             t.refresh()
+            report["rebucketed_to"] = t.num_buckets
     # 2. retention: metadata first, then data
     if p.expire_keep_last is not None:
         report["snapshots_expired"] = t.expire_snapshots(
