@@ -1995,6 +1995,25 @@ def q_semantic_dedup(spark, sf):
     return semantic_dedup(emb, in_dim=64, k=4, iters=2, threshold=0.35)
 
 
+def q_quantile_sketch(spark, sf):
+    """Deterministic mergeable quantile sketch (Munro-Paterson multi-level
+    buffer collapse — no KLL coin flips, so retries reproduce exactly):
+    one map-only mapInPandas summary pass, then a single-partition window
+    + broadcast range-join against the probs table over the TINY merged
+    summary (operators/sketches.py ``quantile_sketch``). Exact regime at
+    test scale (per-task counts < buffer), so the oracle states the
+    quantile_disc rank rule (rank = max(ceil(p*n), 1)) on the raw data;
+    the approximate regime's rank-error bound is property-tested."""
+    from hemera_indexer_spark.operators.sketches import quantile_sketch
+
+    ev = _t(spark, sf, "events")
+    return quantile_sketch(
+        ev, "value",
+        probs=[0.05, 0.25, 0.5, 0.75, 0.95, 0.99],
+        buffer_size=1 << 17,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the per-round driver CORRECTNESS check covers only
     # the FIRST 50 entries in insertion order. Rounds 1-4 attested the block
@@ -2056,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_stats": q_audio_decode_stats,
         "video_frame_stats": q_video_frame_stats,
         "semantic_dedup": q_semantic_dedup,
+        "quantile_sketch": q_quantile_sketch,
         # --- driver-attested in rounds 1-4 (CORRECTNESS_r01..r04) ---
         "pricing_summary": q_pricing_summary,
         "filter_pushdown": q_filter_pushdown,
@@ -3817,6 +3837,25 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "jl_projection": _jl_oracle(),
         "kmeans_clusters": _kmeans_oracle(),
+        # exact-regime quantile sketch vs the quantile_disc rank rule; the
+        # probs are CAST to DOUBLE so ceil(p*n) is the same IEEE multiply
+        # on both engines (DuckDB VALUES literals default to DECIMAL)
+        "quantile_sketch": """
+            WITH s AS (
+                SELECT CAST(value AS DOUBLE) AS v,
+                       ROW_NUMBER() OVER (ORDER BY CAST(value AS DOUBLE)) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM events WHERE value IS NOT NULL
+            ),
+            probs AS (
+                SELECT CAST(x AS DOUBLE) AS p
+                FROM (VALUES (0.05),(0.25),(0.5),(0.75),(0.95),(0.99)) t(x)
+            )
+            SELECT p, MIN(v) AS v
+            FROM probs, s
+            WHERE rn >= GREATEST(CAST(CEIL(p * n) AS BIGINT), 1)
+            GROUP BY p
+        """,
         "semantic_dedup": _semantic_dedup_oracle(threshold=0.35),
         "funnel": """
             WITH t1 AS (

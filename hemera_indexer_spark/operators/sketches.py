@@ -1,4 +1,5 @@
-"""Bounded-memory frequent-items sketch (Misra-Gries).
+"""Bounded-memory mergeable sketches: frequent items (Misra-Gries) and
+deterministic quantiles (Munro-Paterson multi-level buffers).
 
 The custom-sketch slot of the pipeline toolbox: estimate the top-k most
 frequent items of a huge keyed stream with O(capacity) state per task,
@@ -38,7 +39,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["heavy_hitters", "mg_partials"]
+__all__ = [
+    "heavy_hitters",
+    "mg_partials",
+    "quantile_partials",
+    "quantile_sketch",
+]
 
 _PARTIAL_SCHEMA = T.StructType(
     [
@@ -113,4 +119,123 @@ def heavy_hitters(
         merged.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("item", "est")
+    )
+
+
+_Q_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("v", T.DoubleType(), False),
+        T.StructField("w", T.LongType(), False),
+    ]
+)
+
+
+def quantile_partials(
+    df: DataFrame, col: str, buffer_size: int = 4096
+) -> DataFrame:
+    """Per-task DETERMINISTIC mergeable quantile summaries (the classic
+    Munro-Paterson multi-level buffer collapse, no randomness — unlike
+    KLL's coin flips, so replays and retries reproduce bit-identically).
+
+    State per task: at most one buffer of ``buffer_size`` sorted values
+    per level; a level-L value represents 2^L originals. Two level-L
+    buffers collapse by merge-sorting their 2b values and keeping the
+    ODD positions (fixed offset — determinism over the unbiasedness a
+    random offset would buy), yielding one level-(L+1) buffer. Memory is
+    O(buffer_size x levels) = O(b log(n/b)) per task; each collapse at
+    level L perturbs any rank by <= 2^L, giving total rank error
+    <= ceil(log2(n/b) + 1) * n / (2b) — the bound the property suite
+    drives. Output: <= b values per level as (v, weight=2^level) rows.
+
+    Exactness regime: a task whose value count stays <= buffer_size never
+    collapses, so its partial is the exact weighted multiset — which is
+    what the DuckDB oracle checks at test scale, while the property
+    tests cover the approximate regime.
+
+    Like ``mg_partials``, the whole update lives inside the closure so
+    cloudpickle ships it by value (bare spark-submit safe)."""
+    if buffer_size < 2 or buffer_size % 2:
+        raise ValueError(
+            f"buffer_size must be an even integer >= 2, got {buffer_size}"
+        )
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        levels: dict[int, list] = {}  # level -> sorted list (len <= b)
+
+        def push(level: int, buf: list) -> None:
+            # carry-propagate: colliding buffers collapse upward, exactly
+            # like binary addition — at most one buffer per level survives
+            while level in levels:
+                other = levels.pop(level)
+                merged = sorted(other + buf)
+                buf = merged[1::2]  # odd positions, fixed offset
+                level += 1
+            levels[level] = buf
+
+        pending: list = []
+        for pdf in batches:
+            # vectorized intake (one tolist per Arrow batch, never a
+            # per-row Python loop); drain in full-buffer chunks
+            pending.extend(pdf[col].dropna().astype(float).tolist())
+            while len(pending) >= buffer_size:
+                push(0, sorted(pending[:buffer_size]))
+                pending = pending[buffer_size:]
+        if pending:
+            # a final partial level-0 buffer: exact, weight 1 — never
+            # collapsed into a full buffer (that would inflate weights)
+            levels.setdefault(-1, []).extend(sorted(pending))
+        out_v, out_w = [], []
+        for lvl, buf in levels.items():
+            w = 1 if lvl < 0 else 2 ** lvl
+            out_v.extend(buf)
+            out_w.extend([w] * len(buf))
+        if out_v:
+            yield pd.DataFrame({"v": out_v, "w": out_w})
+
+    return df.select(col).mapInPandas(summarize, _Q_PARTIAL_SCHEMA)
+
+
+def quantile_sketch(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    buffer_size: int = 4096,
+) -> DataFrame:
+    """Approximate discrete quantiles from the deterministic sketch:
+    for each p, the smallest sampled value whose cumulative weight
+    reaches ceil(p * N) (the quantile_disc rank rule, so the exact
+    regime matches any engine computing the same rule on the raw data).
+
+    Plan shape: one map-only sketch pass, then ONE single-partition sort
+    window over the merged partials — tiny by construction
+    (<= tasks x b x levels rows), which is the whole point: the window
+    that would be a scale-killer on raw data is fine on the summary.
+    Returns (p, v) ordered by p."""
+    parts = quantile_partials(df, col, buffer_size)
+    w_cum = Window.orderBy("v", "w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = parts.select(
+        "v",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_all).alias("n"),
+    )
+    # one range join against the tiny probs table (never re-running the
+    # sketch pass per quantile): for each p, min sampled v whose
+    # cumulative weight reaches the rank
+    probs_df = df.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    return (
+        ranked.join(
+            F.broadcast(probs_df),
+            F.col("cum")
+            >= F.greatest(F.ceil(F.col("p") * F.col("n")), F.lit(1)),
+        )
+        .groupBy("p")
+        .agg(F.min("v").alias("v"))
+        .orderBy("p")
     )

@@ -80,3 +80,92 @@ def test_deterministic_topk_tiebreak(spark):
     df = _stream(spark, items)
     rows = heavy_hitters(df, "item", capacity=16, k=3).collect()
     assert [(r["item"], r["est"]) for r in rows] == [("x", 3), ("y", 3), ("z", 3)]
+
+
+# ---------------------------------------------------------------- quantiles
+def _vals(spark, xs, n_partitions=4):
+    return spark.createDataFrame(
+        [(float(x),) for x in xs], "v double"
+    ).repartition(n_partitions)
+
+
+def _exact_disc(xs, p):
+    s = sorted(xs)
+    import math
+
+    return s[max(math.ceil(p * len(s)), 1) - 1]
+
+
+def test_quantile_exact_regime_matches_disc_rule(spark):
+    import random
+
+    rng = random.Random(3)
+    xs = [rng.uniform(-100, 100) for _ in range(500)]
+    probs = [0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    from hemera_indexer_spark.operators.sketches import quantile_sketch
+
+    got = {
+        r["p"]: r["v"]
+        for r in quantile_sketch(
+            _vals(spark, xs), "v", probs, buffer_size=1024
+        ).collect()
+    }
+    assert got == {p: _exact_disc(xs, p) for p in probs}
+
+
+def test_quantile_approximate_regime_rank_error_bound(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    xs = [rng.gauss(0, 1) for _ in range(4000)]
+    n, b = len(xs), 64
+    probs = [0.1, 0.5, 0.9]
+    from hemera_indexer_spark.operators.sketches import quantile_sketch
+
+    got = {
+        r["p"]: r["v"]
+        for r in quantile_sketch(
+            _vals(spark, xs, n_partitions=4), "v", probs, buffer_size=b
+        ).collect()
+    }
+    s = sorted(xs)
+    # documented bound (per task, merged): ceil(log2(n/b)+1) * n / (2b);
+    # partitioning splits n across tasks, which only tightens it
+    bound = math.ceil(math.log2(n / b) + 1) * n / (2 * b)
+    for p, v in got.items():
+        target = max(math.ceil(p * n), 1)
+        # rank of the returned value in the TRUE sorted data
+        import bisect
+
+        lo = bisect.bisect_left(s, v) + 1
+        hi = bisect.bisect_right(s, v)
+        err = min(abs(lo - target), abs(hi - target))
+        assert err <= bound, (p, v, err, bound)
+
+
+def test_quantile_partials_are_exact_weighted_multiset_when_small(spark):
+    from hemera_indexer_spark.operators.sketches import quantile_partials
+
+    xs = list(range(100))
+    rows = quantile_partials(_vals(spark, xs), "v", buffer_size=256).collect()
+    assert all(r["w"] == 1 for r in rows)
+    assert sorted(r["v"] for r in rows) == [float(x) for x in xs]
+
+
+def test_quantile_weight_conservation_and_validation(spark):
+    import pytest as _pt
+
+    from hemera_indexer_spark.operators.sketches import (
+        quantile_partials,
+        quantile_sketch,
+    )
+
+    xs = list(range(1000))
+    rows = quantile_partials(
+        _vals(spark, xs, n_partitions=3), "v", buffer_size=16
+    ).collect()
+    # the summary never loses or invents mass
+    assert sum(r["w"] for r in rows) == len(xs)
+    with _pt.raises(ValueError, match="even integer"):
+        quantile_sketch(_vals(spark, xs), "v", [0.5], buffer_size=7)
