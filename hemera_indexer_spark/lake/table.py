@@ -879,6 +879,52 @@ class LakeTable:
             out = out.where(~F.col("is_deleted")).drop("is_deleted")
         return out
 
+    def key_history(self, key_value) -> list[dict]:
+        """One key's state across every RETAINED snapshot (oldest first) —
+        the time-travel debugging view an operator reaches for when asking
+        "what did this doc look like, and when did it change": a list of
+        ``{version, epoch_id, row}`` entries, one per DISTINCT resolved
+        state (consecutive snapshots with the same row collapse into the
+        first), ``row=None`` where the key is absent/deleted.
+
+        Cost discipline: the key's bucket file LIST is diffed between
+        snapshots first (pure metadata) — a bucket-unchanged snapshot
+        reuses the previous resolve, so the number of Spark point lookups
+        is bounded by the commits that actually touched this bucket, not
+        by the retention depth."""
+        b = self.spark.sql(
+            f"SELECT pmod(xxhash64(?), {int(self.num_buckets)}) AS b",
+            args=[key_value],
+        ).collect()[0]["b"]
+        out: list[dict] = []
+        prev_files: list | None = None
+        prev_row: dict | None = None
+        first = True
+        for s in self.snapshots():
+            t = self.as_of(s["version"])
+            files = sorted(
+                f["path"]
+                for f in t.snapshot["files"]
+                if f["bucket"] == b
+            )
+            if not first and files == prev_files:
+                row = prev_row
+            else:
+                hit = t.lookup(key_value).collect()
+                row = (
+                    hit[0].asDict(recursive=True) if hit else None
+                )
+            if first or row != prev_row:
+                out.append(
+                    {
+                        "version": s["version"],
+                        "epoch_id": s["epoch_id"],
+                        "row": row,
+                    }
+                )
+            prev_files, prev_row, first = files, row, False
+        return out
+
     def stats_row_count(self) -> int:
         """Metadata-only row count from the snapshot's per-file stats (the
         explorer's cached-count analog — the reference caches expensive

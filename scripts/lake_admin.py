@@ -5,6 +5,7 @@ named tags, DR clone, right-to-be-forgotten purge, retention, packing).
 
 Usage:
     python scripts/lake_admin.py TABLE_ROOT health
+    python scripts/lake_admin.py TABLE_ROOT history KEY
     python scripts/lake_admin.py TABLE_ROOT tag NAME [--version V]
     python scripts/lake_admin.py TABLE_ROOT clone DEST
     python scripts/lake_admin.py TABLE_ROOT purge KEY[,KEY...] [--keep-last N]
@@ -138,7 +139,7 @@ def main():
     ap.add_argument(
         "verb",
         choices=[
-            "health", "tag", "clone", "purge", "expire", "vacuum",
+            "health", "history", "tag", "clone", "purge", "expire", "vacuum",
             "compact", "pack", "maintain", "staged", "publish", "discard",
             "widen",
             "ivf-build", "ivf-sync", "ivf-drift", "ivf-retrain",
@@ -188,6 +189,18 @@ def main():
 
     if args.verb == "health":
         out = t.table_health()
+    elif args.verb == "history":
+        if not args.arg:
+            ap.error("history requires a KEY")
+        key = args.arg
+        from pyspark.sql import types as T
+
+        kt = next(f.dataType for f in t.schema.fields if f.name == t.key_col)
+        if isinstance(kt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            key = int(key)
+        elif isinstance(kt, (T.FloatType, T.DoubleType)):
+            key = float(key)
+        out = {"key": args.arg, "history": t.key_history(key)}
     elif args.verb == "tag":
         if not args.arg:
             ap.error("tag requires a NAME")

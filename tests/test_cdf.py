@@ -154,3 +154,49 @@ def test_cdf_on_fact_table_matches_net(spark, tmp_path):
     cdf = t.changes_since(v0, cdf=True).collect()
     assert sorted(map(tuple, net)) == sorted(map(tuple, cdf))
     assert [r["change_op"] for r in cdf] == ["insert"]
+
+
+def test_key_history_distinct_states(spark, tmp_path):
+    """key_history: one entry per DISTINCT resolved state across retained
+    snapshots, None where absent/deleted, and unrelated commits (other
+    buckets) don't add entries."""
+    t = _mk(spark, str(tmp_path / "t"))  # v1: d0..d5 live
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("d1", 50, "second", "upsert")],
+            "doc_id string, seq long, val string, op string",
+        ),
+        epoch_id=1,
+    )  # v2: d1 -> second
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("d1", 60, None, "delete")],
+            "doc_id string, seq long, val string, op string",
+        ),
+        epoch_id=2,
+    )  # v3: d1 deleted
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("zz", 70, "other-bucket-ish", "upsert")],
+            "doc_id string, seq long, val string, op string",
+        ),
+        epoch_id=3,
+    )  # v4: d1 unchanged
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("d1", 80, "reborn", "upsert")],
+            "doc_id string, seq long, val string, op string",
+        ),
+        epoch_id=4,
+    )  # v5: d1 back
+    hist = t.key_history("d1")
+    states = [(h["version"], h["row"] and h["row"]["val"]) for h in hist]
+    # v4 (unrelated key) must NOT appear unless zz shares d1's bucket and
+    # left the row unchanged — either way no new STATE entry for d1
+    # v0 is the empty CREATE snapshot: the key is absent there
+    assert [s for _, s in states] == [None, "v1", "second", None, "reborn"]
+    assert states[0][0] == 0 and states[-1][0] == 5
+    assert all(h["row"] is None or "is_deleted" not in h["row"] for h in hist)
+    # absent key: a single None entry spanning all snapshots
+    ghost = t.key_history("never-existed")
+    assert [h["row"] for h in ghost] == [None]
