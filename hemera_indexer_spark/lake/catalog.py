@@ -191,6 +191,26 @@ class LakeCatalog:
                 f"{sorted(self.snapshot['tables'])}"
             ) from None
 
+    def expire(self, keep_last: int = 64) -> int:
+        """Drop catalog snapshot files older than the newest ``keep_last``
+        versions (the catalog's ``expire_snapshots`` analog). The catalog
+        commits once per ``advance``/``publish_all`` — per committed group
+        under a controller — so without expiry the one-json-per-commit
+        metadata grows unboundedly at the 10^10-event design point. The
+        current snapshot is always retained; readers only ever resolve
+        the pointer's version, so expiry never breaks a live reader."""
+        cur = self.snapshot["version"]
+        cutoff = cur - max(keep_last, 1) + 1
+        removed = 0
+        for fn in os.listdir(self.root):
+            if not (fn.startswith("cat-") and fn.endswith(".json")):
+                continue
+            v = int(fn[4:-5])
+            if v < cutoff and v != cur:
+                os.remove(os.path.join(self.root, fn))
+                removed += 1
+        return removed
+
     # ------------------------------------------------- multi-table publish
     def publish_all(self, stages: dict[str, str]) -> dict[str, int]:
         """Atomically publish one staged (write-audit-publish) commit per

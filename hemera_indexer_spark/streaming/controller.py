@@ -1266,8 +1266,10 @@ class StreamController:
         if self.catalog is not None:
             # AFTER state commit, sink syncs and layout maintenance: the
             # group's full effect becomes one catalog step. advance() is a
-            # no-op commit-wise when nothing moved (empty groups).
+            # no-op commit-wise when nothing moved (empty groups); expiry
+            # keeps the one-json-per-group catalog metadata bounded.
             self.catalog.advance(self.catalog_tables)
+            self.catalog.expire()
         wall = int((time.monotonic() - t0) * 1000)
 
         # per-epoch stats: events from the per-epoch footer metas; the wall

@@ -112,6 +112,7 @@ class StructuredIngest:
     def _advance_catalog(self) -> None:
         if self.catalog is not None:
             self.catalog.advance(self.catalog_tables)
+            self.catalog.expire()
 
     # -------------------------------------------------------------- sink
     @property

@@ -382,3 +382,25 @@ def test_catalog_view_pins_across_out_of_band_commits(spark, tmp_path):
     a.merge_upsert(_batch(spark, "a"), epoch_id=1)  # direct, no catalog
     assert _val(LakeTable.load(spark, a.root), "d0") == "a-new"
     assert _val(cat.table("a"), "d0") == "a0"  # catalog still pinned
+
+
+def test_catalog_expire_bounds_metadata(spark, tmp_path):
+    cat, a, b = _mk(spark, tmp_path)
+    for e in range(1, 9):
+        a.merge_upsert(
+            spark.createDataFrame(
+                [("d0", 100 + e, f"v{e}", "upsert")],
+                "doc_id string, seq long, val string, op string",
+            ),
+            epoch_id=e,
+        )
+        cat.advance(["a"])
+    n_files = lambda: len(
+        [f for f in os.listdir(cat.root) if f.startswith("cat-")]
+    )
+    assert n_files() > 4
+    removed = cat.expire(keep_last=3)
+    assert removed > 0 and n_files() == 3
+    # current pointer still resolves; pinned table reads still work
+    fresh = LakeCatalog.load(spark, cat.root)
+    assert _val(fresh.table("a"), "d0") == "v8"
