@@ -850,14 +850,40 @@ class LakeTable:
             f"SELECT pmod(xxhash64(?), {int(self.num_buckets)}) AS b",
             args=[key_value],
         ).collect()[0]["b"]
+        return self._lookup_fold(
+            {b}, F.col(self.key_col) == F.lit(key_value)
+        )
+
+    def lookup_many(self, key_values: list) -> DataFrame:
+        """Batched point lookup (the API-serving multiget shape): resolve
+        a SET of keys by scanning only the union of their storage buckets
+        — one job regardless of key count, cost O(distinct buckets), not
+        O(keys) jobs or O(table). Same fold and tie-break as ``lookup``.
+        Keys must share the key column's type (mixed types would hash
+        differently than they were written)."""
+        if not key_values:
+            raise ValueError("lookup_many requires at least one key")
+        marks = ", ".join("(?)" for _ in key_values)
+        buckets = {
+            r["b"]
+            for r in self.spark.sql(
+                f"SELECT pmod(xxhash64(k), {int(self.num_buckets)}) AS b "
+                f"FROM VALUES {marks} AS t(k)",
+                args=list(key_values),
+            ).collect()
+        }
+        return self._lookup_fold(
+            buckets, F.col(self.key_col).isin(list(key_values))
+        )
+
+    def _lookup_fold(self, buckets: set[int], pred) -> DataFrame:
         key, seqc = self.key_col, self.seq_col
-        pred = F.col(key) == F.lit(key_value)
         rows = (
-            self.read(buckets={b}, kind="base")
+            self.read(buckets=buckets, kind="base")
             .where(pred)
             .withColumn("_prio", F.lit(1))
             .unionByName(
-                self.read(buckets={b}, kind="delta")
+                self.read(buckets=buckets, kind="delta")
                 .where(pred)
                 .withColumn("_prio", F.lit(0))
             )

@@ -200,3 +200,33 @@ def test_key_history_distinct_states(spark, tmp_path):
     # absent key: a single None entry spanning all snapshots
     ghost = t.key_history("never-existed")
     assert [h["row"] for h in ghost] == [None]
+
+
+def test_lookup_many_matches_state_and_prunes(spark, tmp_path):
+    """lookup_many: one bucket-pruned job resolves a key set identically
+    to filtering current_state; deleted and absent keys yield no row."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("d2", 99, None, "delete")],
+            "doc_id string, seq long, val string, op string",
+        ),
+        epoch_id=1,
+    )
+    keys = ["d0", "d2", "d4", "ghost"]
+    got = {
+        r["doc_id"]: r["val"] for r in t.lookup_many(keys).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        r["doc_id"]: r["val"]
+        for r in t.current_state()
+        .where(F.col("doc_id").isin(keys))
+        .collect()
+    }
+    assert got == want == {"d0": "v0", "d4": "v4"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one key"):
+        t.lookup_many([])
