@@ -752,3 +752,52 @@ def test_percentile_approx_rank_error_bound(spark):
         target = q * n
         # the value's rank interval must overlap [target - n/acc, target + n/acc]
         assert lo - n / acc <= target <= hi + n / acc, (q, g, lo, hi)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    frames=st.integers(1, 40),
+    channels=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_codec_roundtrip_properties(w, h, frames, channels, rate, seed):
+    """Property: encode∘decode is identity for BMP, PPM, WAV and Y4M over
+    arbitrary shapes — incl. the BMP row-padding widths, odd WAV frame
+    counts, and single-frame videos (no Spark; pure codec law)."""
+    import numpy as np
+
+    from hemera_indexer_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        decode_y4m,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    samples = rng.integers(-32768, 32768, size=(frames, channels)).astype(
+        np.int16
+    )
+    s2, r2 = decode_wav(encode_wav(samples, rate))
+    assert r2 == rate and (s2 == samples).all()
+    # Y4M needs even dims; derive them from the sampled shape
+    ew, eh = 2 * w, 2 * h
+    n = min(frames, 5)
+    planes = [
+        rng.integers(0, 256, size=(eh, ew), dtype=np.uint8)
+        for _ in range(n)
+    ]
+    got, gw, gh = decode_y4m(encode_y4m(planes))
+    assert (gw, gh) == (ew, eh)
+    assert len(got) == n and all(
+        (a == b).all() for a, b in zip(planes, got)
+    )
