@@ -672,9 +672,19 @@ class LakeTable:
         # per commit — pure overhead at micro-batch cadence. Analytical
         # queries keep AQE (session default stays on).
         prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
+        # per-table codec override (``properties['write.compression']``):
+        # hot ingest tables keep the session default (snappy — cheapest
+        # CPU on the commit path), archival/history tables opt into zstd
+        # for the storage win; maintenance rewrites (compact/pack/
+        # rebucket) run through here too, so flipping the property and
+        # compacting re-encodes existing data.
+        codec = self.snapshot["properties"].get("write.compression")
         try:
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-            df.write.partitionBy("_bucket").mode("overwrite").parquet(out_dir)
+            w = df.write.partitionBy("_bucket").mode("overwrite")
+            if codec:
+                w = w.option("compression", codec)
+            w.parquet(out_dir)
         finally:
             self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         entries: list[str] = []

@@ -120,3 +120,38 @@ def test_lake_admin_maintain_verb(spark, tmp_path):
     rep = json.loads(r.stdout.strip().splitlines()[-1])
     assert rep["after"]["delta_files"] == 0
     assert rep["snapshots_expired"] > 0
+
+
+def test_write_compression_property_and_reencode(spark, tmp_path):
+    """properties['write.compression']: per-table codec override applied
+    at every data write; flipping the property and compacting re-encodes
+    existing files (maintenance rewrites share the write path)."""
+    import pyarrow.parquet as pq
+
+    def codecs(t):
+        out = set()
+        for f in t.snapshot["files"]:
+            md = pq.ParquetFile(os.path.join(t.root, f["path"])).metadata
+            out.add(md.row_group(0).column(0).compression)
+        return out
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, num_buckets=2,
+        properties={"write.compression": "zstd"},
+    )
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(f"d{i}", i + 1, f"v{i}" * 50, "upsert") for i in range(200)],
+            "doc_id string, seq long, val string, op string",
+        ),
+        epoch_id=0,
+    )
+    assert codecs(t) == {"ZSTD"}
+    # flip to snappy + compact: existing data re-encodes
+    t.update_properties({"write.compression": "snappy"})
+    t.refresh()
+    assert t.compact(buckets=set(range(t.num_buckets)))
+    t.refresh()
+    assert codecs(t) == {"SNAPPY"}
+    state = {r["doc_id"] for r in t.current_state().collect()}
+    assert len(state) == 200
