@@ -2014,6 +2014,21 @@ def q_quantile_sketch(spark, sf):
     )
 
 
+def q_bm25_topk(spark, sf):
+    """Okapi BM25 relevance against a fixed term set (Lucene idf
+    variant), top-20 docs — the IR scorer for query-focused carve-outs
+    (operators/corpus.py ``bm25_scores``). Per-term contributions round
+    to 6dp and sum as decimal (order-independent fold); avgdl/N are two
+    bounded driver actions; the df/idf table is a 3-row broadcast."""
+    from hemera_indexer_spark.operators.corpus import bm25_scores
+
+    docs = _t(spark, sf, "documents")
+    scored = bm25_scores(docs, ["hash", "join", "vector"])
+    return scored.orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    ).limit(20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the per-round driver CORRECTNESS check covers only
     # the FIRST 50 entries in insertion order. Rounds 1-4 attested the block
@@ -2079,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": q_video_frame_stats,
         "semantic_dedup": q_semantic_dedup,
         "quantile_sketch": q_quantile_sketch,
+        "bm25_topk": q_bm25_topk,
         # --- driver-attested in rounds 1-4 (CORRECTNESS_r01..r04) ---
         "pricing_summary": q_pricing_summary,
         "filter_pushdown": q_filter_pushdown,
@@ -2302,6 +2318,49 @@ def _semantic_dedup_oracle(
         )
         SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS kept
         FROM asg a LEFT JOIN drops d ON a.vec_id = d.vec_id
+    """
+
+
+def _bm25_oracle(terms=("hash", "join", "vector"), k1=1.2, b=0.75):
+    """DuckDB side of ``bm25_topk``: identical formula with every float
+    constant spelled as the repr of the Python-computed double (k1+1,
+    1-b), so both engines run the same IEEE ops; per-term contributions
+    round to 6dp decimal before the sum, absorbing last-ulp ln()
+    differences."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH w AS (
+            SELECT d.doc_id, u.w
+            FROM (SELECT doc_id, string_split(trim(regexp_replace(
+                      lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+                  FROM documents) d, UNNEST(d.arr) AS u(w)
+            WHERE u.w <> ''
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id),
+        st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                      (SELECT SUM(dl) FROM dl) AS sum_dl),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w
+               WHERE w IN ({tl}) GROUP BY doc_id, w),
+        dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+        idf AS (SELECT w, ln((st.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                           AS idf
+                FROM dfq, st)
+        SELECT t.doc_id,
+               COUNT(*) AS n_terms_hit,
+               CAST(SUM(CAST(ROUND(
+                   i.idf * (t.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+                   / (t.tf + CAST({k1!r} AS DOUBLE)
+                      * (CAST({1.0 - b!r} AS DOUBLE)
+                         + CAST({b!r} AS DOUBLE)
+                           * (d.dl / (CAST(st.sum_dl AS DOUBLE)
+                                      / st.n_docs)))),
+                   6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM tf t
+        JOIN dl d USING (doc_id)
+        JOIN idf i USING (w), st
+        GROUP BY t.doc_id
+        ORDER BY bm25 DESC, t.doc_id ASC
+        LIMIT 20
     """
 
 
@@ -3843,6 +3902,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         # exact-regime quantile sketch vs the quantile_disc rank rule; the
         # probs are CAST to DOUBLE so ceil(p*n) is the same IEEE multiply
         # on both engines (DuckDB VALUES literals default to DECIMAL)
+        "bm25_topk": _bm25_oracle(),
         "quantile_sketch": """
             WITH s AS (
                 SELECT CAST(value AS DOUBLE) AS v,

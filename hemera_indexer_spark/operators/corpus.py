@@ -39,6 +39,7 @@ __all__ = [
     "hapax_ratio",
     "source_exclusivity",
     "dist_drift",
+    "bm25_scores",
 ]
 
 
@@ -596,3 +597,81 @@ def dist_drift(
         F.max("_nb").alias("n_b"),
         F.sum("_t").cast("decimal(18,6)").alias("l1_dist"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set —
+    the classic IR scorer a curation pipeline uses for query-focused
+    carve-outs (eval-adjacent retrieval sets, topic probes). Returns
+    (id, n_terms_hit, bm25) for docs matching at least one term.
+
+    Formula (Lucene's non-negative idf variant):
+        idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+        score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Shapes: the word stream aggregates ONCE into per-doc lengths and a
+    term-filtered tf table (the filter lands before the shuffle — only
+    query-term occurrences are keyed); df/idf is a |terms|-row broadcast;
+    N and avgdl are two bounded driver actions (a count and a 1-row agg).
+    Per-term contributions round to 6dp and sum as decimal(18,6) — the
+    module's order-independent fold discipline, which also absorbs any
+    last-ulp ln() divergence between engines."""
+    import math
+
+    words = word_stream(df, text_col, id_col).cache()
+    try:
+        dl = words.groupBy(id_col).agg(F.count("*").alias("_dl"))
+        n_docs = df.count()
+        avgdl = (
+            dl.agg(F.sum("_dl").alias("s")).collect()[0]["s"] / float(n_docs)
+        )
+        tf = (
+            words.where(F.col("w").isin(list(query_terms)))
+            .groupBy(id_col, "w")
+            .agg(F.count("*").alias("_tf"))
+        )
+        dfreq = {
+            r["w"]: r["df"]
+            for r in tf.groupBy("w")
+            .agg(F.countDistinct(id_col).alias("df"))
+            .collect()
+        }
+        idf = {
+            t: math.log((n_docs - dfreq.get(t, 0) + 0.5)
+                        / (dfreq.get(t, 0) + 0.5) + 1.0)
+            for t in query_terms
+        }
+        idf_col = F.create_map(
+            *[x for t in query_terms for x in (F.lit(t), F.lit(idf[t]))]
+        )
+        contrib = F.round(
+            idf_col[F.col("w")]
+            * (F.col("_tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("_tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * (F.col("_dl") / F.lit(avgdl))
+                )
+            ),
+            6,
+        ).cast("decimal(18,6)")
+        return (
+            tf.join(dl, id_col)
+            .select(id_col, contrib.alias("_c"))
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_terms_hit"),
+                F.sum("_c").cast("double").alias("bm25"),
+            )
+        )
+    finally:
+        words.unpersist()
