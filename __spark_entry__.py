@@ -2029,6 +2029,25 @@ def q_bm25_topk(spark, sf):
     ).limit(20)
 
 
+def q_pagerank(spark, sf):
+    """Deterministic PageRank (operators/graph.py) over the bipartite
+    customer->supplier graph induced by orders x lineitem: 2 rounds of
+    quantized power iteration (6dp ranks, 9dp-decimal edge contributions
+    — the kmeans_lloyd fixpoint trick in graph shape), top-50 by rank.
+    One src-keyed join + one dst-keyed aggregate per round, rank vector
+    never collected."""
+    from hemera_indexer_spark.operators.graph import pagerank
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    e = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    pr = pagerank(e, iters=2)
+    return pr.orderBy(F.desc("rank"), F.asc("v")).limit(50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the per-round driver CORRECTNESS check covers only
     # the FIRST 50 entries in insertion order. Rounds 1-4 attested the block
@@ -2095,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "quantile_sketch": q_quantile_sketch,
         "bm25_topk": q_bm25_topk,
+        "pagerank_top": q_pagerank,
         # --- driver-attested in rounds 1-4 (CORRECTNESS_r01..r04) ---
         "pricing_summary": q_pricing_summary,
         "filter_pushdown": q_filter_pushdown,
@@ -2362,6 +2382,52 @@ def _bm25_oracle(terms=("hash", "join", "vector"), k1=1.2, b=0.75):
         ORDER BY bm25 DESC, t.doc_id ASC
         LIMIT 20
     """
+
+
+def _pagerank_oracle(iters=2, damping=0.85, top_k=50):
+    """DuckDB side of ``pagerank_top``: the power iteration unrolled as
+    CTEs with the identical quantization law (6dp ranks per round,
+    9dp-decimal per-edge contributions) and every float constant spelled
+    as the repr of the Python-computed double."""
+    d = repr(damping)
+    omd = repr(1.0 - damping)
+    ctes = [
+        """
+        e AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )""",
+        "nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+        "st AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "r0 AS (SELECT v, ROUND(CAST(1.0 AS DOUBLE)/st.n, 6) AS r "
+        "FROM nodes CROSS JOIN st)",
+    ]
+    step = """
+        r{m} AS (
+            SELECT nn.v,
+                   ROUND(CAST({omd} AS DOUBLE)/st.n
+                         + CAST({d} AS DOUBLE)
+                           * CAST(COALESCE(c.s, 0) AS DOUBLE), 6) AS r
+            FROM nodes nn CROSS JOIN st
+            LEFT JOIN (
+                SELECT e.dst AS v,
+                       SUM(CAST(ROUND(p.r / deg.outdeg, 9)
+                                AS DECIMAL(18,9))) AS s
+                FROM e
+                JOIN r{n} p ON e.src = p.v
+                JOIN deg ON deg.src = e.src
+                GROUP BY e.dst
+            ) c ON c.v = nn.v
+        )"""
+    for n in range(iters):
+        ctes.append(step.format(m=n + 1, n=n, d=d, omd=omd))
+    return (
+        "WITH " + ",".join(ctes)
+        + f" SELECT v, r AS rank FROM r{iters} "
+        f"ORDER BY rank DESC, v ASC LIMIT {top_k}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3903,6 +3969,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         # probs are CAST to DOUBLE so ceil(p*n) is the same IEEE multiply
         # on both engines (DuckDB VALUES literals default to DECIMAL)
         "bm25_topk": _bm25_oracle(),
+        "pagerank_top": _pagerank_oracle(),
         "quantile_sketch": """
             WITH s AS (
                 SELECT CAST(value AS DOUBLE) AS v,

@@ -1,0 +1,81 @@
+"""Iterative graph computation over an edge DataFrame: deterministic
+PageRank.
+
+The graph-shaped member of the iterative-algorithm family (k-means shows
+the centroid shape in ``embeddings.py``; connected components the
+label-propagation shape in ``dedup.py``): each round is one equi-join of
+the edge table against the current rank vector plus one map-side-combined
+aggregate — the exact plan GraphX/Pregel lowers to, expressed directly in
+DataFrame ops so Catalyst/AQE keep optimizing it.
+
+Determinism discipline (the repo-wide oracle law): per-edge contributions
+round to 9dp and sum as decimal (order-independent under any
+partitioning), and each round's ranks re-quantize to 6dp — the same
+quantized-fixpoint trick as ``kmeans_lloyd``, which is what lets a SQL
+oracle replay the trajectory bit-for-bit.
+
+Variant: the teaching-standard simple PageRank — dangling-node mass is
+DROPPED, not redistributed (ranks then sum to < 1; relative order, which
+is what rank is for, is unaffected). Documented rather than hidden.
+
+Scale shape per round: one shuffle keyed by src (join), one keyed by dst
+(aggregate); the rank vector is O(nodes) and never collected. For long
+iteration counts persist the rank frame per round and localCheckpoint
+every ~10 rounds to cut the lineage — at the 2-3 rounds the oracle-
+checked query uses, lazy chaining is cheaper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, rank) after ``iters`` rounds of
+    ``r'(v) = (1-d)/N + d * Σ_{u→v} round(r(u)/outdeg(u), 9)``,
+    ranks quantized to 6dp each round. Duplicate edges count once
+    (the edge set is distinct-ed first); nodes = src ∪ dst."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    n = nodes.count()  # bounded: one count over the node set
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    teleport = (1.0 - damping) / float(n)
+    ranks = nodes.select("v", F.round(F.lit(1.0 / float(n)), 6).alias("r"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.v)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("v"),
+                F.round(F.col("r") / F.col("outdeg"), 9)
+                .cast("decimal(18,9)")
+                .alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "v", "left").select(
+            "v",
+            F.round(
+                F.lit(teleport)
+                + F.lit(damping)
+                * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("r"),
+        )
+    return ranks.select(F.col("v"), F.col("r").alias("rank"))

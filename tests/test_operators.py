@@ -801,3 +801,43 @@ def test_codec_roundtrip_properties(w, h, frames, channels, rate, seed):
     assert len(got) == n and all(
         (a == b).all() for a, b in zip(planes, got)
     )
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Deterministic PageRank equals a pure-Python implementation of the
+    SAME quantization law on a crafted graph with a dangling node (mass
+    dropped by design) and a duplicate edge (counted once)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hemera_indexer_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("a", "b")]
+    # 'd' appears only as a destination -> dangling contributor never
+    edges.append(("c", "d"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["v"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+
+    es = sorted(set(edges))
+    nodes = sorted({u for e in es for u in e})
+    n = len(nodes)
+    deg = {}
+    for s, _ in es:
+        deg[s] = deg.get(s, 0) + 1
+    q6 = lambda x: float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+    q9 = lambda x: Decimal(repr(x)).quantize(
+        Decimal("0.000000001"), ROUND_HALF_UP
+    )
+    r = {v: q6(1.0 / n) for v in nodes}
+    for _ in range(3):
+        inc = {v: Decimal(0) for v in nodes}
+        for s, t in es:
+            inc[t] += q9(r[s] / deg[s])
+        r = {
+            v: q6(0.15000000000000002 / n + 0.85 * float(inc[v]))
+            for v in nodes
+        }
+    assert got == r
+    # the sink 'd' accumulates, never emits; total mass < 1 (documented)
+    assert got["d"] > 0 and sum(got.values()) < 1.0
