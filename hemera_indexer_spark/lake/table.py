@@ -2111,6 +2111,13 @@ class LakeTable:
             "max_delta_depth": max(per_deltas.values(), default=0),
             "max_seq": max(seqs, default=None),
             "snapshots_retained": len(self.snapshots()),
+            # staged (write-audit-publish) pressure: every unpublished
+            # stage pins its data files against vacuum forever — a
+            # growing count here means audits stalled or runners died
+            # between stage and publish/discard
+            "staged_commits": sorted(
+                s["wap_id"] for s in self.staged_snapshots()
+            ),
             "compact_candidates": sorted(
                 b for b, n in per_deltas.items() if n >= compact_threshold
             ),

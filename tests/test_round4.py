@@ -1194,6 +1194,15 @@ def test_table_health_metadata_report(spark, tmp_path):
     h2 = t.table_health(compact_threshold=3)
     assert h2["compact_candidates"] == [] and h2["max_delta_depth"] == 0
     assert h2["rows_total"] == 8  # folded to live rows only
+    # staged-WAP pressure surfaces (and clears on discard)
+    assert h2["staged_commits"] == []
+    df = spark.createDataFrame(
+        [("d0", 900, 1)], "doc_id string, seq long, v long"
+    ).withColumn("op", F.lit("update"))
+    assert t.merge_upsert(df, epoch_id=9, wap_id="stale-1")
+    assert t.table_health()["staged_commits"] == ["stale-1"]
+    t.discard_staged("stale-1")
+    assert t.table_health()["staged_commits"] == []
 
 
 def test_maybe_rebucket_policy(spark, tmp_path):
