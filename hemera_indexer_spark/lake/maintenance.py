@@ -39,7 +39,9 @@ class MaintenancePolicy:
     merge-on-read delta chain is at least this deep (read amplification
     bound). ``pack_max_files``/``pack_small_rows``: fact tables — the
     size-tiered small-file pack (see ``compact_files``).
-    ``rebucket_rows_per_bucket``: grow the bucket count (next power of
+    ``fact_truncate_before_seq``: fact retention — drop history below
+    this seq (metadata-only file drops + boundary rewrite, see
+    ``truncate_before``). ``rebucket_rows_per_bucket``: grow the bucket count (next power of
     two that brings mean rows/bucket under the target) once the table
     outgrows its layout — the expensive, rare rewrite, so it triggers on
     MEAN occupancy, not transient skew. ``expire_keep_last`` /
@@ -47,6 +49,7 @@ class MaintenancePolicy:
     merge strategy (sql | jvm | arrow | pandas)."""
 
     compact_delta_depth: int | None = 8
+    fact_truncate_before_seq: int | None = None
     pack_max_files: int | None = 4
     pack_small_rows: int | None = None
     rebucket_rows_per_bucket: int | None = None
@@ -73,8 +76,13 @@ def run_maintenance(
                       "snapshots_retained", "row_skew")
         }
     }
-    # 1a. layout: state compaction / fact pack
+    # 1a. retention first (fewer rows for the pack to move), then layout
     if t.is_fact_table:
+        if p.fact_truncate_before_seq is not None:
+            report["truncated"] = t.truncate_before(
+                p.fact_truncate_before_seq
+            )
+            t.refresh()
         if p.pack_max_files is not None:
             report["packed"] = t.compact_files(
                 max_files=p.pack_max_files,

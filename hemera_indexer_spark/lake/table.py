@@ -1376,6 +1376,12 @@ class LakeTable:
         upd = self._fill_missing_columns(updates).select(*state_cols).dropDuplicates(
             [key, seqc]
         )
+        # retention floor (truncate_before): a re-delivered event whose
+        # history was already truncated must NOT resurrect — the anti-join
+        # can't catch it (its files are gone), so the floor fences here
+        floor = base["properties"].get("retention_min_seq")
+        if floor is not None:
+            upd = upd.where(F.col(seqc) >= F.lit(int(floor)))
         if min_seq is None and base["files"]:
             r = upd.agg(F.min(seqc)).collect()[0][0]
             min_seq = int(r) if r is not None else None
@@ -1895,6 +1901,80 @@ class LakeTable:
         return both.repartition(F.col("_bucket")).mapInPandas(
             reduce_partition, schema=out_schema
         )
+
+    def truncate_before(self, seq_cutoff: int) -> dict:
+        """Fact-table RETENTION: drop every history row with
+        ``seq < seq_cutoff`` in one atomic commit. At the 10^10-event
+        design point this is the operation that keeps a history table
+        bounded, and its cost profile is the point: files whose footer
+        ``max_seq < cutoff`` DROP from metadata (no data touched — the
+        overwhelming majority under monotone ingest), only files
+        STRADDLING the cutoff rewrite (at most one per bucket), files at
+        or above are untouched.
+
+        Stamps ``retention_min_seq`` so ``insert_if_absent`` fences
+        re-delivered below-floor events (their history is gone, so the
+        redelivery anti-join alone could no longer catch them) and
+        repeated/overlapping truncates stay idempotent. ``changes_since``
+        across a truncate reports the dropped rows as deletes — correct:
+        it IS a net change, and downstream index/view consumers must see
+        it. State tables refuse: dropping old VERSIONS is compaction's
+        job, dropping old KEYS is ``purge_keys``; a seq cut on a state
+        table could delete a key's only live version."""
+        if not self.is_fact_table:
+            raise ValueError(
+                "truncate_before is fact-table retention; state tables "
+                "use compact() for old versions and purge_keys() for keys"
+            )
+        base = self.snapshot
+        version = base["version"] + 1
+        seqc = self.seq_col
+        cutoff = int(seq_cutoff)
+        dropped, straddling = [], []
+        for f in base["files"]:
+            mx, mn = f.get("max_seq"), f.get("min_seq")
+            if mx is not None and mx < cutoff:
+                dropped.append(f)
+            elif mn is None or mn < cutoff:
+                # unknown stats are treated as straddling (rewrite —
+                # correctness over the metadata-only fast path)
+                straddling.append(f)
+        if not dropped and not straddling:
+            # nothing below the cutoff; advance the fence only if it
+            # actually moves (fixpoint law: a repeated truncate at the
+            # same cutoff commits NOTHING)
+            prev = base["properties"].get("retention_min_seq")
+            if prev is None or int(prev) < cutoff:
+                self.update_properties({"retention_min_seq": str(cutoff)})
+            return {"files_dropped": 0, "files_rewritten": 0}
+        new_files = []
+        if straddling:
+            paths = [os.path.join(self.root, f["path"]) for f in straddling]
+            rows = (
+                self.spark.read.schema(self.schema)
+                .parquet(*paths)
+                .where(F.col(seqc) >= F.lit(cutoff))
+                .withColumn(
+                    "_bucket", bucket_col(F.col(self.key_col), self.num_buckets)
+                )
+                .repartition(
+                    min(max(len(straddling), 1), 256), "_bucket"
+                )
+                .sortWithinPartitions("_bucket", seqc)
+            )
+            new_files = self._write_data(rows, version, kind="base")
+        replaced = {f["path"] for f in dropped} | {
+            f["path"] for f in straddling
+        }
+        ok = self._commit_files(
+            base, version, new_files, replaced, None, None,
+            properties_update={"retention_min_seq": str(cutoff)},
+        )
+        return {
+            "files_dropped": len(dropped),
+            "files_rewritten": len(straddling),
+            "committed": ok,
+        }
 
     # ------------------------------------------------------------ DELETE
     def delete_where(

@@ -14,6 +14,7 @@ Usage:
     python scripts/lake_admin.py TABLE_ROOT compact [--strategy sql|jvm]
         [--zorder COL,COL [--zorder-splits N]]
     python scripts/lake_admin.py TABLE_ROOT pack [--max-files N] [--small-rows R]
+    python scripts/lake_admin.py TABLE_ROOT truncate --before-seq N
     python scripts/lake_admin.py TABLE_ROOT maintain [--compact-depth N]
         [--max-files N] [--small-rows R] [--rebucket-rows R] [--keep-last N]
     python scripts/lake_admin.py TABLE_ROOT widen COL:TYPE[,COL:TYPE...]
@@ -140,7 +141,8 @@ def main():
         "verb",
         choices=[
             "health", "history", "tag", "clone", "purge", "expire", "vacuum",
-            "compact", "pack", "maintain", "staged", "publish", "discard",
+            "compact", "pack", "maintain", "truncate", "staged", "publish",
+            "discard",
             "widen",
             "ivf-build", "ivf-sync", "ivf-drift", "ivf-retrain",
             "ivf-maintain",
@@ -171,6 +173,8 @@ def main():
                     help="maintain: compact buckets with >= this delta depth")
     ap.add_argument("--rebucket-rows", type=int, default=None,
                     help="maintain: rebucket when mean rows/bucket exceeds")
+    ap.add_argument("--before-seq", type=int, default=None,
+                    help="truncate: drop fact history with seq below this")
     args = ap.parse_args()
 
     from hemera_indexer_spark.lake import LakeTable
@@ -275,6 +279,10 @@ def main():
             strategy=args.strategy,
             buckets=set(range(t.num_buckets)) if zcols else None,
             zorder=zcols, zorder_splits=args.zorder_splits)}
+    elif args.verb == "truncate":
+        if args.before_seq is None:
+            ap.error("truncate requires --before-seq N")
+        out = t.truncate_before(args.before_seq)
     elif args.verb == "maintain":
         from hemera_indexer_spark.lake import (
             MaintenancePolicy,

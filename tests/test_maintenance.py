@@ -155,3 +155,96 @@ def test_write_compression_property_and_reencode(spark, tmp_path):
     assert codecs(t) == {"SNAPPY"}
     state = {r["doc_id"] for r in t.current_state().collect()}
     assert len(state) == 200
+
+
+def _mk_fact_epochs(spark, root, epochs=5, per=20):
+    t = LakeTable.create(
+        spark, root, SCHEMA, num_buckets=2,
+        properties={"table_type": "fact"},
+    )
+    for e in range(epochs):
+        t.insert_if_absent(
+            spark.createDataFrame(
+                [(f"e{e}-{i}", e * 100 + i, f"x{e}", "upsert")
+                 for i in range(per)],
+                "doc_id string, seq long, val string, op string",
+            ),
+            epoch_id=e,
+        )
+    return t
+
+
+def test_truncate_before_drops_files_and_fences_redelivery(spark, tmp_path):
+    t = _mk_fact_epochs(spark, str(tmp_path / "f"))
+    n_files_before = len(t.snapshot["files"])
+    v0 = t.snapshot["version"]
+    rep = t.truncate_before(200)  # epochs 0-1 (seq < 200) drop
+    t.refresh()
+    # epochs 0/1 files are entirely below the cutoff: metadata-only drops
+    assert rep["files_dropped"] >= 2
+    assert rep["files_rewritten"] == 0  # no file straddles 200
+    assert len(t.snapshot["files"]) < n_files_before
+    assert t.read().where("seq < 200").count() == 0
+    assert t.read().count() == 60  # epochs 2-4
+    # changes_since across the truncate reports the drops as deletes
+    ch = t.changes_since(v0).groupBy("change_op").count().collect()
+    assert {r["change_op"]: r["count"] for r in ch} == {"delete": 40}
+    # re-delivering a truncated epoch must NOT resurrect it
+    assert t.insert_if_absent(
+        spark.createDataFrame(
+            [(f"e0-{i}", i, "x0", "upsert") for i in range(20)],
+            "doc_id string, seq long, val string, op string",
+        ),
+        epoch_id=99,
+    )
+    t.refresh()
+    assert t.read().count() == 60
+    # a batch mixing below/above-floor rows keeps only the above part
+    assert t.insert_if_absent(
+        spark.createDataFrame(
+            [("old", 150, "old", "upsert"), ("new", 900, "new", "upsert")],
+            "doc_id string, seq long, val string, op string",
+        ),
+        epoch_id=100,
+    )
+    t.refresh()
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert "new" in got and "old" not in got
+    # idempotent: repeating the truncate commits nothing
+    v = t.snapshot["version"]
+    rep2 = t.truncate_before(200)
+    t.refresh()
+    assert rep2 == {"files_dropped": 0, "files_rewritten": 0}
+    assert t.snapshot["version"] == v
+    # dropped files become orphans and vacuum away
+    assert t.vacuum_orphans() >= rep["files_dropped"]
+
+
+def test_truncate_before_straddling_file_rewrites(spark, tmp_path):
+    t = _mk_fact_epochs(spark, str(tmp_path / "f"), epochs=2, per=20)
+    rep = t.truncate_before(110)  # mid-epoch-1: its files straddle
+    t.refresh()
+    assert rep["files_rewritten"] >= 1
+    assert t.read().where("seq < 110").count() == 0
+    assert t.read().count() == 10  # seqs 110..119
+
+
+def test_truncate_refuses_state_tables_and_drives_via_policy(
+    spark, tmp_path
+):
+    import pytest as _pt
+
+    s = LakeTable.create(spark, str(tmp_path / "s"), SCHEMA, num_buckets=2)
+    with _pt.raises(ValueError, match="fact-table retention"):
+        s.truncate_before(10)
+    t = _mk_fact_epochs(spark, str(tmp_path / "f"))
+    rep = run_maintenance(
+        t,
+        MaintenancePolicy(
+            fact_truncate_before_seq=300, pack_max_files=2,
+            expire_keep_last=2,
+        ),
+    )
+    assert rep["truncated"]["files_dropped"] >= 2
+    t.refresh()
+    assert t.read().count() == 40  # epochs 3-4
