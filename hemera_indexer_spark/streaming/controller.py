@@ -188,6 +188,7 @@ class StreamController:
         rebucket_target_rows: int | None = None,
         fact_compact_max_files: int | None = None,
         fact_compact_small_rows: int | None = 1_000_000,
+        fact_retention_lag_seqs: int | None = None,
         catalog=None,
         catalog_tables: list[str] | None = None,
     ):
@@ -297,6 +298,7 @@ class StreamController:
                     fact_table,
                     compact_max_files=fact_compact_max_files,
                     compact_small_rows=fact_compact_small_rows,
+                    retention_lag_seqs=fact_retention_lag_seqs,
                 )
             )
         self.max_retries = max_retries

@@ -70,9 +70,15 @@ class FactSink:
         fence_key: str | None = None,
         compact_max_files: int | None = None,
         compact_small_rows: int | None = 1_000_000,
+        retention_lag_seqs: int | None = None,
     ):
         self.table = table
         self.fence_key = fence_key
+        # rolling retention: after each group, history below
+        # (max_seq - lag) truncates — but ONLY once whole files fall
+        # below the cutoff (metadata check), so steady-state groups pay
+        # nothing and the floor advances in file-sized steps
+        self.retention_lag_seqs = retention_lag_seqs
         self.compact_max_files = compact_max_files
         # size-tiered by default: only sub-tier files are pack candidates,
         # so per-group maintenance rewrites O(recent appends), never the
@@ -81,16 +87,31 @@ class FactSink:
         self.compact_small_rows = compact_small_rows
 
     def after_commit(self, group_epoch: int, is_last: bool):
-        if not is_last or self.compact_max_files is None:
+        if not is_last or (
+            self.compact_max_files is None
+            and self.retention_lag_seqs is None
+        ):
             return
         from hemera_indexer_spark.lake import ConcurrentCommitError
 
         try:
             self.table.refresh()
-            self.table.compact_files(
-                max_files=self.compact_max_files,
-                small_rows=self.compact_small_rows,
-            )
+            if self.retention_lag_seqs is not None:
+                files = self.table.snapshot["files"]
+                seqs = [
+                    f["max_seq"] for f in files
+                    if f.get("max_seq") is not None
+                ]
+                if seqs:
+                    cutoff = max(seqs) - self.retention_lag_seqs
+                    if any(s_ < cutoff for s_ in seqs):
+                        self.table.truncate_before(cutoff)
+                        self.table.refresh()
+            if self.compact_max_files is not None:
+                self.table.compact_files(
+                    max_files=self.compact_max_files,
+                    small_rows=self.compact_small_rows,
+                )
         except ConcurrentCommitError:
             # retriable ONLY on a SHARED (tenant-mode) table, where another
             # tenant's legitimate insert can race this maintenance commit —

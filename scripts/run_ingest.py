@@ -54,6 +54,10 @@ def main() -> None:
                     help="size-tier threshold: only files under this many "
                          "rows are pack candidates (bounds per-group write "
                          "amplification); 0 = no tier, full rewrite")
+    ap.add_argument("--fact-retention-lag-seqs", type=int, default=None,
+                    help="rolling fact retention: after each group, drop "
+                         "history below (max seq - lag); acts only once "
+                         "whole files fall below the cutoff")
     ap.add_argument("--fact-table-root", default=None,
                     help="append-only event-history fact table location "
                          "(implies FACTS; required when FACTS is selected)")
@@ -352,6 +356,7 @@ def main() -> None:
             rebucket_target_rows=args.rebucket_target_rows,
             fact_compact_max_files=args.fact_compact_max_files,
             fact_compact_small_rows=args.fact_compact_small_rows or None,
+            fact_retention_lag_seqs=args.fact_retention_lag_seqs,
             **tenant_kw, **catalog_kw,
         ).repair_range(lo, hi, lock_ttl_s=args.repair_lock_ttl)
         events = stats.total_events
@@ -395,6 +400,7 @@ def main() -> None:
             rebucket_target_rows=args.rebucket_target_rows,
             fact_compact_max_files=args.fact_compact_max_files,
             fact_compact_small_rows=args.fact_compact_small_rows or None,
+            fact_retention_lag_seqs=args.fact_retention_lag_seqs,
             **tenant_kw, **catalog_kw,
         ).run(max_epochs=args.max_epochs)
         events = stats.total_events

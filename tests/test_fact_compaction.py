@@ -206,3 +206,37 @@ def test_size_tiered_pack_leaves_big_files_alone(spark, tmp_path):
         (f"d{i}", e * 100 + i, f"p{e}-{i}")
         for e in (10, 11) for i in range(8)
     ])
+
+
+def test_fact_sink_rolling_retention(spark, tmp_path):
+    """FactSink(retention_lag_seqs=): the post-group slot truncates
+    history below (max_seq - lag) once whole files fall below the
+    cutoff, advances the insert floor, and composes with the pack."""
+    from hemera_indexer_spark.streaming.sinks import FactSink
+
+    t, _ = _mk_fact(spark, tmp_path)  # seqs 0..507 across 6 epochs
+    sink = FactSink(t, compact_max_files=2, retention_lag_seqs=250)
+    n_before = t.read().count()
+    sink.after_commit(group_epoch=5, is_last=True)
+    t.refresh()
+    # cutoff = 507 - 250 = 257: epochs 0-1 (seq <= 107) dropped wholesale;
+    # epoch 2 (200..207) files are also fully below -> dropped
+    assert t.read().where("seq < 257").count() == 0
+    assert t.read().count() < n_before
+    assert int(t.snapshot["properties"]["retention_min_seq"]) == 257
+    # re-delivered truncated epoch: fenced by the floor, not resurrected
+    n = t.read().count()
+    t.insert_if_absent(
+        spark.createDataFrame(
+            [(f"d{i}", i, f"p0-{i}") for i in range(8)],
+            "doc_id string, seq long, payload string",
+        ),
+        epoch_id=99,
+    )
+    t.refresh()
+    assert t.read().count() == n
+    # steady state: no files below the new cutoff -> slot is a no-op
+    v = t.snapshot["version"]
+    sink.after_commit(group_epoch=6, is_last=True)
+    t.refresh()
+    assert t.snapshot["version"] == v
