@@ -54,6 +54,7 @@ class StructuredIngest:
         index_sink=None,
         fact_compact_max_files: int | None = None,
         fact_compact_small_rows: int | None = 1_000_000,
+        fact_retention_lag_seqs: int | None = None,
         event_schema=None,
         catalog=None,
         catalog_tables: list[str] | None = None,
@@ -88,6 +89,10 @@ class StructuredIngest:
         # the per-batch maintenance slot; None = never
         self.fact_compact_max_files = fact_compact_max_files
         self.fact_compact_small_rows = fact_compact_small_rows
+        # rolling retention parity with FactSink(retention_lag_seqs=):
+        # truncate below (max_seq - lag) once whole files fall under the
+        # cutoff — the same file-granular guard, zero steady-state cost
+        self.fact_retention_lag_seqs = fact_retention_lag_seqs
         # dead-letter parity with the batch controller (see
         # StreamController.__init__): malformed events diverted per
         # micro-batch to <quarantine_dir>/batch=<id>/ and excluded from
@@ -239,18 +244,30 @@ class StructuredIngest:
             self.table.maybe_compact(
                 max_deltas=self.compact_max_deltas, strategy=self.merge_strategy
             )
-        if (
-            self.fact_table is not None
-            and self.fact_compact_max_files is not None
+        if self.fact_table is not None and (
+            self.fact_compact_max_files is not None
+            or self.fact_retention_lag_seqs is not None
         ):
             # no tenant mode on the structured path: a CAS race here means
             # an accidental double runner — fail loudly (the engine-wide
             # ConcurrentCommitError discipline), never mask it
             self.fact_table.refresh()
-            self.fact_table.compact_files(
-                max_files=self.fact_compact_max_files,
-                small_rows=self.fact_compact_small_rows,
-            )
+            if self.fact_retention_lag_seqs is not None:
+                seqs = [
+                    f["max_seq"]
+                    for f in self.fact_table.snapshot["files"]
+                    if f.get("max_seq") is not None
+                ]
+                if seqs:
+                    cutoff = max(seqs) - self.fact_retention_lag_seqs
+                    if any(s_ < cutoff for s_ in seqs):
+                        self.fact_table.truncate_before(cutoff)
+                        self.fact_table.refresh()
+            if self.fact_compact_max_files is not None:
+                self.fact_table.compact_files(
+                    max_files=self.fact_compact_max_files,
+                    small_rows=self.fact_compact_small_rows,
+                )
         if self.view_sink is not None:
             # same epoch domain as the batch controller's after_commit path
             self.view_sink.refresh(self.table.committed_epoch())

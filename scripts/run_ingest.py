@@ -382,6 +382,7 @@ def main() -> None:
             index_sink=index_sink,
             fact_compact_max_files=args.fact_compact_max_files,
             fact_compact_small_rows=args.fact_compact_small_rows or None,
+            fact_retention_lag_seqs=args.fact_retention_lag_seqs,
             **catalog_kw,
         ).start(available_now=True)
         q.awaitTermination()

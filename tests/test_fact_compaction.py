@@ -240,3 +240,63 @@ def test_fact_sink_rolling_retention(spark, tmp_path):
     sink.after_commit(group_epoch=6, is_last=True)
     t.refresh()
     assert t.snapshot["version"] == v
+
+
+def test_structured_ingest_rolling_retention_parity(spark, tmp_path):
+    """Streaming parity for rolling retention: with
+    fact_retention_lag_seqs the per-batch slot truncates old history,
+    and the surviving rows equal the batch controller's fact output
+    filtered by the same floor."""
+    from hemera_indexer_spark.lake import LakeTable
+    from hemera_indexer_spark.schemas import FACTS_SCHEMA, SEQUENCES_SCHEMA
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from hemera_indexer_spark.streaming import StreamController
+    from hemera_indexer_spark.streaming.structured import StructuredIngest
+
+    spec = ChangelogSpec(
+        n_docs=120, n_epochs=4, events_per_epoch=300, n_partitions=2,
+        seed=33, schema_evolution_epoch=None, rollback_epochs=(),
+    )
+    log_dir = str(tmp_path / "log")
+    generate_changelog(log_dir, spec)
+
+    b_state = LakeTable.create(
+        spark, str(tmp_path / "b_state"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    b_facts = LakeTable.create(
+        spark, str(tmp_path / "b_facts"), FACTS_SCHEMA, num_buckets=4,
+        properties={"table_type": "fact"},
+    )
+    StreamController(
+        spark, b_state, log_dir, spec.n_partitions, fact_table=b_facts
+    ).run()
+
+    s_state = LakeTable.create(
+        spark, str(tmp_path / "s_state"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    s_facts = LakeTable.create(
+        spark, str(tmp_path / "s_facts"), FACTS_SCHEMA, num_buckets=4,
+        properties={"table_type": "fact"},
+    )
+    StructuredIngest(
+        spark, s_state, log_dir, spec.n_partitions,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=3,
+        fact_table=s_facts,
+        fact_retention_lag_seqs=400,
+    ).start(available_now=True).awaitTermination(300)
+    s_facts.refresh()
+    floor = int(s_facts.snapshot["properties"]["retention_min_seq"])
+    assert floor > 0
+    assert s_facts.read().where(f"seq < {floor}").count() == 0
+
+    def rows(t, lo):
+        return sorted(
+            (r["doc_id"], r["seq"], r["op"])
+            for r in t.read().where(F.col("seq") >= lo).collect()
+        )
+
+    assert rows(s_facts, floor) == rows(b_facts, floor)
