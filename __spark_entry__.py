@@ -2048,6 +2048,27 @@ def q_pagerank(spark, sf):
     return pr.orderBy(F.desc("rank"), F.asc("v")).limit(50)
 
 
+def q_pq_adc_topk(spark, sf):
+    """Product-quantization ADC top-k (operators/pq.py, Jégou TPAMI'11):
+    m=4 subspace codebooks of ks=4 codes Lloyd-trained in iters+1 shared
+    corpus passes, map-only encode (codebook as literals), per-query
+    m×ks distance tables, score = m table lookups per candidate — the
+    compressed-index ANN form that fits a 100 TB corpus in RAM.
+    Self-matches kept (quantization distance to self is the
+    reconstruction-error signal)."""
+    from hemera_indexer_spark.operators.pq import pq_adc_topk
+
+    return pq_adc_topk(
+        _t(spark, sf, "embeddings"),
+        in_dim=64,
+        query_ids=[0, 1, 2],
+        k=5,
+        m=4,
+        ks=4,
+        iters=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the per-round driver CORRECTNESS check covers only
     # the FIRST 50 entries in insertion order. Rounds 1-4 attested the block
@@ -2115,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "bm25_topk": q_bm25_topk,
         "pagerank_top": q_pagerank,
+        "pq_adc_topk": q_pq_adc_topk,
         # --- driver-attested in rounds 1-4 (CORRECTNESS_r01..r04) ---
         "pricing_summary": q_pricing_summary,
         "filter_pushdown": q_filter_pushdown,
@@ -2308,6 +2330,87 @@ def _kmeans_ctes(k: int = 4, iters: int = 2) -> tuple[str, str]:
         ctes.append(update.format(n=n, m=n + 1))
     ctes.append(assign.format(n=iters))
     return ",".join(ctes), f"a{iters}"
+
+
+def _pq_oracle(
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    qids: tuple = (0, 1, 2),
+    k: int = 5,
+) -> str:
+    """DuckDB side of ``pq_adc_topk``: per-subspace Lloyd unrolled as
+    CTEs (the ``_kmeans_ctes`` chain with the subspace id ``s`` added to
+    every key), then ADC — per-query (s, cid) distance tables joined to
+    the final assignment, summed per (qid, vec_id). Same 6dp-element /
+    exact-decimal-distance / 6dp-centroid discipline, ties (d2, cid) in
+    assignment and (d2, vec_id) in the top-k."""
+    dsub = dim // m
+    assign = """
+        a{n} AS (
+            SELECT ex.vec_id, ex.s, c.cid,
+                   SUM(CAST(ex.v - c.c AS DECIMAL(15,6))
+                       * CAST(ex.v - c.c AS DECIMAL(15,6))) AS d2
+            FROM ex JOIN c{n} c ON c.s = ex.s AND c.i = ex.i
+            GROUP BY ex.vec_id, ex.s, c.cid
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY ex.vec_id, ex.s ORDER BY d2, c.cid) = 1
+        )"""
+    update = """
+        c{m2} AS (
+            SELECT a.s, a.cid, ex.i,
+                   CAST(ROUND(CAST(SUM(ex.v) AS DOUBLE) / COUNT(*), 6)
+                        AS DECIMAL(18,6)) AS c
+            FROM a{n} a JOIN ex ON ex.vec_id = a.vec_id AND ex.s = a.s
+            GROUP BY a.s, a.cid, ex.i
+        )"""
+    ctes = [
+        f"""
+        ex AS (
+            SELECT vec_id,
+                   (generate_subscripts(embedding, 1) - 1) // {dsub} AS s,
+                   (generate_subscripts(embedding, 1) - 1) % {dsub} AS i,
+                   CAST(CAST(unnest(embedding) AS DOUBLE)
+                        AS DECIMAL(18,6)) AS v
+            FROM embeddings
+        )""",
+        f"""
+        c0 AS (
+            SELECT DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid, s, i,
+                   v AS c
+            FROM ex
+            WHERE vec_id IN (
+                SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ks})
+        )""",
+    ]
+    for n in range(iters):
+        ctes.append(assign.format(n=n))
+        ctes.append(update.format(n=n, m2=n + 1))
+    ctes.append(assign.format(n=iters))
+    qlist = ",".join(str(q) for q in qids)
+    return f"""
+        WITH {",".join(ctes)},
+        qd AS (
+            SELECT q.vec_id AS qid, c.s, c.cid,
+                   SUM(CAST(q.v - c.c AS DECIMAL(15,6))
+                       * CAST(q.v - c.c AS DECIMAL(15,6))) AS d2
+            FROM ex q JOIN c{iters} c ON c.s = q.s AND c.i = q.i
+            WHERE q.vec_id IN ({qlist})
+            GROUP BY q.vec_id, c.s, c.cid
+        ),
+        scored AS (
+            SELECT qd.qid, a.vec_id, SUM(qd.d2) AS d2
+            FROM a{iters} a JOIN qd ON qd.s = a.s AND qd.cid = a.cid
+            GROUP BY qd.qid, a.vec_id
+        )
+        SELECT qid, vec_id,
+               CAST(ROUND(CAST(d2 AS DOUBLE), 6) AS DECIMAL(18,6))
+                   AS adc_d2
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY d2, vec_id) <= {k}
+    """
 
 
 def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
@@ -3970,6 +4073,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         # on both engines (DuckDB VALUES literals default to DECIMAL)
         "bm25_topk": _bm25_oracle(),
         "pagerank_top": _pagerank_oracle(),
+        "pq_adc_topk": _pq_oracle(),
         "quantile_sketch": """
             WITH s AS (
                 SELECT CAST(value AS DOUBLE) AS v,

@@ -1,0 +1,319 @@
+"""Product quantization (PQ) — memory-bounded codes for ANN search.
+
+Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011): split each d-dim vector into ``m`` contiguous
+subspaces of ``d/m`` dims, train an independent k-means codebook of
+``ks`` sub-centroids per subspace, and store each vector as ``m`` small
+integer codes. A 64-dim fp32 embedding (256 B) compresses to m bytes
+(m=4 → 64×); search uses ASYMMETRIC DISTANCE COMPUTATION (ADC): the
+query stays un-quantized, a per-query distance table of m×ks entries is
+precomputed once, and every encoded vector scores as the sum of m table
+lookups — O(m) per candidate instead of O(d).
+
+This completes the engine's ANN family (operators/similarity.py: brute
+force → anchor-LSH → IVF): PQ is the form that fits a 100 TB embedding
+corpus in cluster RAM. Scale shape:
+
+- TRAINING is Lloyd's k-means run for ALL m subspaces in one combined
+  pass per round (one map-only assignment + one map-side-combined
+  (sub, code, dim) groupBy whose ks×d result rows are collected) —
+  the same iters+1-corpus-pass budget as ``kmeans_lloyd``, not m× it.
+- ENCODING is map-only: the m×ks×(d/m) = ks×d codebook ships as
+  literals (broadcast-small-side rule), argmin per subspace happens in
+  whole-stage codegen, no shuffle, no Python.
+- ADC SEARCH is map-only per candidate: per-query distance tables are
+  m×ks literals computed by a bounded Spark job over the (few) query
+  rows; the corpus pass is one scan of the codes column + a per-query
+  top-k window. Nothing all-pairs, nothing driver-side but the tables.
+
+Every step is engine-portable by the same discipline ``kmeans_lloyd``
+established (first-ks-ids init, exact-decimal distances over
+6dp-quantized elements, 6dp-quantized centroid updates, ties to the
+smallest code), so a DuckDB oracle reproduces training + encoding + ADC
+bit-for-bit (see ``_pq_oracle`` in __spark_entry__.py).
+
+Reference anchor: /root/reference has no vector search; this extends
+SURVEY.md §2's training-data-pipeline surface (similarity search) with
+the compressed-index form, as the builder brief's "IVF or LSH-bucketed
+variant as the scale path" asks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# exact accumulator type for sums of squared 6dp-decimal differences
+_ACC = "decimal(38,12)"
+
+Codebook = dict[int, dict[int, list[float]]]  # sub -> code -> centroid
+
+
+def _sub_slices(
+    df: DataFrame, in_dim: int, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Project (id, _s0.._s{m-1}) where ``_s{s}`` is the 6dp-decimal
+    subvector of subspace ``s``. Slices are MATERIALIZED as columns here
+    (not re-derived inside lambdas) — Spark does not CSE expressions
+    inside higher-order-function lambdas, and every downstream pass
+    touches each slice ks times."""
+    if in_dim % m:
+        raise ValueError(f"in_dim {in_dim} not divisible by m {m}")
+    dsub = in_dim // m
+    dec = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: x.cast("decimal(18,6)"),
+    )
+    return df.select(
+        F.col(id_col),
+        *[
+            F.slice(dec, s * dsub + 1, dsub).alias(f"_s{s}")
+            for s in range(m)
+        ],
+    )
+
+
+def _d2(sub_col: Column, cent: list[float]) -> Column:
+    """Exact squared distance between a 6dp-decimal subvector column and
+    a literal sub-centroid: diffs quantized to 6dp, squares exact."""
+    lit = F.array(*[F.lit(x).cast("decimal(18,6)") for x in cent])
+    return F.aggregate(
+        F.zip_with(
+            sub_col,
+            lit,
+            lambda x, y: (
+                (x - y).cast("decimal(15,6)")
+                * (x - y).cast("decimal(15,6)")
+            ).cast(_ACC),
+        ),
+        F.lit(0).cast(_ACC),
+        lambda acc, x: (acc + x).cast(_ACC),
+    )
+
+
+def _assign_codes(base: DataFrame, book: Codebook, m: int) -> DataFrame:
+    """Map-only: add ``_code_{s}`` per subspace — argmin over that
+    subspace's codebook via ``array_min`` of (d2, code) structs
+    (lexicographic struct order = smallest distance, ties to the
+    smallest code id)."""
+    out = base
+    for s in range(m):
+        structs = [
+            F.struct(
+                _d2(F.col(f"_s{s}"), cent).alias("d"),
+                F.lit(cid).alias("c"),
+            )
+            for cid, cent in sorted(book[s].items())
+        ]
+        out = out.withColumn(
+            f"_code_{s}", F.array_min(F.array(*structs))["c"]
+        )
+    return out
+
+
+def pq_train(
+    df: DataFrame,
+    in_dim: int,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebook:
+    """Train the m×ks codebook with deterministic per-subspace Lloyd's:
+
+    - init: subspace s's codes 0..ks-1 are the s-th slices of the ks
+      smallest-id vectors (no RNG — the ``kmeans_lloyd`` rule);
+    - assignment: exact-decimal squared distance, ties to smallest code;
+    - update: per-dim mean rounded to 6dp (codebooks are QUANTIZED each
+      round by definition); a code that loses all members drops out.
+
+    All m subspaces train in the SAME iters+1 corpus passes: one
+    map-only assignment + one (sub, code, dim) groupBy per round whose
+    ks×in_dim rows are the only driver-side collect."""
+    base = _sub_slices(df, in_dim, m, id_col, vec_col).persist()
+    dsub = in_dim // m
+    try:
+        init_rows = base.orderBy(id_col).limit(ks).collect()
+        book: Codebook = {
+            s: {
+                cid: [float(x) for x in r[f"_s{s}"]]
+                for cid, r in enumerate(init_rows)
+            }
+            for s in range(m)
+        }
+        for _ in range(iters):
+            assigned = _assign_codes(base, book, m)
+            long = assigned.select(
+                F.inline(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(s).alias("s"),
+                                F.col(f"_code_{s}").alias("cid"),
+                                F.col(f"_s{s}").alias("sv"),
+                            )
+                            for s in range(m)
+                        ]
+                    )
+                )
+            ).select("s", "cid", F.posexplode("sv").alias("i", "v"))
+            stats = (
+                long.groupBy("s", "cid", "i")
+                .agg(
+                    # mean quantization JVM-side; the collected double IS
+                    # the 6dp value (same rule the green kmeans oracle pairs)
+                    F.round(
+                        F.sum("v").cast("double") / F.count("*"), 6
+                    ).alias("mn")
+                )
+                .collect()
+            )
+            book = {s: {} for s in range(m)}
+            for r in stats:
+                book[r["s"]].setdefault(r["cid"], [0.0] * dsub)[
+                    r["i"]
+                ] = r["mn"]
+        return book
+    finally:
+        base.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    book: Codebook,
+    in_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only encode: (id, codes: array<int> of length m). The codebook
+    ships as literals; no shuffle, no Python in the pass."""
+    m = len(book)
+    base = _sub_slices(df, in_dim, m, id_col, vec_col)
+    assigned = _assign_codes(base, book, m)
+    return assigned.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_code_{s}") for s in range(m)]).alias("codes"),
+    )
+
+
+def _query_tables(
+    df: DataFrame,
+    book: Codebook,
+    in_dim: int,
+    query_ids: list,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """Per-query ADC distance tables, computed BY SPARK over the (few)
+    query rows so the decimal chain is bit-identical to the assignment
+    pass (no Python float/decimal re-derivation to drift). Returns
+    {qid: {s: {cid: Decimal d2}}}; size nq×m×ks — bounded."""
+    m = len(book)
+    q = _sub_slices(
+        df.where(F.col(id_col).isin(query_ids)), in_dim, m, id_col, vec_col
+    )
+    cells = q.select(
+        F.col(id_col).alias("qid"),
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.lit(cid).alias("cid"),
+                        _d2(F.col(f"_s{s}"), cent).alias("d2"),
+                    )
+                    for s in range(m)
+                    for cid, cent in sorted(book[s].items())
+                ]
+            )
+        ),
+    ).collect()
+    tables: dict = {}
+    for r in cells:
+        tables.setdefault(r["qid"], {}).setdefault(r["s"], {})[
+            r["cid"]
+        ] = r["d2"]
+    return tables
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    in_dim: int,
+    query_ids: list,
+    k: int = 5,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    book: Codebook | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k: (qid, vec_id, adc_d2) — the k nearest
+    encoded vectors per query by summed table lookups. Pass ``book`` to
+    reuse a trained codebook (the production path); otherwise trains on
+    ``df`` first.
+
+    The corpus-side pass is ONE map-only scan of the codes (score =
+    m table lookups via ``zip_with``/``element_at`` over literal
+    tables) + one per-query top-k window partitioned by qid. Ties break
+    (d2, vec_id) — deterministic across engines."""
+    if book is None:
+        book = pq_train(
+            df, in_dim, m=m, ks=ks, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    m = len(book)
+    tables = _query_tables(df, book, in_dim, query_ids, id_col, vec_col)
+    encoded = pq_encode(df, book, in_dim, id_col=id_col, vec_col=vec_col)
+
+    # literal table per query, indexed [s][code]; codes for dropped
+    # centroids never occur (encoding used the same final book), but a
+    # sparse cid space still needs dense literal arrays — fill gaps with
+    # a sentinel larger than any real d2 so they can never win.
+    sentinel = "99999999999999999999999999.999999999999"
+    per_q = []
+    for qid, subtabs in sorted(tables.items()):
+        tbl = F.array(
+            *[
+                F.array(
+                    *[
+                        F.lit(
+                            str(subtabs[s][cid])
+                            if cid in subtabs[s]
+                            else sentinel
+                        ).cast(_ACC)
+                        for cid in range(
+                            max(subtabs[s].keys()) + 1
+                        )
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+        score = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                tbl,
+                lambda code, trow: F.element_at(trow, code + 1),
+            ),
+            F.lit(0).cast(_ACC),
+            lambda acc, x: (acc + x).cast(_ACC),
+        )
+        per_q.append(F.struct(F.lit(qid).alias("qid"), score.alias("d2")))
+
+    scored = encoded.select(
+        F.col(id_col), F.inline(F.array(*per_q))
+    )
+    w = Window.partitionBy("qid").orderBy("d2", id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round(F.col("d2").cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias("adc_d2"),
+        )
+    )
