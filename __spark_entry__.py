@@ -2069,6 +2069,21 @@ def q_pq_adc_topk(spark, sf):
     )
 
 
+def q_dsir_topk(spark, sf):
+    """DSIR importance-resampling selection (operators/dsir.py, Xie et
+    al. NeurIPS'23): hashed uni+bigram bag models over target (src0) vs
+    the raw pool, per-doc importance log-weights (9dp-decimal routed),
+    top-20 most target-like docs. Two map-side-combined 64-bucket count
+    passes + one O(docs×64)-bounded scoring pass; the log-ratio table
+    ships as literals."""
+    from hemera_indexer_spark.operators.dsir import dsir_topk
+
+    docs = _t(spark, sf, "documents")
+    target = docs.where(F.col("source") == "src0")
+    raw = docs.where(F.col("source") != "src0")
+    return dsir_topk(raw, target, k=20, n_features=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the per-round driver CORRECTNESS check covers only
     # the FIRST 50 entries in insertion order. Rounds 1-4 attested the block
@@ -2137,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "pagerank_top": q_pagerank,
         "pq_adc_topk": q_pq_adc_topk,
+        "dsir_topk": q_dsir_topk,
         # --- driver-attested in rounds 1-4 (CORRECTNESS_r01..r04) ---
         "pricing_summary": q_pricing_summary,
         "filter_pushdown": q_filter_pushdown,
@@ -2410,6 +2426,81 @@ def _pq_oracle(
         FROM scored
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY qid ORDER BY d2, vec_id) <= {k}
+    """
+
+
+def _dsir_oracle(
+    n_features: int = 64, k: int = 20, target_src: str = "src0"
+) -> str:
+    """DuckDB side of ``dsir_topk``: the same hashed uni+bigram streams
+    (feature_hashing's md5-prefix bucket, bigram_pmi's zip), Laplace-
+    smoothed bucket models, 9dp-decimal log-ratio table over ALL buckets,
+    exact-decimal per-doc multiply-sum, (weight desc, doc_id) head."""
+    B = n_features
+    bucket = """(((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % {B})"""
+
+    def grams(pred: str, with_id: bool) -> str:
+        idc = "d.doc_id, " if with_id else ""
+        return f"""(
+            SELECT {idc}u.w AS gram
+            FROM (SELECT doc_id,
+                         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+                  FROM documents WHERE {pred}) d, UNNEST(d.ws) AS u(w)
+            WHERE u.w <> ''
+            UNION ALL
+            SELECT {idc}ws[t.i] || ' ' || ws[t.i+1] AS gram
+            FROM (SELECT doc_id,
+                         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+                  FROM documents WHERE {pred}) d, UNNEST(range(1, len(ws))) AS t(i)
+            WHERE len(ws) >= 2 AND ws[t.i] <> '' AND ws[t.i+1] <> ''
+        )"""
+
+    b = bucket.format(B=B)
+    return f"""
+        WITH tstream AS (
+            SELECT {b} AS b
+            FROM (SELECT md5(gram) AS m
+                  FROM {grams(f"source = '{target_src}'", False)})
+        ),
+        rstream AS (
+            SELECT doc_id, {b} AS b
+            FROM (SELECT doc_id, md5(gram) AS m
+                  FROM {grams(f"source <> '{target_src}'", True)})
+        ),
+        tb AS (SELECT b, COUNT(*) AS c FROM tstream GROUP BY b),
+        rb AS (SELECT b, COUNT(*) AS c FROM rstream GROUP BY b),
+        tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tb) AS tt,
+                       (SELECT COALESCE(SUM(c), 0) FROM rb) AS tr),
+        lr AS (
+            SELECT gs.b,
+                   CAST(ROUND(
+                       ln((COALESCE(tb.c, 0) + 1)
+                          / CAST(tot.tt + {B} AS DOUBLE))
+                     - ln((COALESCE(rb.c, 0) + 1)
+                          / CAST(tot.tr + {B} AS DOUBLE)), 9)
+                       AS DECIMAL(19,9)) AS lrv
+            FROM (SELECT UNNEST(range(0, {B})) AS b) gs
+            LEFT JOIN tb ON tb.b = gs.b
+            LEFT JOIN rb ON rb.b = gs.b
+            CROSS JOIN tot
+        ),
+        docb AS (
+            SELECT doc_id, b, COUNT(*) AS c FROM rstream GROUP BY doc_id, b
+        ),
+        wts AS (
+            SELECT doc_id,
+                   CAST(SUM(CAST(c AS DECIMAL(9,0)) * lr.lrv)
+                        AS DECIMAL(28,9)) AS log_weight
+            FROM docb JOIN lr USING (b) GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(rn AS INT) AS sel_rank, log_weight FROM (
+            SELECT doc_id, log_weight, ROW_NUMBER() OVER (
+                ORDER BY log_weight DESC, doc_id) AS rn
+            FROM wts
+        ) WHERE rn <= {k}
     """
 
 
@@ -4074,6 +4165,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "bm25_topk": _bm25_oracle(),
         "pagerank_top": _pagerank_oracle(),
         "pq_adc_topk": _pq_oracle(),
+        "dsir_topk": _dsir_oracle(),
         "quantile_sketch": """
             WITH s AS (
                 SELECT CAST(value AS DOUBLE) AS v,
