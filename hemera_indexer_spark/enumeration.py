@@ -35,8 +35,12 @@ class EntityType(IntFlag):
     DEDUP_INDEX = 16
     ANN_INDEX = 32
     SEC_INDEX = 64
+    CDC_EXPORT = 128
 
-    ALL = STATE | FACTS | EXPORTS | VIEWS | DEDUP_INDEX | ANN_INDEX | SEC_INDEX
+    ALL = (
+        STATE | FACTS | EXPORTS | VIEWS | DEDUP_INDEX | ANN_INDEX
+        | SEC_INDEX | CDC_EXPORT
+    )
 
 
 def parse_entity_types(spec: str) -> EntityType:

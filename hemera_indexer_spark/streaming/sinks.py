@@ -694,3 +694,182 @@ class SecondaryIndexSink:
             >= self.maintain_after
         ):
             self.index.maintain()
+
+
+class ChangelogExportSink:
+    """Debezium-shaped changelog EGRESS: after each committed group, the
+    state table's net change feed is exported as envelope rows
+
+        (<key>, op ∈ c|u|d, before: struct, after: struct,
+         version_from, version_to, epoch)
+
+    — ``c`` carries only ``after``, ``d`` only ``before``, ``u`` both
+    images (from ``changes_since(cdf=True)``), so a downstream system
+    (search cluster, replica, feature store, audit trail) tails the lake
+    the way Debezium consumers tail a database binlog, without ever
+    scanning the table. This closes the engine's WAL loop: changelog in
+    (StreamController) → lake state → changelog out.
+
+    NET-feed semantics, by design: the images are the resolved states at
+    the two snapshot versions — a key upserted then rolled back inside
+    one sync window exports nothing, and intermediate hops within a
+    window collapse (Iceberg-changelog/Delta-CDF semantics, not a
+    physical binlog replay). Consumers needing every hop should tail the
+    SOURCE changelog; consumers needing consistent state transitions —
+    the common case — want exactly this feed.
+
+    Scale shape: each sync costs O(changed buckets) (the
+    ``changes_since`` bucket-diff prune) + one parquet write of the net
+    rows; nothing is collected. Idempotence: each sync writes a
+    DETERMINISTIC ``chg_v<from>_<to>`` directory with mode=overwrite and
+    flips the ``_cursor`` JSON last (fsync + rename) — a re-driven group
+    overwrites the identical directory byte-range and re-flips the same
+    cursor. Provenance is the (version_from, version_to, epoch) triple;
+    no wall-clock field, so re-drives are byte-stable.
+
+    ``rollback`` is a no-op: a reorg rewrites state files, and the next
+    sync's net diff reports the retractions as ``d``/``u`` envelopes —
+    the same discipline as the other change-feed-driven sinks."""
+
+    def __init__(self, table: LakeTable, out_dir: str,
+                 initial_version: int | None = None):
+        # ``initial_version``: export changes AFTER this snapshot version
+        # (default: the table version at sink construction — attach-time
+        # semantics; pass 0 to backfill the full current state as ``c``
+        # envelopes on the first sync).
+        self.table = table
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        if self._load_cursor() is None:
+            v0 = (
+                table.snapshot["version"]
+                if initial_version is None
+                else int(initial_version)
+            )
+            self._write_cursor(v0, -1)
+
+    # ------------------------------------------------------------- cursor
+    @property
+    def _cursor_path(self) -> str:
+        return os.path.join(self.out_dir, "_cursor")
+
+    def _load_cursor(self) -> dict | None:
+        if not os.path.exists(self._cursor_path):
+            return None
+        with open(self._cursor_path) as f:
+            return json.load(f)
+
+    def _write_cursor(self, version: int, epoch: int) -> None:
+        tmp = self._cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": int(version), "epoch": int(epoch)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._cursor_path)
+
+    # ------------------------------------------------------ sink contract
+    def apply(self, seg: DataFrame, group_epoch, seg_idx, fence, manifest, min_seq):
+        pass  # egress is change-feed-driven, after the state commit
+
+    def rollback(self, cond: Column, seq_at_least: int):
+        pass  # the next sync's net diff exports the retraction envelopes
+
+    def committed_epoch(self) -> int:
+        cur = self._load_cursor()
+        return cur["epoch"] if cur else -1
+
+    def after_commit(self, group_epoch: int, is_last: bool):
+        if not is_last:
+            return
+        self.table.refresh()
+        cur = self._load_cursor()
+        epoch = max(int(group_epoch), cur["epoch"])  # monotone
+        self.sync(epoch)
+
+    # -------------------------------------------------------------- sync
+    def sync(self, epoch: int) -> bool:
+        """Export the net changes since the cursor version; returns True
+        if a new envelope directory was written. Always advances the
+        epoch fence (an all-fenced re-driven group moves the fence even
+        when the state version is unchanged — the committed-floor
+        livelock guard every change-feed sink in this module applies)."""
+        cur = self._load_cursor()
+        since, to = cur["version"], self.table.snapshot["version"]
+        if to <= since:
+            if epoch > cur["epoch"]:
+                self._write_cursor(since, epoch)
+            return False
+        env = self.envelope(self.table, since)
+        dest = os.path.join(
+            self.out_dir, f"chg_v{since:06d}_{to:06d}"
+        )
+        (
+            env.withColumn("version_from", F.lit(since))
+            .withColumn("version_to", F.lit(to))
+            .withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+        self._write_cursor(to, epoch)
+        return True
+
+    # ---------------------------------------------------------- envelope
+    @staticmethod
+    def envelope(table: LakeTable, since: int) -> DataFrame:
+        """The Debezium reshape of ``changes_since(since, cdf=True)``:
+        one row per changed key with before/after images as structs. The
+        pre/post pivot is an equi-join on the key BETWEEN the two update
+        halves of the same feed — both sides come from one cached plan,
+        and updates are a subset of changed keys, so the join is bounded
+        by the net change size, never the table."""
+        from pyspark.sql.types import StructType
+
+        key = table.key_col
+        feed = table.changes_since(since, cdf=True)
+        cols = [c for c in feed.columns if c != "change_op"]
+        img_fields = [f for f in feed.schema.fields if f.name in cols and f.name != key]
+        img_type = StructType(img_fields)
+        row = F.struct(*[F.col(c) for c in cols if c != key])
+        null_img = F.lit(None).cast(img_type)
+        ins = feed.where(F.col("change_op") == "insert").select(
+            F.col(key),
+            F.lit("c").alias("op"),
+            null_img.alias("before"),
+            row.alias("after"),
+        )
+        dels = feed.where(F.col("change_op") == "delete").select(
+            F.col(key),
+            F.lit("d").alias("op"),
+            row.alias("before"),
+            null_img.alias("after"),
+        )
+        pre = feed.where(
+            F.col("change_op") == "update_preimage"
+        ).select(F.col(key), row.alias("before"))
+        post = feed.where(
+            F.col("change_op") == "update_postimage"
+        ).select(F.col(key), row.alias("after"))
+        upd = pre.join(post, key).select(
+            F.col(key), F.lit("u").alias("op"), "before", "after"
+        )
+        return ins.unionByName(dels).unionByName(upd)
+
+    # ------------------------------------------------------------- reads
+    def feed(self) -> DataFrame:
+        """Every exported envelope ≤ the cursor version, in one frame —
+        order by (version_to, <key>) for a replayable stream."""
+        cur = self._load_cursor()
+        dirs = sorted(
+            os.path.join(self.out_dir, d)
+            for d in os.listdir(self.out_dir)
+            if d.startswith("chg_v")
+            and int(d.split("_")[-1]) <= cur["version"]
+        )
+        if not dirs:
+            raise FileNotFoundError("no envelopes exported yet")
+        # mergeSchema: envelopes written before a mid-stream schema
+        # evolution carry narrower image structs than later ones
+        return (
+            self.table.spark.read.option("mergeSchema", "true")
+            .parquet(*dirs)
+        )

@@ -108,6 +108,14 @@ def main() -> None:
                          "state before the run)")
     ap.add_argument("--secidx-value-col", default="n_tok",
                     help="state column the secondary index covers")
+    ap.add_argument("--cdc-export-dir", default=None,
+                    help="also emit a Debezium-shaped net change feed "
+                         "(before/after images) under this directory "
+                         "(ChangelogExportSink)")
+    ap.add_argument("--cdc-export-initial-version", type=int, default=None,
+                    help="export changes after this snapshot version "
+                         "(default: attach-time; 0 = full backfill as "
+                         "'c' envelopes on the first sync)")
     ap.add_argument("--secidx-maintain-after", type=int, default=None,
                     help="rewrite the value-sorted projection when it lags "
                          "the sync cursor by this many rounds (default: "
@@ -303,6 +311,17 @@ def main() -> None:
             SecondaryIndexSink(
                 table, sidx, maintain_after=args.secidx_maintain_after,
                 fence_key=args.tenant_id if args.tenant_col else None,
+            )
+        )
+    if EntityType.CDC_EXPORT in entities:
+        if not args.cdc_export_dir:
+            ap.error("--entity-types CDC_EXPORT requires --cdc-export-dir")
+        from hemera_indexer_spark.streaming.sinks import ChangelogExportSink
+
+        sinks.append(
+            ChangelogExportSink(
+                table, args.cdc_export_dir,
+                initial_version=args.cdc_export_initial_version,
             )
         )
 
