@@ -36,10 +36,11 @@ class EntityType(IntFlag):
     ANN_INDEX = 32
     SEC_INDEX = 64
     CDC_EXPORT = 128
+    PQ_INDEX = 256
 
     ALL = (
         STATE | FACTS | EXPORTS | VIEWS | DEDUP_INDEX | ANN_INDEX
-        | SEC_INDEX | CDC_EXPORT
+        | SEC_INDEX | CDC_EXPORT | PQ_INDEX
     )
 
 

@@ -46,6 +46,11 @@ from pyspark.sql import functions as F
 # exact accumulator type for sums of squared 6dp-decimal differences
 _ACC = "decimal(38,12)"
 
+# bump when the training/encode/ADC definition changes incompatibly
+# (init rule, decimal discipline, distance metric): persisted codes from
+# one family cannot be scored against another family's codebook
+PQ_FAMILY_VERSION = 1
+
 Codebook = dict[int, dict[int, list[float]]]  # sub -> code -> centroid
 
 
@@ -135,6 +140,11 @@ def pq_train(
     dsub = in_dim // m
     try:
         init_rows = base.orderBy(id_col).limit(ks).collect()
+        if not init_rows:
+            # empty-corpus cold start: an empty codebook (the IVFIndex
+            # empty-quantizer analog) — encode yields no rows, and the
+            # drift policy retrains once data arrives
+            return {s: {} for s in range(m)}
         book: Codebook = {
             s: {
                 cid: [float(x) for x in r[f"_s{s}"]]
@@ -190,6 +200,12 @@ def pq_encode(
     ships as literals; no shuffle, no Python in the pass."""
     m = len(book)
     base = _sub_slices(df, in_dim, m, id_col, vec_col)
+    if any(not book[s] for s in range(m)):
+        # empty codebook (trained on an empty corpus): nothing encodes
+        return base.where(F.lit(False)).select(
+            F.col(id_col),
+            F.lit(None).cast("array<int>").alias("codes"),
+        )
     assigned = _assign_codes(base, book, m)
     return assigned.select(
         F.col(id_col),
@@ -210,6 +226,8 @@ def _query_tables(
     pass (no Python float/decimal re-derivation to drift). Returns
     {qid: {s: {cid: Decimal d2}}}; size nq×m×ks — bounded."""
     m = len(book)
+    if any(not book[s] for s in range(m)):
+        return {}
     q = _sub_slices(
         df.where(F.col(id_col).isin(query_ids)), in_dim, m, id_col, vec_col
     )
@@ -266,11 +284,33 @@ def pq_adc_topk(
     m = len(book)
     tables = _query_tables(df, book, in_dim, query_ids, id_col, vec_col)
     encoded = pq_encode(df, book, in_dim, id_col=id_col, vec_col=vec_col)
+    return adc_topk_from_codes(encoded, tables, m, k, id_col=id_col)
 
-    # literal table per query, indexed [s][code]; codes for dropped
-    # centroids never occur (encoding used the same final book), but a
-    # sparse cid space still needs dense literal arrays — fill gaps with
-    # a sentinel larger than any real d2 so they can never win.
+
+def adc_topk_from_codes(
+    encoded: DataFrame,
+    tables: dict,
+    m: int,
+    k: int,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Score persisted/derived PQ codes against per-query distance tables
+    ({qid: {s: {cid: Decimal}}}) — the shared ADC tail both the inline
+    ``pq_adc_topk`` and the persisted ``PQIndex.topk`` run, so their
+    equality law is one code path, not two implementations agreeing.
+
+    Map-only per candidate (m ``element_at`` lookups via ``zip_with``
+    over literal tables) + one per-query top-k window. Codes for dropped
+    centroids never occur (encoding used the same final book), but a
+    sparse cid space still needs dense literal arrays — gaps fill with a
+    sentinel larger than any real d2 so they can never win."""
+    if not tables:
+        raise ValueError(
+            "no query distance tables: the codebook is empty (index "
+            "built on an empty corpus — retrain after data arrives) or "
+            "no query ids matched"
+        )
     sentinel = "99999999999999999999999999.999999999999"
     per_q = []
     for qid, subtabs in sorted(tables.items()):
@@ -293,7 +333,7 @@ def pq_adc_topk(
         )
         score = F.aggregate(
             F.zip_with(
-                F.col("codes"),
+                F.col(codes_col),
                 tbl,
                 lambda code, trow: F.element_at(trow, code + 1),
             ),

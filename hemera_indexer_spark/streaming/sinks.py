@@ -636,6 +636,14 @@ class IVFIndexSink:
             self.index.table.update_properties({self.fence_prop: fence})
 
 
+# IVFIndexSink is written against the vector-index maintenance PROTOCOL
+# (drift / retrain / update_from_changes / synced_version, all keyed by
+# id_col/vec_col), not the IVF class: PQIndex (operators/pq_index.py)
+# implements the same verbs and drives through it unchanged. The alias
+# names that contract at call sites.
+VectorIndexSink = IVFIndexSink
+
+
 class SecondaryIndexSink:
     """Secondary-index maintenance as part of the exporter fan-out: after
     each committed group the :class:`~hemera_indexer_spark.operators.

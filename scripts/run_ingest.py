@@ -108,6 +108,17 @@ def main() -> None:
                          "state before the run)")
     ap.add_argument("--secidx-value-col", default="n_tok",
                     help="state column the secondary index covers")
+    ap.add_argument("--pq-index-dir", default=None,
+                    help="also maintain a persisted product-quantization "
+                         "code index over the vector column at this root "
+                         "(PQIndex via VectorIndexSink; loaded if it "
+                         "exists, else trained on the current state)")
+    ap.add_argument("--pq-dim", type=int, default=64,
+                    help="vector dimensionality for --pq-index-dir")
+    ap.add_argument("--pq-m", type=int, default=4,
+                    help="PQ subspaces (codes per vector)")
+    ap.add_argument("--pq-ks", type=int, default=16,
+                    help="PQ codes per subspace")
     ap.add_argument("--cdc-export-dir", default=None,
                     help="also emit a Debezium-shaped net change feed "
                          "(before/after images) under this directory "
@@ -310,6 +321,27 @@ def main() -> None:
         sinks.append(
             SecondaryIndexSink(
                 table, sidx, maintain_after=args.secidx_maintain_after,
+                fence_key=args.tenant_id if args.tenant_col else None,
+            )
+        )
+    if EntityType.PQ_INDEX in entities:
+        if not args.pq_index_dir:
+            ap.error("--entity-types PQ_INDEX requires --pq-index-dir")
+        from hemera_indexer_spark.operators.pq_index import PQIndex
+        from hemera_indexer_spark.streaming.sinks import VectorIndexSink
+
+        if os.path.exists(os.path.join(args.pq_index_dir, "meta", "VERSION")):
+            pidx = PQIndex.load(spark, args.pq_index_dir)
+        else:
+            pidx = PQIndex.build_from_table(
+                spark, args.pq_index_dir, table,
+                in_dim=args.pq_dim, m=args.pq_m, ks=args.pq_ks,
+                id_col="doc_id", vec_col=args.ann_vec_col,
+            )
+        sinks.append(
+            VectorIndexSink(
+                table, pidx, id_col="doc_id", vec_col=args.ann_vec_col,
+                max_drift=args.ann_max_drift,
                 fence_key=args.tenant_id if args.tenant_col else None,
             )
         )
