@@ -2131,6 +2131,35 @@ def q_dsir_topk(spark, sf):
     return dsir_topk(raw, target, k=20, n_features=64)
 
 
+def q_quality_classifier(spark, sf):
+    """Trained CCNet-style in-domain filter (operators/classifier.py):
+    hashed-presence linear classifier with exact-decimal hard-sigmoid GD
+    (2 rounds, 32 buckets + bias, lr=0.05 — every weight 9dp-quantized
+    by definition, so DuckDB replays the whole training loop), fit to
+    separate in-domain text (documents) from out-of-domain (part names),
+    then scoring the training pool. 2 bounded shuffles per round over a
+    persisted (doc, bucket) presence table; weights ship as literals."""
+    from hemera_indexer_spark.operators.classifier import quality_filter
+
+    docs = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "text", F.lit(True).alias("y"))
+    )
+    parts = (
+        _t(spark, sf, "part")
+        .where(F.col("p_partkey") < 300)
+        .select(
+            (F.col("p_partkey") + 100000).alias("doc_id"),
+            F.col("p_name").alias("text"),
+            F.lit(False).alias("y"),
+        )
+    )
+    return quality_filter(
+        docs.unionByName(parts), "y", n_features=32, iters=2, lr="0.05"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the per-round driver CORRECTNESS check covers only
     # the FIRST 50 entries in insertion order. Rounds 1-4 attested the block
@@ -2201,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "pq_index_topk": q_pq_index_topk,
         "dsir_topk": q_dsir_topk,
+        "quality_classifier": q_quality_classifier,
         # --- driver-attested in rounds 1-4 (CORRECTNESS_r01..r04) ---
         "pricing_summary": q_pricing_summary,
         "filter_pushdown": q_filter_pushdown,
@@ -2549,6 +2579,98 @@ def _dsir_oracle(
                 ORDER BY log_weight DESC, doc_id) AS rn
             FROM wts
         ) WHERE rn <= {k}
+    """
+
+
+def _classifier_oracle(
+    n_features: int = 32, iters: int = 2, lr: str = "0.05"
+) -> str:
+    """DuckDB side of ``quality_classifier``: the full hard-sigmoid GD
+    loop unrolled as CTEs — presence buckets (feature_hashing's md5
+    rule), per-round z/residual/gradient in exact decimal, 9dp
+    ROUND-half-away weight updates (bias = bucket ``n_features``), then
+    the final scoring pass. Bit-identical to the Spark/Python-Decimal
+    chain because every number is a decimal with a defined scale."""
+    B = n_features
+    bucket = f"""(((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % {B})"""
+    sigma = (
+        "LEAST(CAST(1 AS DECIMAL(30,11)), GREATEST("
+        "CAST(0 AS DECIMAL(30,11)), "
+        "CAST((z + 2) * 0.25 AS DECIMAL(30,11))))"
+    )
+    ctes = [
+        """
+        corpus AS (
+            SELECT doc_id, text, 1 AS y FROM documents WHERE doc_id < 300
+            UNION ALL
+            SELECT p_partkey + 100000 AS doc_id, p_name AS text, 0 AS y
+            FROM part WHERE p_partkey < 300
+        )""",
+        f"""
+        db AS (
+            SELECT DISTINCT doc_id, {bucket} AS b
+            FROM (
+                SELECT d.doc_id, md5(u.w) AS m
+                FROM (SELECT doc_id,
+                             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+                      FROM corpus) d, UNNEST(d.ws) AS u(w)
+                WHERE u.w <> ''
+            )
+        )""",
+        """
+        lbl AS (SELECT doc_id, CAST(y AS DECIMAL(1,0)) AS y FROM corpus)""",
+        f"""
+        w0 AS (
+            SELECT UNNEST(range(0, {B + 1})) AS b,
+                   CAST(0 AS DECIMAL(20,9)) AS w
+        )""",
+    ]
+    z_t = """
+        z{n} AS (
+            SELECT lbl.doc_id, lbl.y,
+                   CAST(COALESCE(SUM(w.w), 0)
+                        + (SELECT w FROM w{n} WHERE b = {B})
+                        AS DECIMAL(28,9)) AS z
+            FROM lbl
+            LEFT JOIN db ON db.doc_id = lbl.doc_id
+            LEFT JOIN w{n} w ON w.b = db.b
+            GROUP BY lbl.doc_id, lbl.y
+        )"""
+    r_t = """
+        r{n} AS (
+            SELECT doc_id, CAST(y AS DECIMAL(30,11)) - {sigma} AS r
+            FROM z{n}
+        )"""
+    w_t = """
+        w{n1} AS (
+            SELECT wb.b,
+                   CAST(ROUND(wb.w + {lr} * COALESCE(g.g, 0), 9)
+                        AS DECIMAL(20,9)) AS w
+            FROM w{n} wb LEFT JOIN (
+                SELECT b, CAST(SUM(r) AS DECIMAL(30,11)) AS g
+                FROM (
+                    SELECT db.b AS b, r.r FROM db JOIN r{n} r USING (doc_id)
+                    UNION ALL
+                    SELECT {B} AS b, r FROM r{n}
+                )
+                GROUP BY b
+            ) g ON g.b = wb.b
+        )"""
+    for n in range(iters):
+        ctes.append(z_t.format(n=n, B=B))
+        ctes.append(r_t.format(n=n, sigma=sigma))
+        ctes.append(w_t.format(n=n, n1=n + 1, B=B, lr=lr))
+    ctes.append(z_t.format(n=iters, B=B))
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT doc_id,
+               CAST(ROUND(CAST({sigma} AS DOUBLE), 6) AS DECIMAL(18,6))
+                   AS score,
+               {sigma} >= 0.5 AS keep
+        FROM z{iters}
     """
 
 
@@ -4217,6 +4339,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "pagerank_top": _pagerank_oracle(),
         "pq_adc_topk": _pq_oracle(),
         "dsir_topk": _dsir_oracle(),
+        "quality_classifier": _classifier_oracle(),
         "quantile_sketch": """
             WITH s AS (
                 SELECT CAST(value AS DOUBLE) AS v,
