@@ -865,11 +865,20 @@ def dataset_split(
     (md5 is the same everywhere — Spark's xxhash64/rand are not), and
     embarrassingly parallel (a pure projection, no shuffle). Returns the
     input plus a ``split`` column."""
+    return df.withColumn(
+        "split", _split_expr(F.col(id_col), weights, salt)
+    )
+
+
+def _split_expr(key, weights: dict[str, int] | None, salt: str):
+    """The md5-bucket split rule over an arbitrary key COLUMN — shared by
+    ``dataset_split`` (key = the doc id) and ``leakage_safe_split``
+    (key = the near-dup cluster representative)."""
     weights = weights or {"train": 90, "val": 5, "test": 5}
     if sum(weights.values()) != 100:
         raise ValueError("split weights must sum to 100")
     h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col))), 1, 4),
+        F.substring(F.md5(F.concat_ws("|", F.lit(salt), key)), 1, 4),
         16, 10,
     ).cast("int") % 100
     expr = None
@@ -882,7 +891,44 @@ def dataset_split(
             if expr is None
             else expr.when(cond, F.lit(name))
         )
-    return df.withColumn("split", expr)
+    return expr
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Dedup-aware train/val/test assignment: near-duplicate documents
+    NEVER straddle a split boundary. ``dataset_split`` hashes each doc
+    independently, so two near-identical docs can land one in train and
+    one in test — exactly the train/test contamination Lee et al. (2022,
+    "Deduplicating Training Data Makes Language Models Better") measure
+    leaking benchmark answers into training. Here the split key is the
+    doc's near-dup CLUSTER representative (connected-components min over
+    the ``pairs`` edge list), so an entire duplicate cluster moves as one
+    unit; singletons hash by their own id, identical to ``dataset_split``.
+
+    Scale shape: one CC resolution over the pair graph (O(duplicates),
+    tiny next to the corpus — the scale-adaptive ``connected_components_
+    auto``), one broadcast-or-shuffle left join of the corpus against the
+    cluster map (bounded by clustered docs), then the same map-only
+    md5-bucket projection. Returns the input plus ``split``."""
+    cc = connected_components_auto(pairs, src=src, dst=dst).select(
+        F.col("doc_id").alias("_lss_id"),
+        F.col("cluster_id").alias("_lss_rep"),
+    )
+    joined = df.join(
+        cc, df[id_col] == F.col("_lss_id"), "left"
+    )
+    key = F.coalesce(F.col("_lss_rep"), F.col(id_col))
+    return joined.withColumn(
+        "split", _split_expr(key, weights, salt)
+    ).drop("_lss_id", "_lss_rep")
 
 
 # ------------------------------------------------------------------ simhash

@@ -70,3 +70,49 @@ def test_unigram_only_mode(corpora):
         raw, target, k=10, n_features=32, use_bigrams=False
     ).collect()
     assert all(r["doc_id"] % 2 == 0 for r in sel)
+
+
+# ---------------------------------------------------------------------
+# leakage_safe_split (operators/dedup.py) — dedup-aware split laws
+# ---------------------------------------------------------------------
+
+def test_leakage_split_clusters_move_as_one(spark):
+    from hemera_indexer_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id bigint, text string"
+    )
+    # chains: (0-1-2), (10-11), plus many singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r["doc_id"]: r["split"] for r in leakage_safe_split(
+        docs, pairs, "doc_id"
+    ).collect()}
+    assert len(out) == 200
+    assert out[0] == out[1] == out[2]
+    assert out[10] == out[11]
+
+
+def test_leakage_split_singletons_match_dataset_split(spark):
+    from hemera_indexer_spark.operators.dedup import (
+        dataset_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1)], "doc_a bigint, doc_b bigint"
+    )
+    safe = {r["doc_id"]: r["split"] for r in leakage_safe_split(
+        docs, pairs, "doc_id"
+    ).collect()}
+    plain = {r["doc_id"]: r["split"] for r in dataset_split(
+        docs, "doc_id"
+    ).collect()}
+    for i in range(2, 100):  # everything outside the one cluster
+        assert safe[i] == plain[i], i
+    # the cluster splits by its representative (min id = 0)
+    assert safe[0] == safe[1] == plain[0]
