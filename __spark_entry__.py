@@ -2182,6 +2182,23 @@ def q_leakage_split(spark, sf):
     )
 
 
+def q_span_corruption(spark, sf):
+    """T5 span-corruption denoising pairs (operators/packing.py
+    ``span_corruption``): md5-seeded span starts (gap=5, span_len=3,
+    overlaps merge), masked runs collapse to negative sentinels in
+    inputs, targets list (sentinel, tokens...) per run. Toy word-length
+    tokens (the chunk_tokens convention); one doc-keyed window chain +
+    one reassembling groupBy."""
+    from hemera_indexer_spark.operators.packing import span_corruption
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    clean = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
+    toks = F.transform(F.split(clean, r"\s+"), lambda w: F.length(w))
+    return span_corruption(
+        docs.select("doc_id", toks.alias("tokens")), span_len=3, gap=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the per-round driver CORRECTNESS check covers only
     # the FIRST 50 entries in insertion order. Rounds 1-4 attested the block
@@ -2255,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_topk": q_dsir_topk,
         "quality_classifier": q_quality_classifier,
         "leakage_split": q_leakage_split,
+        "span_corruption": q_span_corruption,
         # --- driver-attested in rounds 1-4 (CORRECTNESS_r01..r04) ---
         "pricing_summary": q_pricing_summary,
         "filter_pushdown": q_filter_pushdown,
@@ -4364,6 +4382,69 @@ def _oracle_sql_literal() -> dict[str, str]:
         "pq_adc_topk": _pq_oracle(),
         "dsir_topk": _dsir_oracle(),
         "quality_classifier": _classifier_oracle(),
+        "span_corruption": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(
+                           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                           w -> length(w)) AS toks
+                FROM documents WHERE doc_id < 200
+            ),
+            ex AS (
+                SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                       unnest(toks) AS tok
+                FROM t
+            ),
+            s AS (
+                SELECT doc_id, pos, tok,
+                       CASE WHEN (((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+                             + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+                             + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+                             + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 5) = 0
+                            THEN 1 ELSE 0 END AS st
+                FROM (SELECT doc_id, pos, tok,
+                             md5('t5|' || doc_id || '|' || pos) AS m
+                      FROM ex)
+            ),
+            mk AS (
+                SELECT *, MAX(st) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1
+                          AS masked
+                FROM s
+            ),
+            rs AS (
+                SELECT *, masked AND NOT COALESCE(
+                           LAG(masked) OVER (PARTITION BY doc_id ORDER BY pos),
+                           FALSE) AS runstart
+                FROM mk
+            ),
+            rid AS (
+                SELECT *, SUM(CASE WHEN runstart THEN 1 ELSE 0 END) OVER
+                          (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS runid
+                FROM rs
+            ),
+            ins AS (
+                SELECT doc_id,
+                       list(CASE WHEN runstart THEN -CAST(runid AS INT)
+                                 ELSE CAST(tok AS INT) END ORDER BY pos)
+                           AS inputs
+                FROM rid WHERE NOT masked OR runstart GROUP BY doc_id
+            ),
+            tgt AS (
+                SELECT doc_id,
+                       flatten(list(
+                           CASE WHEN runstart
+                                THEN [-CAST(runid AS INT), CAST(tok AS INT)]
+                                ELSE [CAST(tok AS INT)] END ORDER BY pos))
+                           AS targets
+                FROM rid WHERE masked GROUP BY doc_id
+            )
+            SELECT i.doc_id, i.inputs,
+                   COALESCE(g.targets, CAST([] AS INT[])) AS targets
+            FROM ins i LEFT JOIN tgt g ON g.doc_id = i.doc_id
+        """,
         "leakage_split": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
             {_JACCARD_SCORED_CTES},

@@ -175,3 +175,118 @@ def chunk_tokens(
         F.col("w.chunk").alias("chunk"),
         F.size("w.chunk").alias("n_tokens"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    span_len: int = 3,
+    gap: int = 5,
+    salt: str = "t5",
+) -> DataFrame:
+    """T5-style span-corruption pairs (Raffel et al. 2020, the C4
+    denoising objective): mask random-ish token spans, return
+    ``(id, inputs, targets)`` where each masked run collapses to one
+    sentinel in ``inputs`` and ``targets`` lists every run as
+    (sentinel, original tokens...). Sentinels are NEGATIVE ids (-1, -2,
+    ... per doc, in run order) so the real vocabulary is untouched and
+    no vocab-size parameter is needed.
+
+    The "randomness" is the repo's engine-portable md5 rule: position
+    ``i`` STARTS a span iff ``md5(salt|id|i)``'s first 4 hex digits mod
+    ``gap`` == 0 (expected corruption rate ≈ span_len/gap before run
+    merging); a position is masked iff any start lies within the
+    preceding ``span_len`` window — overlapping spans merge into one
+    run, exactly like T5's span sampling. Deterministic everywhere: the
+    DuckDB oracle replays token-for-token.
+
+    Shape: posexplode + ONE doc-keyed window chain (masked = windowed
+    max over starts, run ids = windowed cumsum of run starts) + one
+    groupBy reassembling both arrays with ``array_sort`` — a single
+    shuffle, parallel across docs, nothing global. O(n) per doc (the
+    windowed-max formulation, not an O(n·span) per-position rescan).
+    Docs with EMPTY token arrays drop out (nothing to corrupt — the
+    posexplode shape; filter empties upstream if they must survive).
+
+    Reconstruction law (tested): splicing targets' run k in place of
+    sentinel -k in ``inputs`` reproduces the original token array."""
+    pos_tok = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(tokens_col)).alias("_pos", "_tok"),
+    )
+    start = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(salt), F.col(id_col), F.col("_pos")
+                    )
+                ),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("int") % gap
+        == 0
+    )
+    w_span = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(-(span_len - 1), 0)
+    )
+    w_seq = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rows = (
+        pos_tok.withColumn("_start", start.cast("int"))
+        .withColumn("_masked", F.max("_start").over(w_span) == 1)
+        .withColumn(
+            "_runstart",
+            F.col("_masked")
+            & ~F.coalesce(
+                F.lag("_masked", 1).over(
+                    Window.partitionBy(id_col).orderBy("_pos")
+                ),
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "_runid", F.sum(F.col("_runstart").cast("int")).over(w_seq)
+        )
+    )
+    sentinel = (-F.col("_runid")).cast("int")
+    inputs_val = F.when(F.col("_runstart"), sentinel).otherwise(
+        F.col("_tok").cast("int")
+    )
+    in_rows = rows.where(~F.col("_masked") | F.col("_runstart")).select(
+        F.col(id_col), F.struct("_pos", inputs_val.alias("v")).alias("_s")
+    )
+    tgt_vals = F.when(
+        F.col("_runstart"),
+        F.array(sentinel, F.col("_tok").cast("int")),
+    ).otherwise(F.array(F.col("_tok").cast("int")))
+    tgt_rows = rows.where(F.col("_masked")).select(
+        F.col(id_col), F.struct("_pos", tgt_vals.alias("v")).alias("_s")
+    )
+    inputs = in_rows.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list("_s")), lambda s: s["v"]
+        ).alias("inputs")
+    )
+    targets = tgt_rows.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list("_s")), lambda s: s["v"]
+            )
+        ).alias("targets")
+    )
+    # left join: a doc with no masked span has empty targets, never drops
+    return inputs.join(targets, id_col, "left").select(
+        F.col(id_col),
+        "inputs",
+        F.coalesce(
+            F.col("targets"), F.array().cast("array<int>")
+        ).alias("targets"),
+    )

@@ -841,3 +841,54 @@ def test_pagerank_matches_python_reference(spark):
     assert got == r
     # the sink 'd' accumulates, never emits; total mass < 1 (documented)
     assert got["d"] > 0 and sum(got.values()) < 1.0
+
+
+def test_span_corruption_reconstruction_law(spark):
+    """Splicing targets' run k in place of sentinel -k in inputs must
+    reproduce the original token array, for every doc."""
+    from hemera_indexer_spark.operators.packing import span_corruption
+
+    docs = spark.createDataFrame(
+        [(i, [(i * 13 + j) % 97 for j in range(5 + i % 40)]) for i in range(60)],
+        "doc_id bigint, tokens array<int>",
+    )
+    out = {
+        r["doc_id"]: (r["inputs"], r["targets"])
+        for r in span_corruption(docs, span_len=3, gap=4).collect()
+    }
+    orig = {r["doc_id"]: r["tokens"] for r in docs.collect()}
+    assert set(out) == set(orig)
+    for d, (ins, tgt) in out.items():
+        # index targets by run sentinel
+        runs: dict = {}
+        cur = None
+        for v in tgt:
+            if v < 0:
+                cur = v
+                runs[cur] = []
+            else:
+                runs[cur].append(v)
+        rebuilt = []
+        for v in ins:
+            if v < 0:
+                rebuilt.extend(runs[v])
+            else:
+                rebuilt.append(v)
+        assert rebuilt == orig[d], d
+
+
+def test_span_corruption_no_spans_and_determinism(spark):
+    from hemera_indexer_spark.operators.packing import span_corruption
+
+    docs = spark.createDataFrame(
+        [(1, list(range(30))), (2, [])], "doc_id bigint, tokens array<int>"
+    )
+    # astronomically large gap: md5 % gap == 0 is (effectively) never hit
+    out = span_corruption(docs, span_len=3, gap=65536).collect()
+    assert len(out) == 1  # empty-token doc drops (documented)
+    r = out[0]
+    assert r["inputs"] == list(range(30)) and r["targets"] == []
+
+    a = sorted(map(tuple, span_corruption(docs, gap=4).collect()))
+    b = sorted(map(tuple, span_corruption(docs, gap=4).collect()))
+    assert a == b
