@@ -2199,6 +2199,20 @@ def q_span_corruption(spark, sf):
     )
 
 
+def q_fim_transform(spark, sf):
+    """Fill-in-the-middle reordering (operators/packing.py
+    ``fim_transform``, Bavarian et al. 2022): md5-seeded double cut into
+    prefix/middle/suffix, PSM layout with negative sentinel markers —
+    a PURE PROJECTION (size/slice/concat in codegen, no shuffle). Toy
+    word-length tokens (the chunk_tokens convention)."""
+    from hemera_indexer_spark.operators.packing import fim_transform
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    clean = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
+    toks = F.transform(F.split(clean, r"\s+"), lambda w: F.length(w))
+    return fim_transform(docs.select("doc_id", toks.alias("tokens")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the per-round driver CORRECTNESS check covers only
     # the FIRST 50 entries in insertion order. Rounds 1-4 attested the block
@@ -2273,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "leakage_split": q_leakage_split,
         "span_corruption": q_span_corruption,
+        "fim_transform": q_fim_transform,
         # --- driver-attested in rounds 1-4 (CORRECTNESS_r01..r04) ---
         "pricing_summary": q_pricing_summary,
         "filter_pushdown": q_filter_pushdown,
@@ -4382,6 +4397,54 @@ def _oracle_sql_literal() -> dict[str, str]:
         "pq_adc_topk": _pq_oracle(),
         "dsir_topk": _dsir_oracle(),
         "quality_classifier": _classifier_oracle(),
+        "fim_transform": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(
+                           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                           w -> CAST(length(w) AS INT)) AS toks
+                FROM documents WHERE doc_id < 200
+            ),
+            cuts AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       (((strpos('0123456789abcdef', substr(m1, 1, 1)) - 1) * 268435456
+                        + (strpos('0123456789abcdef', substr(m1, 2, 1)) - 1) * 16777216
+                        + (strpos('0123456789abcdef', substr(m1, 3, 1)) - 1) * 1048576
+                        + (strpos('0123456789abcdef', substr(m1, 4, 1)) - 1) * 65536
+                        + (strpos('0123456789abcdef', substr(m1, 5, 1)) - 1) * 4096
+                        + (strpos('0123456789abcdef', substr(m1, 6, 1)) - 1) * 256
+                        + (strpos('0123456789abcdef', substr(m1, 7, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(m1, 8, 1)) - 1))
+                        % (len(toks) + 1)) AS c1,
+                       (((strpos('0123456789abcdef', substr(m2, 1, 1)) - 1) * 268435456
+                        + (strpos('0123456789abcdef', substr(m2, 2, 1)) - 1) * 16777216
+                        + (strpos('0123456789abcdef', substr(m2, 3, 1)) - 1) * 1048576
+                        + (strpos('0123456789abcdef', substr(m2, 4, 1)) - 1) * 65536
+                        + (strpos('0123456789abcdef', substr(m2, 5, 1)) - 1) * 4096
+                        + (strpos('0123456789abcdef', substr(m2, 6, 1)) - 1) * 256
+                        + (strpos('0123456789abcdef', substr(m2, 7, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(m2, 8, 1)) - 1))
+                        % (len(toks) + 1)) AS c2
+                FROM (SELECT doc_id, toks,
+                             md5('fim|' || doc_id || '|1') AS m1,
+                             md5('fim|' || doc_id || '|2') AS m2
+                      FROM t)
+            ),
+            seg AS (
+                SELECT doc_id, toks, n,
+                       CAST(LEAST(c1, c2) AS INT) AS lo,
+                       CAST(GREATEST(c1, c2) AS INT) AS hi
+                FROM cuts
+            )
+            SELECT doc_id,
+                   toks[1:lo] AS prefix,
+                   toks[lo+1:hi] AS middle,
+                   toks[hi+1:n] AS suffix,
+                   [CAST(-1 AS INT)] || toks[1:lo]
+                   || [CAST(-2 AS INT)] || toks[hi+1:n]
+                   || [CAST(-3 AS INT)] || toks[lo+1:hi] AS fim
+            FROM seg
+        """,
         "span_corruption": """
             WITH t AS (
                 SELECT doc_id,

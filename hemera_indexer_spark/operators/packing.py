@@ -290,3 +290,60 @@ def span_corruption(
             F.col("targets"), F.array().cast("array<int>")
         ).alias("targets"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    salt: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, "FIM"):
+    split each token sequence at two seeded cut points into
+    (prefix, middle, suffix) and emit the PSM reordering
+
+        fim = [-1] + prefix + [-2] + suffix + [-3] + middle
+
+    with negative sentinel markers (<PRE>/<SUF>/<MID>) so the vocabulary
+    is untouched — the data transform that teaches causal models to
+    infill. Cut points are the repo's engine-portable md5 rule
+    (``md5(salt|id|k) % (n+1)`` for k=1,2, lo/hi ordered), so the same
+    doc always splits the same way on any engine; empty segments are
+    legal (cuts may coincide).
+
+    A PURE PROJECTION: size/slice/concat in whole-stage codegen — no
+    explode, no shuffle, no Python. At 100 TB this is a free map over
+    the corpus. Returns (id, prefix, middle, suffix, fim)."""
+    n = F.size(F.col(tokens_col))
+
+    def cut(k: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit(salt), F.col(id_col), F.lit(k)
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % (n + 1)
+        ).cast("int")
+
+    c1, c2 = cut(1), cut(2)
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    toks = F.col(tokens_col).cast("array<int>")
+    prefix = F.slice(toks, 1, lo)
+    middle = F.slice(toks, lo + 1, hi - lo)
+    suffix = F.slice(toks, hi + 1, n - hi)
+    sent = lambda v: F.array(F.lit(v).cast("int"))  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        prefix.alias("prefix"),
+        middle.alias("middle"),
+        suffix.alias("suffix"),
+        F.concat(
+            sent(-1), prefix, sent(-2), suffix, sent(-3), middle
+        ).alias("fim"),
+    )

@@ -892,3 +892,35 @@ def test_span_corruption_no_spans_and_determinism(spark):
     a = sorted(map(tuple, span_corruption(docs, gap=4).collect()))
     b = sorted(map(tuple, span_corruption(docs, gap=4).collect()))
     assert a == b
+
+
+def test_fim_reconstruction_and_shape(spark):
+    """prefix+middle+suffix == original; fim is the PSM reordering with
+    -1/-2/-3 markers; the plan is shuffle-free (pure projection)."""
+    from hemera_indexer_spark.operators.packing import fim_transform
+
+    docs = spark.createDataFrame(
+        [(i, [(i * 7 + j) % 50 for j in range(i % 25)]) for i in range(40)],
+        "doc_id bigint, tokens array<int>",
+    )
+    out = fim_transform(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    orig = {r["doc_id"]: r["tokens"] for r in docs.collect()}
+    for r in out.collect():
+        d = r["doc_id"]
+        assert r["prefix"] + r["middle"] + r["suffix"] == orig[d], d
+        assert r["fim"] == (
+            [-1] + r["prefix"] + [-2] + r["suffix"] + [-3] + r["middle"]
+        ), d
+
+
+def test_fim_deterministic(spark):
+    from hemera_indexer_spark.operators.packing import fim_transform
+
+    docs = spark.createDataFrame(
+        [(1, list(range(20)))], "doc_id bigint, tokens array<int>"
+    )
+    a = fim_transform(docs).collect()
+    b = fim_transform(docs).collect()
+    assert a == b
