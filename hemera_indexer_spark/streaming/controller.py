@@ -761,6 +761,114 @@ class StreamController:
                         raise
                     time.sleep(0.1 * (attempt + 1))
 
+    def replay_quarantined(
+        self,
+        fix=None,
+        epochs: list[int] | None = None,
+    ) -> dict:
+        """Re-ingest corrected dead-letter events — the verb that closes
+        the quarantine loop: divert (ingest) → inspect → ``fix`` →
+        replay. ``fix`` is an optional ``DataFrame -> DataFrame``
+        correction (it sees the original event columns plus
+        ``quarantine_reason`` and the ``_src_epoch`` partition column for
+        context); rows that are STILL malformed after it stay
+        dead-lettered. Valid upsert/delete events merge UNFENCED with
+        their ORIGINAL seqs — safe by the LWW law (a replayed old seq
+        loses to any newer committed winner, which is the correct
+        late-arrival semantics) and idempotent under retry. Rollback
+        events are NEVER replayed (counted in the report instead):
+        applying a reorg long after later epochs committed is a repair,
+        not a merge — use ``repair_range`` for the affected span.
+
+        Dead-letter rewrite is crash-safe via a staging dir: remaining
+        rows land in ``_replay_tmp`` first, covered partitions clear,
+        then the staged partitions move into place — and every call
+        COMPLETES a predecessor's interrupted move before reading, so
+        the only non-idempotent window (cleared-but-not-moved) heals on
+        the next invocation. Returns {"replayed", "still_quarantined",
+        "rollbacks_skipped"}."""
+        if self.quarantine_dir is None:
+            raise ValueError("controller has no quarantine_dir")
+        qdir = self.quarantine_dir
+        tmp = os.path.join(qdir, "_replay_tmp")
+        # recovery: a predecessor cleared partitions but crashed before
+        # moving its staged remainder in — finish that move first
+        if os.path.isdir(tmp):
+            for d in os.listdir(tmp):
+                if d.startswith("_src_epoch="):
+                    dst = os.path.join(qdir, d)
+                    if os.path.isdir(dst):
+                        shutil.rmtree(os.path.join(tmp, d))
+                    else:
+                        os.rename(os.path.join(tmp, d), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+        parts = sorted(
+            d for d in os.listdir(qdir) if d.startswith("_src_epoch=")
+        ) if os.path.isdir(qdir) else []
+        if epochs is not None:
+            want = {f"_src_epoch={e}" for e in epochs}
+            parts = [d for d in parts if d in want]
+        if not parts:
+            return {"replayed": 0, "still_quarantined": 0,
+                    "rollbacks_skipped": 0}
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", qdir)
+            .parquet(*[os.path.join(qdir, d) for d in parts])
+        )
+        if fix is not None:
+            df = fix(df)
+        reason = _malformed_reason()
+        df = df.withColumn("_still", reason).persist()
+        try:
+            is_rb = F.col("_still").isNull() & (F.col("op") == "rollback")
+            good = df.where(F.col("_still").isNull() & (F.col("op") != "rollback"))
+            keep = df.where(F.col("_still").isNotNull() | is_rb)
+            n_good = good.count()
+            n_rb = df.where(is_rb).count()
+            n_still = keep.count() - n_rb
+            if n_good:
+                drop = ["_still", "_src_epoch", "quarantine_reason"]
+                self.table.merge_upsert(
+                    good.drop(*drop), epoch_id=None,
+                    strategy=self._auto_pick
+                    if self.merge_strategy == "auto" else self.merge_strategy,
+                )
+            # rewrite the dead-letter dir: stage remaining rows, clear the
+            # covered partitions, move the stage in (see docstring order)
+            if keep.count():
+                (
+                    keep.withColumn(
+                        "quarantine_reason",
+                        F.when(is_rb, F.lit("rollback_replay_refused"))
+                        .otherwise(
+                            F.coalesce(
+                                F.col("_still"), F.col("quarantine_reason")
+                            )
+                        ),
+                    )
+                    .drop("_still")
+                    .write.partitionBy("_src_epoch")
+                    .mode("overwrite")
+                    .parquet(tmp)
+                )
+            for d in parts:
+                shutil.rmtree(os.path.join(qdir, d), ignore_errors=True)
+            if os.path.isdir(tmp):
+                for d in os.listdir(tmp):
+                    if d.startswith("_src_epoch="):
+                        os.rename(
+                            os.path.join(tmp, d), os.path.join(qdir, d)
+                        )
+                shutil.rmtree(tmp, ignore_errors=True)
+            return {
+                "replayed": n_good,
+                "still_quarantined": n_still,
+                "rollbacks_skipped": n_rb,
+            }
+        finally:
+            df.unpersist()
+
     def _epoch_file_seq_stats(self, epoch: int) -> tuple[int | None, int | None]:
         """(min, max) event seq of one epoch, FILE-granular: every file's
         footer is inspected individually, and files whose writer emitted no

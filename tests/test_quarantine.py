@@ -359,3 +359,115 @@ def test_quarantine_fuzz_random_malformed_mixes(spark, tmp_path, seed):
     qfiles = glob.glob(os.path.join(qdir, "_src_epoch=*", "*.parquet"))
     assert sum(pq.read_metadata(f).num_rows for f in qfiles) == n_bad
     assert _state_rows(table) == _state_rows(base)
+
+
+def test_replay_quarantined_closes_the_loop(spark, tmp_path):
+    """divert → fix → replay: corrected events merge with their original
+    seqs, still-broken rows stay dead-lettered, rollbacks are refused,
+    and a second replay is a no-op."""
+    import pyspark.sql.functions as F
+
+    clean = str(tmp_path / "log_clean")
+    dirty = str(tmp_path / "log_dirty")
+    generate_changelog(clean, ChangelogSpec(**SPEC))
+    generate_changelog(dirty, ChangelogSpec(**SPEC))
+    bad = [
+        # fixable: op misspelled by a foreign writer
+        {"seq": 900001, "epoch": 2, "partition": 0, "doc_id": "doc-rx1",
+         "op": "upsert", "tokens": [1, 2, 3], "n_tok": 3, "source": "s"},
+        # unfixable: no LWW key
+        {"seq": 900002, "epoch": 2, "partition": 0, "doc_id": None,
+         "op": "update", "n_tok": 1},
+        # rollback with no target: the fix below supplies one, but a
+        # VALID rollback is still refused by replay (repair_range's job)
+        {"seq": 900003, "epoch": 2, "partition": 0, "doc_id": "doc-rx2",
+         "op": "rollback", "rollback_to_seq": None},
+    ]
+    _inject(dirty, 2, bad, "foreign-00000.parquet")
+
+    qdir = str(tmp_path / "deadletter")
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    ctl = StreamController(
+        spark, table, dirty, 2, quarantine_dir=qdir,
+        quarantine_scan="always",
+    )
+    ctl.run()
+    assert "doc-rx1" not in {r["doc_id"] for r in _state_rows(table)}
+
+    def fix(df):
+        return df.withColumn(
+            "op",
+            F.when(F.col("op") == "upsert", F.lit("update"))
+            .otherwise(F.col("op")),
+        ).withColumn(
+            "rollback_to_seq",
+            F.when(
+                F.col("op") == "rollback",
+                F.coalesce(F.col("rollback_to_seq"), F.lit(900000)),
+            ).otherwise(F.col("rollback_to_seq")),
+        )
+
+    rep = ctl.replay_quarantined(fix=fix)
+    assert rep == {
+        "replayed": 1, "still_quarantined": 1, "rollbacks_skipped": 1
+    }
+    table.refresh()
+    rows = {r["doc_id"]: r for r in table.current_state().collect()}
+    assert "doc-rx1" in rows and rows["doc-rx1"]["tokens"] == [1, 2, 3]
+
+    # dead-letter dir keeps exactly the unfixable + the rollback
+    qrows = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(
+            os.path.join(qdir, "_src_epoch=*", "*.parquet"))]
+    ).to_pylist()
+    assert len(qrows) == 2
+    assert sorted(r["quarantine_reason"] for r in qrows) == [
+        "null_key", "rollback_replay_refused"
+    ]
+
+    # idempotent: nothing fixable remains
+    rep2 = ctl.replay_quarantined(fix=fix)
+    assert rep2 == {
+        "replayed": 0, "still_quarantined": 1, "rollbacks_skipped": 1
+    }
+
+
+def test_replay_quarantined_late_seq_loses_lww(spark, tmp_path):
+    """A replayed event whose key was later re-written by a HIGHER seq
+    must lose the fold — late-arrival semantics, not a resurrection."""
+    import pyspark.sql.functions as F
+
+    log = str(tmp_path / "log")
+    generate_changelog(log, ChangelogSpec(**SPEC))
+    rows = [
+        # a VALID high-seq write for the key (merges in the normal run) …
+        {"seq": 950000, "epoch": 1, "partition": 0, "doc_id": "doc-lww",
+         "op": "update", "tokens": [5], "n_tok": 1, "source": "s"},
+        # … and a stale seq-1 write, malformed so it quarantines
+        {"seq": 1, "epoch": 1, "partition": 0, "doc_id": "doc-lww",
+         "op": "upsert", "tokens": [9, 9], "n_tok": 2, "source": "s"},
+    ]
+    _inject(log, 1, rows, "foreign-00000.parquet")
+    qdir = str(tmp_path / "deadletter")
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    ctl = StreamController(
+        spark, table, log, 2, quarantine_dir=qdir, quarantine_scan="always"
+    )
+    ctl.run()
+    before = {r["doc_id"]: r for r in table.current_state().collect()}
+
+    assert before["doc-lww"]["tokens"] == [5]
+
+    def fix(df):
+        return df.withColumn("op", F.lit("update"))
+
+    rep = ctl.replay_quarantined(fix=fix)
+    assert rep["replayed"] == 1
+    table.refresh()
+    after = {r["doc_id"]: r for r in table.current_state().collect()}
+    # the live winner is untouched: seq 1 lost to the committed seq 950000
+    assert after["doc-lww"] == before["doc-lww"]
