@@ -138,6 +138,16 @@ def main() -> None:
                     help="catch-up grouping cap: rollback-free epochs merged per commit")
     ap.add_argument("--expire-keep-last", type=int, default=0,
                     help="after the run, expire snapshots beyond the newest K and vacuum orphans")
+    ap.add_argument("--replay-quarantine", action="store_true",
+                    help="re-validate and replay the dead-letter dir "
+                         "(requires --quarantine-dir); corrected events "
+                         "merge with their original seqs, rollbacks are "
+                         "refused (use --repair for those)")
+    ap.add_argument("--map-op", action="append", default=[],
+                    metavar="FROM=TO",
+                    help="with --replay-quarantine: rewrite op FROM to TO "
+                         "before re-validation (the common foreign-writer "
+                         "fix, e.g. upsert=update); repeatable")
     ap.add_argument("--repair", default=None, metavar="LO..HI",
                     help="re-verify + re-drive a committed epoch range "
                          "(single-runner locked; 'LO..HI' or 'LO' alone "
@@ -384,6 +394,41 @@ def main() -> None:
         }
 
     t0 = time.monotonic()
+    if args.replay_quarantine:
+        if not args.quarantine_dir:
+            ap.error("--replay-quarantine requires --quarantine-dir")
+        if args.streaming:
+            ap.error("--replay-quarantine uses the batch controller; "
+                     "drop --streaming")
+        from pyspark.sql import functions as F
+
+        from hemera_indexer_spark.streaming import StreamController
+
+        op_map = dict(m.split("=", 1) for m in args.map_op)
+
+        def _fix(df):
+            if not op_map:
+                return df
+            expr = None
+            for frm, to in op_map.items():
+                cond = F.col("op") == frm
+                expr = (
+                    F.when(cond, F.lit(to)) if expr is None
+                    else expr.when(cond, F.lit(to))
+                )
+            return df.withColumn("op", expr.otherwise(F.col("op")))
+
+        # tenant_kw already carries quarantine_dir/quarantine_scan (and the
+        # tenant namespacing that scopes the dead-letter dir per tenant)
+        ctl = StreamController(
+            spark, table, args.log_dir, args.partitions,
+            merge_strategy=args.strategy,
+            **tenant_kw,
+        )
+        report = ctl.replay_quarantined(fix=_fix if op_map else None)
+        print(json.dumps({"replay_quarantine": report}))
+        return
+
     if args.repair is not None:
         if args.streaming:
             ap.error("--repair uses the batch controller; drop --streaming")
