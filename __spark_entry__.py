@@ -2219,12 +2219,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # starting at "pricing_summary" (all green in CORRECTNESS_r04.json);
     # round 5 rotates the 42 never-driver-checked queries (plus this round's
     # new ones) to the front so the union of per-round driver artifacts
-    # covers the whole registry. With 109 entries the round-5 window covers
-    # slots 1-50 (… bpe_pairs, audio_decode_stats); the nine past slot 50
+    # covers the whole registry. With 112 entries the round-5 window covers
+    # slots 1-50 (… bpe_pairs, audio_decode_stats); the twelve past slot 50
     # (video_frame_stats, semantic_dedup, quantile_sketch, bm25_topk,
     # pagerank_top, pq_adc_topk, pq_index_topk, dsir_topk,
-    # quality_classifier) rotate to the front in round 6. The local oracle
-    # gate (tests/test_queries_oracle.py) always runs ALL entries anyway.
+    # quality_classifier, leakage_split, span_corruption, fim_transform)
+    # rotate to the front in round 6. The local oracle gate
+    # (tests/test_queries_oracle.py) always runs ALL entries anyway.
     return {
         "zonemap_range_scan": q_zonemap_range_scan,
         "zorder_box_scan": q_zorder_box_scan,
