@@ -968,20 +968,22 @@ def q_zorder_box_scan(spark, sf):
 
 
 def q_image_decode_stats(spark, sf):
-    """REAL image decode end-to-end: encode one genuine 24-bit BMP per doc
-    (pure-Python codec, deterministic fixture pixels — multimodal.py::
-    _fixture_pixels), then parse it back (header, bit depth, 4-byte row
-    padding, bottom-up rows) and emit width/height/per-channel means. The
-    fixture pattern is closed-form ((c*id + i) % 251 at pixel i), so the
-    oracle reproduces every statistic without running the codec — any
-    decoder bug (padding, row order, BGR swap) breaks the hash match."""
+    """REAL image decode end-to-end across THREE containers: encode one
+    genuine image per doc — 24-bit BMP, binary PPM, or PNG (DEFLATE via
+    stdlib zlib, CRC-verified chunks, per-row cycling scanline filters)
+    chosen by doc_id % 3 — then magic-sniff, parse it back and emit
+    width/height/per-channel means. The fixture pattern is closed-form
+    ((c*id + i) % 251 at pixel i, multimodal.py::_fixture_pixels), so the
+    oracle reproduces every statistic without running any codec — any
+    decoder bug (BMP padding/row order/BGR swap, PPM header walk, PNG
+    unfilter/inflate/CRC) breaks the hash match."""
     from hemera_indexer_spark.operators.multimodal import (
         image_stats,
         synthesize_image_blobs,
     )
 
     docs = _t(spark, sf, "documents").select("doc_id")
-    return image_stats(synthesize_image_blobs(docs, "doc_id", fmt="bmp"))
+    return image_stats(synthesize_image_blobs(docs, "doc_id", fmt="mixed"))
 
 
 # ------------------------------------------------- typed decode dispatch

@@ -2,10 +2,12 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-Decode is REAL for the uncompressed formats a pure-Python parser can own:
-BMP/PPM images, RIFF/WAVE PCM16 audio, YUV4MPEG2 video. Compressed
-formats (jpeg/mp3/h264) would need codecs the container doesn't ship, so
-those fall back to a clearly-marked deterministic stub; everything
+Decode is REAL for the formats a pure-Python parser can own: BMP/PPM
+images, PNG (a genuine DEFLATE-compressed container via stdlib zlib —
+CRC-verified chunks, all five scanline filters), RIFF/WAVE PCM16 audio,
+YUV4MPEG2 video. Lossy formats (jpeg/mp3/h264) would need codecs the
+container doesn't ship, so those fall back to a clearly-marked
+deterministic stub; everything
 Spark-side — schema, batch shape, partitioning, UDF signature — is
 identical on both paths. At
 scale the pattern is: keep blobs in their own column (Parquet stores them
@@ -154,15 +156,162 @@ def decode_ppm(data: bytes) -> np.ndarray:
     )
 
 
+# --------------------------------------------------------------------------
+# Real pure-Python COMPRESSED image codec: PNG (8-bit truecolor RGB/RGBA,
+# non-interlaced) over stdlib zlib. This is a genuine DEFLATE-compressed
+# container — chunk walk with CRC-32 verification, IDAT reassembly,
+# inflate, and all five scanline unfilters (None/Sub/Up/Average/Paeth).
+# The encoder deliberately cycles the filter type per row (y % 5) so a
+# decoder that shortcuts any unfilter fails the roundtrip loudly.
+# --------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3|4) uint8 -> PNG bytes (8-bit truecolor / truecolor+alpha,
+    non-interlaced). Scanline y uses filter type y % 5, exercising every
+    filter the spec defines; IDAT is zlib-compressed (a real DEFLATE
+    stream, not a stored block)."""
+    import zlib
+
+    h, w, ch = pixels.shape
+    assert ch in (3, 4) and pixels.dtype == np.uint8
+    stream = bytearray()
+    zeros = np.zeros(w * ch, dtype=np.int64)
+    prior = zeros
+    for y in range(h):
+        raw = pixels[y].reshape(-1).astype(np.int64)
+        left = np.concatenate([np.zeros(ch, np.int64), raw[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int64), prior[:-ch]])
+        ft = y % 5
+        if ft == 0:
+            filt = raw
+        elif ft == 1:
+            filt = raw - left
+        elif ft == 2:
+            filt = raw - prior
+        elif ft == 3:
+            filt = raw - (left + prior) // 2
+        else:  # Paeth — vectorized predictor over (left, up, upper-left)
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = raw - pred
+        stream += bytes([ft]) + (filt % 256).astype(np.uint8).tobytes()
+        prior = raw
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload))
+        )
+
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3|4) uint8. Real container parse: signature, chunk
+    walk with per-chunk CRC-32 verification (corruption fails loudly),
+    multi-IDAT reassembly, zlib inflate, and sequential reconstruction of
+    all five scanline filters. Supports 8-bit truecolor (color type 2) and
+    truecolor+alpha (6), non-interlaced; anything else raises. Ancillary
+    chunks are CRC-checked and skipped.
+
+    The per-row unfilter loop is honest pure Python (Sub/Average/Paeth
+    carry an intra-row left dependency, so there is nothing to vectorize
+    without native code); production swaps this one function for a native
+    codec and keeps every Spark-side contract identical."""
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(data):
+        ln, typ = struct.unpack_from(">I4s", data, pos)
+        if pos + 12 + ln > len(data):
+            raise ValueError("truncated PNG chunk")
+        payload = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        if zlib.crc32(typ + payload) != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif typ == b"IDAT":
+            idat += payload
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or comp or filt_method or interlace:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color_type={color_type} "
+            f"interlace={interlace} (only 8-bit RGB/RGBA, non-interlaced)"
+        )
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    rows, prior = [], bytes(stride)
+    for y in range(h):
+        base = y * (1 + stride)
+        ft, line = raw[base], raw[base + 1 : base + 1 + stride]
+        if ft == 0:
+            cur = bytearray(line)
+        elif ft == 2:
+            cur = bytearray((line[i] + prior[i]) & 255 for i in range(stride))
+        elif ft in (1, 3, 4):
+            cur = bytearray(stride)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0  # left (reconstructed)
+                b = prior[i]  # up
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prior[i - ch] if i >= ch else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (line[i] + pred) & 255
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        rows.append(np.frombuffer(bytes(cur), np.uint8).reshape(w, ch))
+        prior = bytes(cur)
+    return np.stack(rows)
+
+
 def decode_image(content: bytes) -> np.ndarray:
-    """Magic-sniffing image decode: BMP ('BM') and PPM ('P6') decode for
-    REAL; anything else raises (route it through the labeled stub or a
-    production codec)."""
+    """Magic-sniffing image decode: BMP ('BM'), PPM ('P6') and PNG
+    (8-byte signature) decode for REAL; anything else raises (route it
+    through the labeled stub or a production codec). PNG with an alpha
+    channel is flattened to RGB here so every format yields the same
+    (h, w, 3) shape downstream."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:2] == b"P6":
         return decode_ppm(content)
-    raise ValueError("unknown image format (supported: BMP BI_RGB, PPM P6)")
+    if content[:8] == PNG_SIG:
+        px = decode_png(content)
+        return px[:, :, :3].copy() if px.shape[2] == 4 else px
+    raise ValueError(
+        "unknown image format (supported: BMP BI_RGB, PPM P6, PNG 8-bit)"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -297,7 +446,7 @@ def decode_y4m(data: bytes) -> tuple[list[np.ndarray], int, int]:
 def decode_blob(content: bytes, media_type: str) -> np.ndarray:
     """Decode a media blob to a flat float64 feature vector in [0, 1].
 
-    REAL paths: image blobs with a BMP/PPM magic (flattened RGB / 255),
+    REAL paths: image blobs with a BMP/PPM/PNG magic (flattened RGB / 255),
     audio blobs with a RIFF/WAVE magic (PCM16 samples mapped to [0, 1] as
     (v + 32768) / 65535), video blobs with a YUV4MPEG2 magic (concatenated
     luma planes / 255) — all via the pure-Python codecs above.
@@ -309,7 +458,9 @@ def decode_blob(content: bytes, media_type: str) -> np.ndarray:
     (schema, batch shape, partitioning, UDF signature) is identical."""
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"unknown media_type {media_type}")
-    if media_type == "image" and content and content[:2] in (b"BM", b"P6"):
+    if media_type == "image" and content and (
+        content[:2] in (b"BM", b"P6") or content[:8] == PNG_SIG
+    ):
         return decode_image(content).reshape(-1).astype(np.float64) / 255.0
     if media_type == "audio" and content and content[:4] == b"RIFF":
         samples, _ = decode_wav(content)
@@ -398,11 +549,20 @@ def _fixture_pixels(blob_id: int) -> np.ndarray:
 def synthesize_image_blobs(
     df: DataFrame, id_col: str = "doc_id", fmt: str = "bmp"
 ) -> DataFrame:
-    """Encode a REAL image per row (BMP or PPM bytes via the pure-Python
-    codecs) from the deterministic fixture pattern — the writer half of the
-    codec roundtrip, and the only way to put genuine image bytes in front
-    of the decoder without container codecs. Map-only (no shuffle)."""
-    enc = {"bmp": encode_bmp, "ppm": encode_ppm}[fmt]
+    """Encode a REAL image per row (BMP, PPM or PNG bytes via the
+    pure-Python codecs) from the deterministic fixture pattern — the writer
+    half of the codec roundtrip, and the only way to put genuine image
+    bytes in front of the decoder without container codecs. Map-only (no
+    shuffle). ``fmt="mixed"`` picks the container per row (blob_id % 3 →
+    bmp/ppm/png) so one pass proves the magic-sniff dispatch across all
+    three formats."""
+    encoders = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}
+    if fmt == "mixed":
+        order = [encode_bmp, encode_ppm, encode_png]
+        enc = lambda bid: order[bid % 3](_fixture_pixels(bid))  # noqa: E731
+    else:
+        one = encoders[fmt]
+        enc = lambda bid: one(_fixture_pixels(bid))  # noqa: E731
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -410,7 +570,7 @@ def synthesize_image_blobs(
             yield pd.DataFrame(
                 {
                     "blob_id": ids,
-                    "content": [enc(_fixture_pixels(int(b))) for b in ids],
+                    "content": [enc(int(b)) for b in ids],
                 }
             )
 

@@ -255,6 +255,58 @@ def test_image_codec_roundtrip_and_guards():
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
+def test_png_codec_guards_and_dispatch():
+    """PNG is a real compressed container: all five scanline filters are
+    exercised (h >= 5 cycles them), chunk CRC corruption fails loudly,
+    truncation fails loudly, RGBA flattens to RGB through decode_image,
+    and decode_blob takes the REAL path on the PNG signature."""
+    import struct as _s
+
+    import numpy as np
+    import pytest as _pt
+
+    from hemera_indexer_spark.operators.multimodal import (
+        decode_blob,
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)  # h>4: all filters
+    data = encode_png(px)
+    assert (decode_png(data) == px).all()
+    assert (decode_image(data) == px).all()
+    # real decode path through decode_blob: flattened RGB / 255
+    vec = decode_blob(data, "image")
+    assert len(vec) == 7 * 5 * 3
+    assert np.allclose(vec, px.reshape(-1) / 255.0)
+    # RGBA flattens to RGB via decode_image (shape parity across formats)
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    assert (decode_image(encode_png(rgba)) == rgba[:, :, :3]).all()
+    # flip one IDAT payload byte -> CRC mismatch raises
+    bad = bytearray(data)
+    idat_at = data.index(b"IDAT")
+    bad[idat_at + 6] ^= 0xFF
+    with _pt.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(bad))
+    with _pt.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNG but not really")
+    # cut past the 12-byte IEND into the IDAT chunk -> truncated
+    with _pt.raises(ValueError, match="truncated"):
+        decode_png(data[:-18])
+    # unsupported: 16-bit depth advertised in IHDR (re-CRC so the chunk
+    # walk passes and the feature gate itself raises)
+    import zlib as _z
+
+    hacked = bytearray(data)
+    hacked[8 + 8 + 8] = 16  # IHDR depth byte
+    ihdr_payload = bytes(hacked[16:29])
+    _s.pack_into(">I", hacked, 29, _z.crc32(b"IHDR" + ihdr_payload))
+    with _pt.raises(ValueError, match="unsupported PNG"):
+        decode_png(bytes(hacked))
+
+
 def test_decode_blob_real_path_vs_stub():
     """Image blobs with a BMP/PPM magic take the REAL decode path (pixel
     vector, length 3*w*h); other bytes still hit the labeled stub (32-dim
@@ -764,17 +816,20 @@ def test_percentile_approx_rank_error_bound(spark):
     seed=st.integers(0, 2**31 - 1),
 )
 def test_codec_roundtrip_properties(w, h, frames, channels, rate, seed):
-    """Property: encode∘decode is identity for BMP, PPM, WAV and Y4M over
-    arbitrary shapes — incl. the BMP row-padding widths, odd WAV frame
-    counts, and single-frame videos (no Spark; pure codec law)."""
+    """Property: encode∘decode is identity for BMP, PPM, PNG, WAV and Y4M
+    over arbitrary shapes — incl. the BMP row-padding widths, w=1 PNGs
+    (the left-dependency edge of Sub/Average/Paeth), RGBA PNGs, odd WAV
+    frame counts, and single-frame videos (no Spark; pure codec law)."""
     import numpy as np
 
     from hemera_indexer_spark.operators.multimodal import (
         decode_bmp,
+        decode_png,
         decode_ppm,
         decode_wav,
         decode_y4m,
         encode_bmp,
+        encode_png,
         encode_ppm,
         encode_wav,
         encode_y4m,
@@ -784,6 +839,9 @@ def test_codec_roundtrip_properties(w, h, frames, channels, rate, seed):
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert (decode_bmp(encode_bmp(px)) == px).all()
     assert (decode_ppm(encode_ppm(px)) == px).all()
+    assert (decode_png(encode_png(px)) == px).all()
+    rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(rgba)) == rgba).all()
     samples = rng.integers(-32768, 32768, size=(frames, channels)).astype(
         np.int16
     )
