@@ -2386,6 +2386,68 @@ class LakeTable:
         report["files_vacuumed"] = self.vacuum_orphans()
         return report
 
+    def rollback_to(self, version: int) -> int:
+        """Restore the table to a RETAINED snapshot as a NEW commit
+        (Iceberg's ``rollback_to_snapshot``): the head advances to
+        head+1 whose files/schema/layout/properties replicate the target.
+        Nothing is rewritten, copied or deleted — the restored files are
+        the target snapshot's own immutable files, now also referenced by
+        the new head (so ``vacuum_orphans`` keeps protecting them), and
+        the rolled-past commits stay retained for time travel and audit
+        until ``expire_snapshots`` drops them.
+
+        Properties come from the TARGET — manifest cursor, epoch fences,
+        tenant manifests, retention floor: the operational state that is
+        CONSISTENT with the restored data. That is what makes this the
+        bad-batch recovery verb: after ``rollback_to(v)`` a
+        StreamController re-drives every log epoch after v's cursor, and
+        the idempotent LWW merges converge the table to the same state a
+        clean run would have produced. Two exceptions: ``tag:*`` entries
+        from the CURRENT head carry forward (tags are named pointers into
+        retained history, orthogonal to the restore — and the target's own
+        stale tags would otherwise resurrect), and a transient
+        ``repair_lock`` is never copied. A LIVE ``repair_lock`` on the
+        current head refuses the rollback: restoring mid-repair would race
+        the repairer's own re-drive.
+
+        Returns the new head version; ``version == head`` is a no-op
+        (returns head, commits nothing). The snapshot file records
+        ``rollback_of`` as an audit breadcrumb (this snapshot only — it is
+        not inherited by descendants).
+        """
+        head = self.snapshot["version"]
+        if version == head:
+            return head
+        props_now = self.snapshot.get("properties", {})
+        if "repair_lock" in props_now:
+            raise ConcurrentCommitError(
+                "refusing rollback_to while a repair_range lock is live; "
+                "finish the repair (or let its TTL expire) first"
+            )
+        spath = os.path.join(self.meta_dir, f"snap-{version:010d}.json")
+        if not os.path.exists(spath):
+            raise FileNotFoundError(
+                f"snapshot {version} is not retained (expired or never "
+                f"existed); retained: "
+                f"{[s['version'] for s in self.snapshots()]}"
+            )
+        snap = json.loads(json.dumps(self._load_snap_file(spath)))
+        snap["version"] = head + 1
+        snap["parent"] = head
+        snap["rollback_of"] = version
+        snap.pop("wap_id", None)
+        props = {
+            k: v
+            for k, v in snap.get("properties", {}).items()
+            if k != "repair_lock" and not k.startswith("tag:")
+        }
+        props.update(
+            (k, v) for k, v in props_now.items() if k.startswith("tag:")
+        )
+        snap["properties"] = props
+        self._write_snapshot(snap, expected_parent=head)
+        return head + 1
+
     def clone_to(self, dest_root: str) -> "LakeTable":
         """Consistent single-snapshot export (Iceberg snapshot-export / DR
         clone analog): copy exactly the data files the CURRENT snapshot

@@ -140,7 +140,8 @@ def main():
     ap.add_argument(
         "verb",
         choices=[
-            "health", "history", "tag", "clone", "purge", "expire", "vacuum",
+            "health", "history", "tag", "rollback", "clone", "purge",
+            "expire", "vacuum",
             "compact", "pack", "maintain", "truncate", "staged", "publish",
             "discard",
             "widen",
@@ -216,6 +217,12 @@ def main():
         )
         t.tag(args.arg, version=args.version)
         out = {"tagged": args.arg, "version": tagged_version}
+    elif args.verb == "rollback":
+        if args.version is None:
+            ap.error("rollback requires --version")
+        new_head = t.rollback_to(args.version)
+        out = {"rolled_back_to": args.version, "new_head": new_head,
+               "committed_epoch": t.committed_epoch()}
     elif args.verb == "clone":
         if not args.arg:
             ap.error("clone requires a DEST path")

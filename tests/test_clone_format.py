@@ -213,6 +213,64 @@ def test_tags_name_snapshots(spark, tmp_path):
         t.as_of_tag("after-e1")
 
 
+def test_rollback_to_restores_state_as_new_commit(spark, tmp_path):
+    """rollback_to(v): current state flips to the target's, as a NEW head
+    (history retained — the rolled-past version stays time-travelable),
+    the audit breadcrumb lands, the epoch fence rolls back with the data
+    (a re-merge of the rolled-past epoch is accepted and converges), and
+    head tags carry forward across the restore."""
+    t = _mk(spark, str(tmp_path / "t"), n_epochs=3)  # versions 1..3
+    head = t.snapshot["version"]
+    full_state = _state(t)
+    state_v2 = _state(t.as_of(2))
+    assert full_state != state_v2
+    t.tag("good-head")
+
+    new_head = t.rollback_to(2)
+    assert new_head == head + 2  # +1 for the tag commit, +1 for rollback
+    assert _state(t) == state_v2
+    assert t.snapshot["rollback_of"] == 2
+    assert t.snapshot["parent"] == new_head - 1
+    # history is intact: the rolled-past head still reads
+    assert _state(t.as_of(head)) == full_state
+    # tags carry forward (named pointers into retained history)
+    assert _state(t.as_of_tag("good-head")) == full_state
+    # fence rolled back with the data: re-merging epoch 2's rows converges
+    rows = [(f"d{i}", 200 + i, False, f"v2-{i}", "upsert") for i in range(10)]
+    t.merge_upsert(
+        spark.createDataFrame(
+            rows,
+            "doc_id string, seq long, is_deleted boolean, val string, op string",
+        ),
+        epoch_id=2,
+    )
+    assert _state(t) == full_state
+
+
+def test_rollback_to_guards(spark, tmp_path):
+    """rollback_to: head is a no-op, unretained versions raise loudly, a
+    live repair_lock refuses, and a stale transient lock in the TARGET is
+    not resurrected."""
+    t = _mk(spark, str(tmp_path / "t"), n_epochs=2)
+    head = t.snapshot["version"]
+    assert t.rollback_to(head) == head  # no-op, no commit
+    assert t.snapshot["version"] == head
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.rollback_to(999)
+    # a live repair lock on the head refuses the restore
+    t.update_properties({"repair_lock": "runner-1"})
+    from hemera_indexer_spark.lake import ConcurrentCommitError
+
+    with pytest.raises(ConcurrentCommitError, match="repair_range lock"):
+        t.rollback_to(1)
+    # clearing the lock unblocks; the TARGET's own lock (version with the
+    # property set) must not ride along into the restored head
+    lock_v = t.snapshot["version"]
+    t.update_properties({"repair_lock": None})
+    t.rollback_to(lock_v)
+    assert "repair_lock" not in t.snapshot["properties"]
+
+
 def test_purge_keys_is_rerunnable_after_partial_failure(spark, tmp_path):
     """Each purge step is an atomic snapshot flip, so a crash between
     steps leaves a consistent table and RE-RUNNING purge_keys converges
@@ -261,6 +319,10 @@ def test_lake_admin_cli_verbs(spark, tmp_path):
     assert h["rows_total"] > 0 and h["committed_epoch"] == 1
     tg = admin("tag", "rc1")
     assert tg["tagged"] == "rc1"
+    rb = admin("rollback", "--version", "1")
+    assert rb["rolled_back_to"] == 1 and rb["committed_epoch"] == 0
+    rb2 = admin("rollback", "--version", str(rb["new_head"] - 2))
+    assert rb2["committed_epoch"] == 1  # restored forward again
     cl = admin("clone", str(tmp_path / "c"))
     assert cl["committed_epoch"] == 1 and cl["rows"] > 0
     cp = admin("compact")

@@ -10,6 +10,40 @@ from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
 from hemera_indexer_spark.streaming import StreamController
 
 
+def test_rollback_to_then_redrive_converges(spark, tiny_log, tmp_path):
+    """Bad-batch recovery law: rollback_to(v) + controller re-drive ends at
+    the same oracle state a clean full replay produces — through the log's
+    own reorg epoch AND a second pass over mid-stream schema evolution
+    (the restore target predates the lang column, so the re-drive must
+    ALTER-add it again)."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake_rb"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    # one epoch per commit so a snapshot exists at every epoch boundary
+    StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions,
+        max_batch_epochs=1,
+    ).run()
+    _assert_state_matches_oracle(
+        table, tiny_log.out_dir, tiny_log.spec.n_partitions
+    )
+    # restore to the commit that fenced epoch 3 (pre-evolution, pre-reorg)
+    target = next(
+        s["version"] for s in table.snapshots() if s["epoch_id"] == 3
+    )
+    table.rollback_to(target)
+    assert table.committed_epoch() == 3
+    assert "lang" not in table.schema.fieldNames()
+    # fresh controller re-drives epochs 4.. from the restored cursor
+    StreamController(
+        spark, table, tiny_log.out_dir, tiny_log.spec.n_partitions
+    ).run()
+    assert "lang" in table.schema.fieldNames()
+    _assert_state_matches_oracle(
+        table, tiny_log.out_dir, tiny_log.spec.n_partitions
+    )
+
+
 def _assert_state_matches_oracle(table, log_dir, n_partitions):
     expected = expected_live_rows(log_dir, n_partitions)
     got = sorted(
