@@ -117,8 +117,10 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
             op = "purge"
         elif r < 0.89:
             op = "wap"
-        elif r < 0.95:
+        elif r < 0.93:
             op = "cdf"
+        elif r < 0.96:
+            op = "rollback"
         else:
             op = "maintain"
         ops.append(op)
@@ -155,6 +157,18 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
                     for r2 in t.changes_since(v0, cdf=True).collect()
                 }
                 assert got == expected_cdf(m0), (seed, step, v0, ops)
+        elif op == "rollback":
+            # restore to any retained checkpointed version; the model is
+            # REPLACED by that checkpoint's fold — current_state equality
+            # after the step then proves the restore is exact, and later
+            # cdf ops prove changes_since stays NET across a restore
+            retained = {s["version"] for s in t.snapshots()}
+            live_ckpts = [c for c in checkpoints if c[0] in retained]
+            if live_ckpts:
+                v0, m0 = rng.choice(live_ckpts)
+                t.rollback_to(v0)
+                model.clear()
+                model.update(dict(m0))
         elif op == "maintain":
             from hemera_indexer_spark.lake import (
                 MaintenancePolicy,
@@ -194,6 +208,17 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
                 model[k] = (seq, None, True)
         assert _table_state(t) == _model_state(model), (seed, step, ops)
         checkpoints.append((t.snapshot["version"], dict(model)))
+    # every seed ends with one FORCED restore (the random mix may not roll
+    # the rollback verb), then a merge on top — restore + write-after-
+    # restore both proven on all seeds
+    retained = {s["version"] for s in t.snapshots()}
+    v0, m0 = rng.choice([c for c in checkpoints if c[0] in retained])
+    t.rollback_to(v0)
+    model.clear()
+    model.update(dict(m0))
+    assert _table_state(t) == _model_state(model), (seed, "forced-rollback")
+    merge_batch()
+    assert _table_state(t) == _model_state(model), (seed, "post-restore-merge")
     # the walk must have exercised a real mix
     assert {"merge"} < set(ops)
 
