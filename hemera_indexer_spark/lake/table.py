@@ -2222,6 +2222,104 @@ class LakeTable:
                 if files and self.stats_cols
                 else None
             ),
+            # ANALYZE staleness: commits since the oldest colstats entry
+            # was computed (None = never analyzed) — the maintenance
+            # scheduler's re-analyze trigger
+            "colstats_lag": (
+                snap["version"]
+                - min(
+                    json.loads(v)["version"]
+                    for k, v in snap.get("properties", {}).items()
+                    if k.startswith("colstats:")
+                )
+                if any(
+                    k.startswith("colstats:")
+                    for k in snap.get("properties", {})
+                )
+                else None
+            ),
+        }
+
+    def analyze(self, cols: list[str] | None = None, exact: bool = False) -> dict:
+        """One-pass column statistics over the RESOLVED live state
+        (Iceberg ANALYZE / Delta compute-stats analog): per column — ndv
+        (HyperLogLog by default, Spark's ~2% relative error; ``exact=True``
+        for tests/small tables), null_count, min, max. Results commit as
+        ``colstats:<col>`` properties stamped with the snapshot version
+        they were computed at, so every reader can judge staleness
+        (``table_health`` surfaces the lag). Cost: ONE scan + one
+        aggregate over the selected columns only — column pruning keeps
+        the scan narrow; binary/nested columns are skipped by default. At
+        the 10^10-row design point this runs at maintenance cadence, not
+        per commit; a CBO-ish consumer (join-side choice, dedup band
+        sizing) reads ``column_stats()`` instead of re-scanning.
+
+        Returns {col: {ndv, nulls, min, max, version}}."""
+        skip = (T.BinaryType, T.ArrayType, T.MapType, T.StructType)
+        live = self.current_state()
+        if cols is None:
+            # the RESOLVED live columns (engine columns like the tombstone
+            # flag are consumed by the fold and not part of the state)
+            cols = [
+                f.name
+                for f in live.schema.fields
+                if not isinstance(f.dataType, skip)
+            ]
+        else:
+            known = set(live.columns)
+            missing = [c for c in cols if c not in known]
+            if missing:
+                raise KeyError(f"unknown columns {missing}")
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            ndv = (
+                F.count_distinct(F.col(c))
+                if exact
+                else F.approx_count_distinct(c)
+            )
+            aggs += [
+                ndv.alias(f"{c}__ndv"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                F.min(c).alias(f"{c}__min"),
+                F.max(c).alias(f"{c}__max"),
+            ]
+        row = live.select(*cols).agg(*aggs).collect()[0].asDict()
+        version = self.snapshot["version"]
+
+        def _j(v):
+            # properties are JSON: keep JSON-pure scalars, stringify the rest
+            # (dates, decimals) — consumers treat min/max as advisory bounds
+            return (
+                v
+                if isinstance(v, (int, float, str, bool, type(None)))
+                else str(v)
+            )
+
+        out, props = {}, {}
+        for c in cols:
+            st = {
+                "ndv": int(row[f"{c}__ndv"]),
+                "nulls": int(row[f"{c}__nulls"] or 0),
+                "min": _j(row[f"{c}__min"]),
+                "max": _j(row[f"{c}__max"]),
+                "version": version,
+            }
+            out[c] = st
+            props[f"colstats:{c}"] = json.dumps(st)
+        self.update_properties(props)
+        return out
+
+    def column_stats(self) -> dict:
+        """Last committed ``analyze`` results (``colstats:*`` properties),
+        parsed. Each entry carries the snapshot version it was computed
+        at; staleness = current version minus that (see
+        ``table_health()['colstats_lag']``)."""
+        return {
+            k.split(":", 1)[1]: json.loads(v)
+            for k, v in self.snapshot.get("properties", {}).items()
+            if k.startswith("colstats:")
         }
 
     def tag(self, name: str, version: int | None = None) -> None:

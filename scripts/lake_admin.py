@@ -140,8 +140,8 @@ def main():
     ap.add_argument(
         "verb",
         choices=[
-            "health", "history", "tag", "rollback", "clone", "purge",
-            "expire", "vacuum",
+            "health", "history", "tag", "rollback", "analyze", "clone",
+            "purge", "expire", "vacuum",
             "compact", "pack", "maintain", "truncate", "staged", "publish",
             "discard",
             "widen",
@@ -217,6 +217,9 @@ def main():
         )
         t.tag(args.arg, version=args.version)
         out = {"tagged": args.arg, "version": tagged_version}
+    elif args.verb == "analyze":
+        cols = [c for c in args.arg.split(",") if c] if args.arg else None
+        out = {"analyzed": t.analyze(cols=cols)}
     elif args.verb == "rollback":
         if args.version is None:
             ap.error("rollback requires --version")

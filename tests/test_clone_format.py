@@ -247,6 +247,35 @@ def test_rollback_to_restores_state_as_new_commit(spark, tmp_path):
     assert _state(t) == full_state
 
 
+def test_analyze_column_stats(spark, tmp_path):
+    """analyze(exact=True): ndv/nulls/min/max over the RESOLVED live state
+    match hand-computed truth, commit as version-stamped properties,
+    column_stats() reads them back, and table_health reports the lag as
+    more commits land. Unknown columns raise; nested/binary are skipped
+    by default."""
+    t = _mk(spark, str(tmp_path / "t"), n_epochs=2)  # d0..d9, seq 100+i wins
+    stats = t.analyze(exact=True)
+    # is_deleted is consumed by the live fold — not part of the state
+    assert set(stats) == {"doc_id", "seq", "val"}
+    assert stats["doc_id"] == {
+        "ndv": 10, "nulls": 0, "min": "d0", "max": "d9",
+        "version": 2,
+    }
+    assert stats["seq"]["ndv"] == 10 and stats["seq"]["max"] == 109
+    assert t.column_stats()["val"]["min"] == "v1-0"
+    h = t.table_health()
+    assert h["colstats_lag"] == h["version"] - 2
+    with pytest.raises(KeyError, match="unknown columns"):
+        t.analyze(cols=["nope"])
+    # lag grows with commits; re-analyze resets it
+    t.tag("x")
+    assert t.table_health()["colstats_lag"] > h["colstats_lag"]
+    t.analyze(cols=["seq"], exact=True)
+    assert t.column_stats()["seq"]["version"] == t.snapshot["version"] - 1
+    # doc_id stats survive (older version stamp) — lag reflects the oldest
+    assert t.table_health()["colstats_lag"] >= 2
+
+
 def test_rollback_to_guards(spark, tmp_path):
     """rollback_to: head is a no-op, unretained versions raise loudly, a
     live repair_lock refuses, and a stale transient lock in the TARGET is
