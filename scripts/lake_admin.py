@@ -7,6 +7,8 @@ Usage:
     python scripts/lake_admin.py TABLE_ROOT health
     python scripts/lake_admin.py TABLE_ROOT history KEY
     python scripts/lake_admin.py TABLE_ROOT tag NAME [--version V]
+    python scripts/lake_admin.py TABLE_ROOT rollback --version V
+    python scripts/lake_admin.py TABLE_ROOT analyze [COL,COL...]
     python scripts/lake_admin.py TABLE_ROOT clone DEST
     python scripts/lake_admin.py TABLE_ROOT purge KEY[,KEY...] [--keep-last N]
     python scripts/lake_admin.py TABLE_ROOT expire [--keep-last N]
