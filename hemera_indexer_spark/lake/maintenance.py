@@ -45,7 +45,10 @@ class MaintenancePolicy:
     two that brings mean rows/bucket under the target) once the table
     outgrows its layout — the expensive, rare rewrite, so it triggers on
     MEAN occupancy, not transient skew. ``expire_keep_last`` /
-    ``vacuum_grace_seconds``: retention. ``strategy``: compact/rebucket
+    ``vacuum_grace_seconds``: retention. ``analyze_lag``: re-run column
+    ANALYZE once ``colstats_lag`` reaches this many commits (or if the
+    table was never analyzed) — the only policy step that scans data, so
+    it runs LAST and only when stale. ``strategy``: compact/rebucket
     merge strategy (sql | jvm | arrow | pandas)."""
 
     compact_delta_depth: int | None = 8
@@ -55,6 +58,7 @@ class MaintenancePolicy:
     rebucket_rows_per_bucket: int | None = None
     expire_keep_last: int | None = 10
     vacuum_grace_seconds: float | None = 0.0
+    analyze_lag: int | None = None
     strategy: str = "jvm"
     cluster_by: tuple[str, ...] = field(default=())
 
@@ -116,6 +120,20 @@ def run_maintenance(
         report["files_vacuumed"] = t.vacuum_orphans(
             grace_seconds=p.vacuum_grace_seconds
         )
+    # 3. statistics: the one data-scanning step, only when stale — and
+    # AFTER the rewrites above, so the stats describe the new layout's
+    # live state and their version stamp postdates the layout commits
+    if p.analyze_lag is not None:
+        if p.analyze_lag < 2:
+            # the analyze commit itself leaves colstats_lag == 1; a
+            # threshold below 2 would re-analyze on every run and the
+            # policy loop would never reach its zero-commit fixpoint
+            raise ValueError("analyze_lag must be >= 2 (see docstring)")
+        t.refresh()
+        lag = t.table_health()["colstats_lag"]
+        if lag is None or lag >= p.analyze_lag:
+            report["analyzed"] = sorted(t.analyze())
+            t.refresh()
     after = t.table_health(compact_threshold=p.compact_delta_depth or 2**30)
     report["after"] = {
         k: after[k]

@@ -176,6 +176,9 @@ def main():
                     help="maintain: compact buckets with >= this delta depth")
     ap.add_argument("--rebucket-rows", type=int, default=None,
                     help="maintain: rebucket when mean rows/bucket exceeds")
+    ap.add_argument("--analyze-lag", type=int, default=None,
+                    help="maintain: re-run column ANALYZE when colstats "
+                         "staleness reaches this many commits (min 2)")
     ap.add_argument("--before-seq", type=int, default=None,
                     help="truncate: drop fact history with seq below this")
     args = ap.parse_args()
@@ -309,6 +312,7 @@ def main():
             expire_keep_last=(
                 args.keep_last if args.keep_last is not None else 10
             ),
+            analyze_lag=args.analyze_lag,
             strategy=args.strategy,
         ))
     else:  # pack

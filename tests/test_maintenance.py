@@ -70,6 +70,35 @@ def test_state_maintenance_compacts_expires_vacuums_then_fixpoint(
     assert rep2["after"]["version"] == v
 
 
+def test_maintenance_analyze_lag_and_fixpoint(spark, tmp_path):
+    """analyze_lag: never-analyzed tables analyze on the first policy run
+    (stats postdate the layout rewrites), a fresh table then reaches the
+    zero-commit fixpoint, staleness re-triggers once lag >= threshold,
+    and a sub-2 threshold is refused (it could never reach a fixpoint)."""
+    import pytest
+
+    t = _deep_state(spark, str(tmp_path / "t"))
+    pol = MaintenancePolicy(
+        compact_delta_depth=3, expire_keep_last=2, analyze_lag=3
+    )
+    rep = run_maintenance(t, pol)
+    assert rep["analyzed"] == ["doc_id", "seq", "val"]
+    t.refresh()
+    stats_v = t.column_stats()["doc_id"]["version"]
+    assert stats_v >= rep["before"]["version"]  # postdates the rewrites
+    # fixpoint: fresh stats (lag == 1) stay below the threshold
+    v = t.snapshot["version"]
+    rep2 = run_maintenance(t, pol)
+    assert "analyzed" not in rep2 and rep2["after"]["version"] == v
+    # staleness re-triggers: push lag to the threshold with no-op commits
+    t.update_properties({"x": "1"})
+    t.update_properties({"x": "2"})
+    rep3 = run_maintenance(t, pol)
+    assert rep3["analyzed"] == ["doc_id", "seq", "val"]
+    with pytest.raises(ValueError, match="analyze_lag"):
+        run_maintenance(t, MaintenancePolicy(analyze_lag=1))
+
+
 def test_fact_maintenance_packs_small_files(spark, tmp_path):
     t = LakeTable.create(
         spark, str(tmp_path / "f"), SCHEMA, num_buckets=2,
