@@ -2240,6 +2240,148 @@ class LakeTable:
             ),
         }
 
+    def fsck(self, deep: bool = False) -> dict:
+        """Lake integrity audit (filesystem fsck analog) — READ-ONLY,
+        safe to run anytime, O(retained files) driver work. Metadata
+        level: every data file the LIVE snapshot references exists and
+        is non-empty with a bucket id inside the layout; every retained
+        snapshot loads (its manifests resolve) and its parent pointer is
+        version-1 (the chain is linear by construction — rollback_to
+        restores CONTENT but still advances the pointer); every staged
+        WAP file parses and its parent is still retained (a stage whose
+        parent expired can never publish). ``deep=True`` additionally
+        opens every live file's Parquet FOOTER (threaded, no data scan)
+        and cross-checks its row count against the manifest entry — the
+        check that catches torn/truncated files a size probe misses.
+
+        Returns ``{"ok": bool, "issues": [...], "checked": {...}}``;
+        orphaned data files on disk are counted informationally
+        (``vacuum_orphans`` is their janitor, not an integrity issue).
+        """
+        issues: list[dict] = []
+        snap = self.snapshot
+        live_files = snap["files"]
+        nb = self.num_buckets
+        for f in live_files:
+            p = os.path.join(self.root, f["path"])
+            if not os.path.exists(p):
+                issues.append(
+                    {"kind": "missing_file", "path": f["path"]}
+                )
+            elif os.path.getsize(p) == 0:
+                issues.append({"kind": "empty_file", "path": f["path"]})
+            if not (0 <= int(f["bucket"]) < nb):
+                issues.append(
+                    {
+                        "kind": "bucket_out_of_range",
+                        "path": f["path"],
+                        "detail": f"bucket {f['bucket']} vs layout {nb}",
+                    }
+                )
+        # retained chain: every snapshot loads; parents are linear
+        retained: list[int] = []
+        referenced: set[str] = set()
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if not (fn.startswith("snap-") and fn.endswith(".json")):
+                continue
+            try:
+                s = self._load_snap_file(os.path.join(self.meta_dir, fn))
+            except Exception as e:  # missing manifest, bad json, ...
+                issues.append(
+                    {"kind": "unreadable_snapshot", "path": fn,
+                     "detail": str(e)}
+                )
+                continue
+            retained.append(s["version"])
+            referenced.update(f["path"] for f in s["files"])
+            parent = s.get("parent")
+            if parent is not None and parent != s["version"] - 1:
+                issues.append(
+                    {
+                        "kind": "broken_chain",
+                        "path": fn,
+                        "detail": f"parent {parent} != {s['version'] - 1}",
+                    }
+                )
+        if snap["version"] not in retained:
+            issues.append(
+                {"kind": "head_not_retained",
+                 "detail": f"VERSION={snap['version']}"}
+            )
+        # staged WAP commits: parse + parent retained
+        staged = 0
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if not (fn.startswith("wap-") and fn.endswith(".json")):
+                continue
+            staged += 1
+            try:
+                s = self._load_snap_file(os.path.join(self.meta_dir, fn))
+            except Exception as e:
+                issues.append(
+                    {"kind": "unreadable_stage", "path": fn,
+                     "detail": str(e)}
+                )
+                continue
+            referenced.update(f["path"] for f in s["files"])
+            if s.get("parent") not in retained:
+                issues.append(
+                    {
+                        "kind": "stage_parent_expired",
+                        "path": fn,
+                        "detail": f"parent {s.get('parent')} not retained "
+                                  "— the stage can never publish",
+                    }
+                )
+        deep_checked = 0
+        if deep:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def probe(f):
+                p = os.path.join(self.root, f["path"])
+                if not os.path.exists(p):
+                    return None  # already reported above
+                try:
+                    n = pq.read_metadata(p).num_rows
+                except Exception as e:
+                    return {"kind": "corrupt_footer", "path": f["path"],
+                            "detail": str(e)}
+                if n != f["rows"]:
+                    return {
+                        "kind": "row_count_mismatch",
+                        "path": f["path"],
+                        "detail": f"footer {n} != manifest {f['rows']}",
+                    }
+                return None
+
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                for r in ex.map(probe, live_files):
+                    deep_checked += 1
+                    if r is not None:
+                        issues.append(r)
+        # orphans (vs EVERY retained snapshot + stage): informational only
+        orphans = 0
+        if os.path.isdir(self.data_dir):
+            for dirpath, _dirs, fns in os.walk(self.data_dir):
+                for fn in fns:
+                    if not fn.endswith(".parquet"):
+                        continue  # _SUCCESS markers, .crc artifacts
+                    rel = os.path.relpath(
+                        os.path.join(dirpath, fn), self.root
+                    )
+                    if rel not in referenced:
+                        orphans += 1
+        return {
+            "ok": not issues,
+            "issues": issues,
+            "checked": {
+                "live_files": len(live_files),
+                "snapshots": len(retained),
+                "staged": staged,
+                "deep_footers": deep_checked,
+                "orphan_files_on_disk": orphans,
+            },
+        }
+
     def analyze(self, cols: list[str] | None = None, exact: bool = False) -> dict:
         """One-pass column statistics over the RESOLVED live state
         (Iceberg ANALYZE / Delta compute-stats analog): per column — ndv

@@ -9,6 +9,7 @@ Usage:
     python scripts/lake_admin.py TABLE_ROOT tag NAME [--version V]
     python scripts/lake_admin.py TABLE_ROOT rollback --version V
     python scripts/lake_admin.py TABLE_ROOT analyze [COL,COL...]
+    python scripts/lake_admin.py TABLE_ROOT fsck [--deep]
     python scripts/lake_admin.py TABLE_ROOT clone DEST
     python scripts/lake_admin.py TABLE_ROOT purge KEY[,KEY...] [--keep-last N]
     python scripts/lake_admin.py TABLE_ROOT expire [--keep-last N]
@@ -142,8 +143,8 @@ def main():
     ap.add_argument(
         "verb",
         choices=[
-            "health", "history", "tag", "rollback", "analyze", "clone",
-            "purge", "expire", "vacuum",
+            "health", "history", "tag", "rollback", "analyze", "fsck",
+            "clone", "purge", "expire", "vacuum",
             "compact", "pack", "maintain", "truncate", "staged", "publish",
             "discard",
             "widen",
@@ -176,6 +177,9 @@ def main():
                     help="maintain: compact buckets with >= this delta depth")
     ap.add_argument("--rebucket-rows", type=int, default=None,
                     help="maintain: rebucket when mean rows/bucket exceeds")
+    ap.add_argument("--deep", action="store_true",
+                    help="fsck: also cross-check every live file's parquet "
+                         "footer row count against the manifest")
     ap.add_argument("--analyze-lag", type=int, default=None,
                     help="maintain: re-run column ANALYZE when colstats "
                          "staleness reaches this many commits (min 2)")
@@ -222,6 +226,8 @@ def main():
         )
         t.tag(args.arg, version=args.version)
         out = {"tagged": args.arg, "version": tagged_version}
+    elif args.verb == "fsck":
+        out = t.fsck(deep=args.deep)
     elif args.verb == "analyze":
         cols = [c for c in args.arg.split(",") if c] if args.arg else None
         out = {"analyzed": t.analyze(cols=cols)}

@@ -247,6 +247,55 @@ def test_rollback_to_restores_state_as_new_commit(spark, tmp_path):
     assert _state(t) == full_state
 
 
+def test_fsck_integrity_audit(spark, tmp_path):
+    """fsck(): clean on a healthy table (incl. deep footer cross-check,
+    WAP stage present, history retained); flags a deleted data file, a
+    truncated file's corrupt footer, and a stage whose parent expired —
+    and never mutates anything."""
+    t = _mk(spark, str(tmp_path / "t"), n_epochs=3)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("w1", 10_000, False, "staged", "upsert")],
+            "doc_id string, seq long, is_deleted boolean, val string, op string",
+        ),
+        wap_id="audit-me",
+    )
+    rep = t.fsck(deep=True)
+    assert rep["ok"], rep["issues"]
+    assert rep["checked"]["live_files"] > 0
+    assert rep["checked"]["staged"] == 1
+    assert rep["checked"]["deep_footers"] == rep["checked"]["live_files"]
+    v = t.snapshot["version"]
+
+    # break things: delete one live file, truncate another
+    files = [f["path"] for f in t.snapshot["files"]]
+    os.remove(os.path.join(t.root, files[0]))
+    with open(os.path.join(t.root, files[1]), "r+b") as fh:
+        fh.truncate(os.path.getsize(os.path.join(t.root, files[1])) // 2)
+    rep2 = t.fsck(deep=True)
+    kinds = {i["kind"] for i in rep2["issues"]}
+    assert not rep2["ok"]
+    assert "missing_file" in kinds and "corrupt_footer" in kinds
+    # fsck mutated nothing
+    t.refresh()
+    assert t.snapshot["version"] == v
+
+    # a stage whose parent expired can never publish — flagged
+    t2 = _mk(spark, str(tmp_path / "t2"), n_epochs=3)
+    t2.merge_upsert(
+        spark.createDataFrame(
+            [("w2", 10_001, False, "old-stage", "upsert")],
+            "doc_id string, seq long, is_deleted boolean, val string, op string",
+        ),
+        wap_id="stale",
+    )
+    t2.tag("x")
+    t2.tag("y")
+    t2.expire_snapshots(keep_last=2)
+    rep3 = t2.fsck()
+    assert {i["kind"] for i in rep3["issues"]} == {"stage_parent_expired"}
+
+
 def test_analyze_column_stats(spark, tmp_path):
     """analyze(exact=True): ndv/nulls/min/max over the RESOLVED live state
     match hand-computed truth, commit as version-stamped properties,
