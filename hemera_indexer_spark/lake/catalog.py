@@ -191,6 +191,75 @@ class LakeCatalog:
                 f"{sorted(self.snapshot['tables'])}"
             ) from None
 
+    def fsck(self, tables_deep: bool = False) -> dict:
+        """Catalog integrity audit — READ-ONLY. The failure mode this
+        exists to catch preemptively: a member table's
+        ``expire_snapshots`` dropping a version the catalog still PINS,
+        which turns every ``table()``/``read_view()`` resolve into a
+        FileNotFoundError at read time. Checks per entry: the table root
+        loads, the pinned version's snapshot file is still retained, and
+        the pin is not ahead of the table's head (a torn external edit).
+        Also flags a lingering publish intent (``txn.json`` present —
+        a crashed ``publish_all``; run ``recover()``). ``tables_deep``
+        cascades each member table's own ``fsck()`` (metadata level) and
+        rolls the issues up under its name."""
+        issues: list[dict] = []
+        snap = self.snapshot
+        if os.path.exists(os.path.join(self.root, TXN_FILE)):
+            issues.append(
+                {"kind": "pending_intent",
+                 "detail": "txn.json present — crashed publish_all; "
+                           "run recover()"}
+            )
+        cascaded = 0
+        for name, e in sorted(snap["tables"].items()):
+            vfile = os.path.join(e["root"], "meta", VERSION_FILE)
+            if not os.path.exists(vfile):
+                issues.append(
+                    {"kind": "table_missing", "table": name,
+                     "detail": e["root"]}
+                )
+                continue
+            spath = os.path.join(
+                e["root"], "meta", f"snap-{e['version']:010d}.json"
+            )
+            if not os.path.exists(spath):
+                issues.append(
+                    {
+                        "kind": "pinned_version_expired",
+                        "table": name,
+                        "detail": f"catalog pins v{e['version']} but the "
+                                  "table expired it — pinned reads 404; "
+                                  "advance() the catalog or retain more "
+                                  "history",
+                    }
+                )
+            with open(vfile) as f:
+                head = int(f.read().strip())
+            if e["version"] > head:
+                issues.append(
+                    {
+                        "kind": "pin_ahead_of_head",
+                        "table": name,
+                        "detail": f"pin v{e['version']} > head v{head}",
+                    }
+                )
+            if tables_deep and os.path.exists(vfile):
+                t = LakeTable.load(self.spark, e["root"])
+                rep = t.fsck()
+                cascaded += 1
+                for i in rep["issues"]:
+                    issues.append({**i, "table": name})
+        return {
+            "ok": not issues,
+            "issues": issues,
+            "checked": {
+                "catalog_version": snap["version"],
+                "tables": len(snap["tables"]),
+                "tables_deep": cascaded,
+            },
+        }
+
     def expire(self, keep_last: int = 64) -> int:
         """Drop catalog snapshot files older than the newest ``keep_last``
         versions (the catalog's ``expire_snapshots`` analog). The catalog

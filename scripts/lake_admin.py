@@ -132,6 +132,8 @@ def _catalog(spark, args) -> dict:
             )
         stages = dict(s.partition("=")[::2] for s in args.arg.split(","))
         return {"published": cat.publish_all(stages)}
+    if args.verb == "cat-fsck":
+        return cat.fsck(tables_deep=args.deep)
     # cat-recover
     done = cat.recover()
     return {"recovered": done}
@@ -151,7 +153,7 @@ def main():
             "ivf-build", "ivf-sync", "ivf-drift", "ivf-retrain",
             "ivf-maintain",
             "cat-create", "cat-register", "cat-versions", "cat-publish",
-            "cat-recover", "cat-advance",
+            "cat-recover", "cat-advance", "cat-fsck",
         ],
     )
     ap.add_argument("arg", nargs="?", default=None,

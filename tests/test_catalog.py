@@ -404,3 +404,48 @@ def test_catalog_expire_bounds_metadata(spark, tmp_path):
     # current pointer still resolves; pinned table reads still work
     fresh = LakeCatalog.load(spark, cat.root)
     assert _val(fresh.table("a"), "d0") == "v8"
+
+
+def test_catalog_fsck(spark, tmp_path):
+    """cat.fsck(): clean on a healthy catalog; flags a pin the member
+    table expired (the pinned-reads-404 failure mode), a lingering
+    publish intent, and — with tables_deep — a member table's own
+    integrity issue rolled up under its name. Read-only throughout."""
+    cat, a, b = _mk(spark, tmp_path)
+    rep = cat.fsck(tables_deep=True)
+    assert rep["ok"], rep["issues"]
+    assert rep["checked"]["tables"] == 2
+    assert rep["checked"]["tables_deep"] == 2
+
+    # expire a's history past the catalog pin -> pinned reads would 404
+    for e in range(1, 4):
+        a.merge_upsert(
+            spark.createDataFrame(
+                [("d0", 100 + e, f"n{e}", "upsert")],
+                "doc_id string, seq long, val string, op string",
+            ),
+            epoch_id=e,
+        )
+    a.expire_snapshots(keep_last=1)
+    rep2 = cat.fsck()
+    assert not rep2["ok"]
+    assert {i["kind"] for i in rep2["issues"]} == {"pinned_version_expired"}
+    assert rep2["issues"][0]["table"] == "a"
+    # advance() repins at the heads -> clean again
+    cat.advance()
+    assert cat.fsck()["ok"]
+
+    # lingering intent file -> actionable issue
+    with open(os.path.join(cat.root, "txn.json"), "w") as f:
+        f.write("{}")
+    assert {i["kind"] for i in cat.fsck()["issues"]} == {"pending_intent"}
+    os.remove(os.path.join(cat.root, "txn.json"))
+
+    # deep cascade: break a member table's data file
+    victim = os.path.join(b.root, b.snapshot["files"][0]["path"])
+    os.remove(victim)
+    rep3 = cat.fsck(tables_deep=True)
+    kinds = {(i["kind"], i.get("table")) for i in rep3["issues"]}
+    assert ("missing_file", "b") in kinds
+    # the metadata-level catalog check alone stays clean (pin retained)
+    assert cat.fsck()["ok"]
