@@ -44,6 +44,67 @@ def test_rollback_to_then_redrive_converges(spark, tiny_log, tmp_path):
     )
 
 
+def test_rollback_to_tenant_mode_redrive_converges(spark, tmp_path):
+    """rollback_to on a SHARED tenant table rolls every tenant's
+    namespaced fence back coherently with the data (properties come from
+    the target snapshot wholesale): after the restore, BOTH tenant
+    controllers re-drive from their restored cursors and every tenant
+    converges to its own log's oracle."""
+    from hemera_indexer_spark.oracle import expected_live_rows
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from pyspark.sql import functions as F
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake_trb"), SEQUENCES_SCHEMA, num_buckets=8
+    )
+    logs = {}
+    for tenant in (1, 2):
+        spec = ChangelogSpec(
+            n_docs=150, n_epochs=5, events_per_epoch=250, n_partitions=4,
+            seed=300 + tenant, rollback_epochs=(3,),
+            doc_prefix=f"t{tenant}_doc",
+        )
+        logs[tenant] = generate_changelog(
+            str(tmp_path / f"log_trb{tenant}"), spec
+        )
+
+    def ctl(tenant):
+        return StreamController(
+            spark, table, logs[tenant].out_dir, 4,
+            tenant_col="chain_id", tenant_id=tenant,
+        )
+
+    ctl(1).run(max_epochs=2)
+    v_mid = table.snapshot["version"]  # t1 partial, t2 absent
+    ctl(1).run()
+    ctl(2).run()
+
+    def tenant_state(tenant):
+        return sorted(
+            (r.asDict(recursive=True) for r in table.current_state()
+             .where(F.col("chain_id") == tenant).collect()),
+            key=lambda d: d["doc_id"],
+        )
+
+    full = {t: tenant_state(t) for t in (1, 2)}
+    table.rollback_to(v_mid)
+    assert tenant_state(2) == []  # t2's world rolled back to nothing
+    # both tenants re-drive from their RESTORED namespaced cursors
+    ctl(2).run()
+    ctl(1).run()
+    for tenant in (1, 2):
+        got = tenant_state(tenant)
+        assert got == full[tenant], f"tenant {tenant} diverged"
+        exp = expected_live_rows(logs[tenant].out_dir, 4)
+        assert len(got) == len(exp)
+        assert all(
+            g["tokens"] == e["tokens"] for g, e in zip(got, exp)
+        ), f"tenant {tenant} oracle"
+
+
 def _assert_state_matches_oracle(table, log_dir, n_partitions):
     expected = expected_live_rows(log_dir, n_partitions)
     got = sorted(
