@@ -243,6 +243,13 @@ class LakeTable:
                 "this handle is pinned to a historical snapshot (as_of); "
                 "refresh would silently unpin it — use a live handle"
             )
+        br = getattr(self, "_branch", None)
+        if br is not None:
+            ref = self._load_branch_ref(br)
+            self._snapshot = self._load_snap_file(
+                self._branch_snap_path(br, ref["head_seq"])
+            )
+            return self._snapshot
         with open(os.path.join(self.meta_dir, VERSION_FILE)) as f:
             v = int(f.read().strip())
         snap = self._load_snap_file(
@@ -378,6 +385,12 @@ class LakeTable:
         as the snapshot's metadata is retained (``vacuum_orphans`` only
         deletes files unreachable from every retained snapshot), matching
         Iceberg's expire-then-vacuum lifecycle."""
+        br = getattr(self, "_branch", None)
+        if br is not None and version > self._load_branch_ref(br)["base_version"]:
+            raise ValueError(
+                "as_of on a branch handle resolves MAIN snapshots; only "
+                "pre-fork versions (<= the branch base) are shared history"
+            )
         spath = os.path.join(self.meta_dir, f"snap-{version:010d}.json")
         if not os.path.exists(spath):
             raise FileNotFoundError(
@@ -570,6 +583,34 @@ class LakeTable:
                 "this handle is pinned to a historical snapshot (as_of); "
                 "mutations must go through a live handle"
             )
+        br = getattr(self, "_branch", None)
+        if br is not None:
+            if wap_id is not None:
+                raise ValueError(
+                    "WAP staging is a main-branch verb; a branch IS an "
+                    "audit surface — commit plainly and fast_forward"
+                )
+            # branch CAS: the ref file plays the role of VERSION. Same
+            # best-effort single-writer discipline as the main pointer.
+            ref = self._load_branch_ref(br)
+            cur = ref["base_version"] + ref["head_seq"]
+            if expected_parent is None or cur != expected_parent:
+                raise ConcurrentCommitError(
+                    f"branch {br!r} moved to {cur}, expected {expected_parent}"
+                )
+            snap["format_version"] = FORMAT_VERSION
+            disk = self._split_files_to_manifests(snap)
+            seq = ref["head_seq"] + 1
+            _atomic_write(self._branch_snap_path(br, seq), json.dumps(disk))
+            # snapshot lands before the ref flip: a crash in between leaves
+            # an unreachable branch snap (vacuum collects its files), never
+            # a dangling head
+            _atomic_write(
+                self._branch_ref_path(br),
+                json.dumps({**ref, "head_seq": seq}),
+            )
+            self._snapshot = snap
+            return
         vpath = os.path.join(self.meta_dir, VERSION_FILE)
         if expected_parent is None:
             if os.path.exists(vpath):
@@ -2198,6 +2239,13 @@ class LakeTable:
             "staged_commits": sorted(
                 s["wap_id"] for s in self.staged_snapshots()
             ),
+            # open branches pin their whole snapshot chains against vacuum
+            # (and block purge_keys) — same stalled-runner signal as stages
+            "open_branches": sorted(
+                fn[5:-5]
+                for fn in os.listdir(self.meta_dir)
+                if fn.startswith("bref-") and fn.endswith(".json")
+            ),
             "compact_candidates": sorted(
                 b for b, n in per_deltas.items() if n >= compact_threshold
             ),
@@ -2332,6 +2380,53 @@ class LakeTable:
                                   "— the stage can never publish",
                     }
                 )
+        # branches: ref parses, its snap chain 0..head_seq exists, loads,
+        # and is linear in the branch version arithmetic (base + k)
+        n_branches = 0
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if not (fn.startswith("bref-") and fn.endswith(".json")):
+                continue
+            n_branches += 1
+            try:
+                with open(os.path.join(self.meta_dir, fn)) as f:
+                    ref = json.load(f)
+                base, head_seq = ref["base_version"], ref["head_seq"]
+            except Exception as e:
+                issues.append(
+                    {"kind": "unreadable_branch_ref", "path": fn,
+                     "detail": str(e)}
+                )
+                continue
+            for seq in range(head_seq + 1):
+                bp = self._branch_snap_path(ref["name"], seq)
+                if not os.path.exists(bp):
+                    issues.append(
+                        {"kind": "missing_branch_snapshot",
+                         "path": os.path.basename(bp)}
+                    )
+                    continue
+                try:
+                    s = self._load_snap_file(bp)
+                except Exception as e:
+                    issues.append(
+                        {"kind": "unreadable_branch_snapshot",
+                         "path": os.path.basename(bp), "detail": str(e)}
+                    )
+                    continue
+                referenced.update(f["path"] for f in s["files"])
+                if seq > 0 and (
+                    s["version"] != base + seq
+                    or s.get("parent") != base + seq - 1
+                ):
+                    issues.append(
+                        {
+                            "kind": "broken_branch_chain",
+                            "path": os.path.basename(bp),
+                            "detail": f"version {s['version']}/parent "
+                                      f"{s.get('parent')} vs expected "
+                                      f"{base + seq}/{base + seq - 1}",
+                        }
+                    )
         deep_checked = 0
         if deep:
             from concurrent.futures import ThreadPoolExecutor
@@ -2377,6 +2472,7 @@ class LakeTable:
                 "live_files": len(live_files),
                 "snapshots": len(retained),
                 "staged": staged,
+                "branches": n_branches,
                 "deep_footers": deep_checked,
                 "orphan_files_on_disk": orphans,
             },
@@ -2472,6 +2568,7 @@ class LakeTable:
         in every descendant snapshot. Tagging does NOT pin retention —
         ``expire_snapshots`` can still drop the version; ``as_of_tag``
         then fails with the same loud FileNotFoundError as ``as_of``."""
+        self._require_main("tag")
         v = self.snapshot["version"] if version is None else int(version)
         if not os.path.exists(
             os.path.join(self.meta_dir, f"snap-{v:010d}.json")
@@ -2481,6 +2578,7 @@ class LakeTable:
 
     def as_of_tag(self, name: str) -> "LakeTable":
         """Time travel by tag name (see ``tag``)."""
+        self._require_main("as_of_tag")
         raw = self.snapshot["properties"].get(f"tag:{name}")
         if raw is None:
             raise KeyError(
@@ -2529,6 +2627,20 @@ class LakeTable:
         would compact the wrong buckets and silently retain the payload.
         One bounded collect for the whole request, O(keys' buckets)
         rewrite, never O(table)."""
+        self._require_main("purge_keys")
+        # staged WAP commits and open branches pin their snapshots' FULL
+        # file lists against vacuum — a purge that ran past them would
+        # report success while pre-purge payloads stay readable through
+        # the stage/branch. Refuse loudly; publish/discard/fast-forward/
+        # drop first (the RTBF analog of the quarantine chain-log refusal).
+        pinned = [f"stage:{s['wap_id']}" for s in self.staged_snapshots()]
+        pinned += [f"branch:{b['name']}" for b in self.branches()]
+        if pinned:
+            raise ValueError(
+                f"purge_keys with live staged/branched snapshots would "
+                f"silently retain pre-purge payloads: {pinned} — publish, "
+                f"discard, fast_forward or drop them first"
+            )
         key, seqc = self.key_col, self.seq_col
         report = {"keys": len(keys)}
         key_field = next(f for f in self.schema.fields if f.name == key)
@@ -2655,6 +2767,7 @@ class LakeTable:
         ``rollback_of`` as an audit breadcrumb (this snapshot only — it is
         not inherited by descendants).
         """
+        self._require_main("rollback_to")
         head = self.snapshot["version"]
         if version == head:
             return head
@@ -2772,6 +2885,7 @@ class LakeTable:
         (row counts, quality gates, contamination checks) against exactly
         what ``publish_staged`` would make visible. Mutations through the
         handle raise, like ``as_of``."""
+        self._require_main("audit_staged")
         t = LakeTable(self.spark, self.root)
         t._snapshot = self._load_snap_file(self._staged_path(wap_id))
         t._pinned = True
@@ -2783,6 +2897,7 @@ class LakeTable:
         ``ConcurrentCommitError`` (no rebase under the single-writer
         model; re-stage on the new head instead). The staged manifest's
         epoch fence takes effect now. Returns the published version."""
+        self._require_main("publish_staged")
         path = self._staged_path(wap_id)
         # resolve to the in-memory form; re-splitting in _write_snapshot
         # finds every manifest already on disk from staging (content-
@@ -2796,7 +2911,152 @@ class LakeTable:
         """Drop a staged commit. Its data files become orphans and are
         collected by the next ``vacuum_orphans`` (they were never reachable
         from the live table)."""
+        self._require_main("discard_staged")
         os.remove(self._staged_path(wap_id))
+
+    # ------------------------------------------------------------ BRANCHES
+    # Iceberg v2 named refs (branches), adapted to this table's linear
+    # integer-version pointer: a branch is a side chain of full snapshots
+    # under its own head pointer (``meta/bref-<name>.json``), invisible to
+    # main readers, sharing data files and content-addressed manifests with
+    # main (a branch commit writes only what it changes). Branch snapshot
+    # versions continue main's arithmetic from the fork point
+    # (base_version + k for the k-th branch commit), so ``fast_forward``
+    # is a pure metadata copy when main has not moved — the multi-commit
+    # generalization of single-commit WAP staging above. The reference has
+    # no branching; this is lake-parity surface (Iceberg refs spec).
+
+    def _branch_ref_path(self, name: str) -> str:
+        return os.path.join(self.meta_dir, f"bref-{name}.json")
+
+    def _branch_snap_path(self, name: str, seq: int) -> str:
+        return os.path.join(self.meta_dir, f"branch-{name}-snap-{seq:010d}.json")
+
+    def _load_branch_ref(self, name: str) -> dict:
+        p = self._branch_ref_path(name)
+        if not os.path.exists(p):
+            raise KeyError(
+                f"no branch {name!r}; branches: "
+                f"{[b['name'] for b in self.branches()]}"
+            )
+        with open(p) as f:
+            return json.load(f)
+
+    def _require_main(self, verb: str) -> None:
+        if getattr(self, "_branch", None) is not None:
+            raise ValueError(
+                f"{verb} is a main-table verb; run it on a live main "
+                f"handle (this one is on branch "
+                f"{getattr(self, '_branch')!r})"
+            )
+
+    def create_branch(self, name: str, version: int | None = None) -> "LakeTable":
+        """Create branch ``name`` at ``version`` (default: current head)
+        and return a writable handle on it. The fork-point snapshot is
+        COPIED into the branch namespace (branch snap 0), so the branch
+        stays readable even after main's ``expire_snapshots`` drops the
+        fork point — branches are self-contained from birth. Name must be
+        filesystem-safe ([A-Za-z0-9._-], no leading dot)."""
+        self._require_main("create_branch")
+        if not name or name.startswith(".") or any(
+            not (c.isalnum() or c in "._-") for c in name
+        ):
+            raise ValueError(f"invalid branch name {name!r}")
+        if os.path.exists(self._branch_ref_path(name)):
+            raise ValueError(f"branch {name!r} already exists")
+        v = self.snapshot["version"] if version is None else version
+        spath = os.path.join(self.meta_dir, f"snap-{v:010d}.json")
+        if not os.path.exists(spath):
+            raise FileNotFoundError(
+                f"snapshot {v} is not retained; cannot branch from it"
+            )
+        # raw disk-form copy: keeps the file_manifests pointers, so the
+        # branch shares the fork point's manifests instead of re-splitting
+        with open(spath) as f:
+            _atomic_write(self._branch_snap_path(name, 0), f.read())
+        _atomic_write(
+            self._branch_ref_path(name),
+            json.dumps({"name": name, "base_version": v, "head_seq": 0}),
+        )
+        return self.branch(name)
+
+    def branch(self, name: str) -> "LakeTable":
+        """A writable handle on an existing branch: reads serve the branch
+        head, mutations commit to the branch chain (main is untouched).
+        Main-domain verbs (tag, rollback_to, WAP, expire/vacuum, RTBF
+        purge) raise on branch handles — fast_forward first."""
+        t = LakeTable(self.spark, self.root)
+        t._branch = name
+        t._manifest_cache = self._manifest_cache  # content-addressed, shared
+        t.refresh()
+        return t
+
+    def branches(self) -> list[dict]:
+        """Summaries of open branches: name, fork version, commit count,
+        head epoch fence."""
+        out = []
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if not (fn.startswith("bref-") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.meta_dir, fn)) as f:
+                ref = json.load(f)
+            head = self._load_snap_file(
+                self._branch_snap_path(ref["name"], ref["head_seq"])
+            )
+            out.append(
+                {
+                    "name": ref["name"],
+                    "base_version": ref["base_version"],
+                    "commits": ref["head_seq"],
+                    "head_version": head["version"],
+                    "head_epoch": head["manifest"]["epoch_id"],
+                }
+            )
+        return out
+
+    def fast_forward(self, name: str) -> int:
+        """Merge branch ``name`` into main by fast-forward (Iceberg's
+        ``fast_forward`` ref op): requires main's head to still be the
+        branch's fork point — ``ConcurrentCommitError`` otherwise (no
+        rebase under the single-writer model; re-branch from the new head
+        and replay instead). Pure metadata: every branch commit's snapshot
+        is re-pointed as a main snapshot in order (data files and
+        manifests are already shared), the branch is deleted, and the
+        branch head's epoch fence/properties become main's. Returns the
+        new main head version."""
+        self._require_main("fast_forward")
+        ref = self._load_branch_ref(name)
+        with open(os.path.join(self.meta_dir, VERSION_FILE)) as f:
+            head = int(f.read().strip())
+        if head != ref["base_version"]:
+            raise ConcurrentCommitError(
+                f"main moved to {head}, branch {name!r} forked at "
+                f"{ref['base_version']} — cannot fast-forward (re-branch "
+                f"and replay)"
+            )
+        for seq in range(1, ref["head_seq"] + 1):
+            snap = self._load_snap_file(self._branch_snap_path(name, seq))
+            snap.pop("wap_id", None)
+            self._write_snapshot(snap, expected_parent=snap["parent"])
+        self.drop_branch(name)
+        self.refresh()
+        return self.snapshot["version"]
+
+    def drop_branch(self, name: str) -> int:
+        """Delete branch ``name`` (ref + its snapshots). Branch-only data
+        files become orphans for the next ``vacuum_orphans``. Returns the
+        number of abandoned branch commits."""
+        self._require_main("drop_branch")
+        ref = self._load_branch_ref(name)
+        # ref goes first: a crash mid-delete leaves unreachable branch
+        # snaps whose files vacuum can still see until the snaps are gone,
+        # never a live ref pointing at a deleted snap
+        os.remove(self._branch_ref_path(name))
+        for seq in range(ref["head_seq"] + 1):
+            p = self._branch_snap_path(name, seq)
+            if os.path.exists(p):
+                os.remove(p)
+        return ref["head_seq"]
 
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Drop snapshot metadata older than the newest ``keep_last``
@@ -2804,6 +3064,7 @@ class LakeTable:
         one-json-per-commit metadata grows unboundedly at the 10^10-event
         design point (thousands of epochs x compactions). The current
         snapshot is always retained. Returns the number removed."""
+        self._require_main("expire_snapshots")
         cur = self.snapshot["version"]
         cutoff = cur - max(keep_last, 1) + 1
         removed = 0
@@ -2828,13 +3089,17 @@ class LakeTable:
         manifest files referenced by no retained snapshot/stage (expired
         history's manifests, crashed-commit leftovers). Returns the number
         of files removed."""
+        self._require_main("vacuum_orphans")
         referenced: set[str] = set()
         kept_manifests: set[str] = set()
         for fn in os.listdir(self.meta_dir):
-            # staged (wap-*) snapshots count as retained: their data files
-            # must survive until the stage is published or discarded
+            # staged (wap-*) snapshots and branch (branch-*) snapshots
+            # count as retained: their data files must survive until the
+            # stage publishes / the branch fast-forwards or drops
             if (
-                fn.startswith("snap-") or fn.startswith("wap-")
+                fn.startswith("snap-")
+                or fn.startswith("wap-")
+                or fn.startswith("branch-")
             ) and fn.endswith(".json"):
                 p = os.path.join(self.meta_dir, fn)
                 s = self._load_snap_file(p)
