@@ -27,6 +27,12 @@ Write-audit-publish:
     python scripts/lake_admin.py TABLE_ROOT publish WAP_ID
     python scripts/lake_admin.py TABLE_ROOT discard WAP_ID
 
+Branches (Iceberg refs):
+    python scripts/lake_admin.py TABLE_ROOT branch-create NAME [--version V]
+    python scripts/lake_admin.py TABLE_ROOT branch-list
+    python scripts/lake_admin.py TABLE_ROOT branch-ff NAME
+    python scripts/lake_admin.py TABLE_ROOT branch-drop NAME
+
 Catalog / atomic multi-table publish (TABLE_ROOT is the CATALOG root):
     python scripts/lake_admin.py CAT_ROOT cat-create
     python scripts/lake_admin.py CAT_ROOT cat-register NAME=TABLE_ROOT
@@ -150,6 +156,7 @@ def main():
             "compact", "pack", "maintain", "truncate", "staged", "publish",
             "discard",
             "widen",
+            "branch-create", "branch-list", "branch-ff", "branch-drop",
             "ivf-build", "ivf-sync", "ivf-drift", "ivf-retrain",
             "ivf-maintain",
             "cat-create", "cat-register", "cat-versions", "cat-publish",
@@ -280,6 +287,25 @@ def main():
             "widened": {c: dt.simpleString() for c, dt in changes.items()},
             "version": t.snapshot["version"],
         }
+    elif args.verb == "branch-create":
+        if not args.arg:
+            ap.error("branch-create requires a NAME")
+        br = t.create_branch(args.arg, version=args.version)
+        out = {"branch": args.arg,
+               "base_version": br.snapshot["version"]}
+    elif args.verb == "branch-list":
+        out = {"branches": t.branches()}
+    elif args.verb == "branch-ff":
+        if not args.arg:
+            ap.error("branch-ff requires a NAME")
+        out = {"fast_forwarded": args.arg,
+               "new_head": t.fast_forward(args.arg),
+               "committed_epoch": t.committed_epoch()}
+    elif args.verb == "branch-drop":
+        if not args.arg:
+            ap.error("branch-drop requires a NAME")
+        out = {"dropped": args.arg,
+               "abandoned_commits": t.drop_branch(args.arg)}
     elif args.verb == "staged":
         out = {"staged": t.staged_snapshots()}
     elif args.verb == "publish":

@@ -4,7 +4,10 @@ fast-forward into main as pure metadata when main hasn't moved, and are
 CAS-rejected when it has. Main-domain verbs raise on branch handles, and
 purge_keys refuses to run while a branch (or stage) pins history."""
 
+import json
 import os
+import subprocess
+import sys
 
 import pytest
 from pyspark.sql import types as T
@@ -204,6 +207,32 @@ def test_branch_cas_rejects_stale_branch_handle(spark, tmp_path):
             _batch(spark, [("d2", 201, "b", "upsert")]), epoch_id=1
         )
     t.drop_branch("b")
+
+
+def test_lake_admin_branch_verbs(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "lake"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def admin(*argv):
+        r = subprocess.run(
+            [sys.executable, "scripts/lake_admin.py", t.root, *argv],
+            capture_output=True, text=True, timeout=300, cwd=repo,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    assert admin("branch-create", "cli")["branch"] == "cli"
+    br = t.branch("cli")
+    br.merge_upsert(
+        _batch(spark, [("c1", 400, "cli", "upsert")]), epoch_id=1
+    )
+    listed = admin("branch-list")["branches"]
+    assert listed[0]["name"] == "cli" and listed[0]["commits"] == 1
+    ff = admin("branch-ff", "cli")
+    assert ff["new_head"] == t.snapshot["version"] + 1
+    t.refresh()
+    assert _state(t)["c1"] == (400, "cli")
+    assert admin("branch-list")["branches"] == []
 
 
 def test_create_branch_validates(spark, tmp_path):
