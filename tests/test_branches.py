@@ -209,6 +209,59 @@ def test_branch_cas_rejects_stale_branch_handle(spark, tmp_path):
     t.drop_branch("b")
 
 
+def test_controller_ingests_onto_branch_then_fast_forward(spark, tmp_path):
+    """The whole ingest loop runs against a BRANCH handle (blue/green
+    staging: replay a log onto a branch, validate, fast-forward): the
+    controller's fences/cursor live in the branch snapshots, main stays
+    at the fork until the metadata-only publish, and the fast-forwarded
+    state equals the replay oracle."""
+    from hemera_indexer_spark.oracle import expected_live_rows
+    from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+    from hemera_indexer_spark.streaming import StreamController
+
+    log = str(tmp_path / "log")
+    generate_changelog(
+        log,
+        ChangelogSpec(
+            n_docs=120, n_epochs=4, events_per_epoch=200, n_partitions=2,
+            seed=7, rollback_epochs=(2,),
+        ),
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
+    )
+    head0 = t.snapshot["version"]
+    br = t.create_branch("staging")
+    StreamController(spark, br, log, 2).run()
+    t.refresh()
+    assert t.snapshot["version"] == head0
+    assert t.current_state().count() == 0
+    exp = {e["doc_id"]: e["tokens"] for e in expected_live_rows(log, 2)}
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in br.current_state().collect()
+    }
+    assert got == exp
+    t.fast_forward("staging")
+    got_main = {
+        r["doc_id"]: list(r["tokens"])
+        for r in t.current_state().collect()
+    }
+    assert got_main == exp
+    # the branch head's fence came with the chain: a re-drive on main is
+    # fully fenced (idempotent no-op)
+    stats = StreamController(spark, t, log, 2).run()
+    assert all(e.skipped for e in stats.epochs)
+    assert got_main == {
+        r["doc_id"]: list(r["tokens"])
+        for r in t.current_state().collect()
+    }
+
+
 def test_lake_admin_branch_verbs(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "lake"))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
