@@ -115,11 +115,13 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
             op = "tag"
         elif r < 0.83:
             op = "purge"
-        elif r < 0.89:
+        elif r < 0.87:
             op = "wap"
-        elif r < 0.93:
+        elif r < 0.91:
+            op = "branch"
+        elif r < 0.94:
             op = "cdf"
-        elif r < 0.96:
+        elif r < 0.97:
             op = "rollback"
         else:
             op = "maintain"
@@ -147,6 +149,29 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
                 model.update(delta)
             else:
                 t.discard_staged(wid)
+        elif op == "branch":
+            # side-chain commits stay invisible to main until the
+            # fast-forward publishes them in one metadata move; a dropped
+            # branch leaves the world untouched (its files vacuum later)
+            bname = f"b{step}"
+            before = _model_state(model)
+            br = t.create_branch(bname)
+            staged_model = dict(model)
+            for _ in range(rng.randint(1, 3)):
+                rows, delta = gen_rows()
+                epoch += 1
+                br.merge_upsert(_df(rows), epoch_id=epoch)
+                staged_model.update(delta)
+            assert _table_state(t) == before, (seed, step, ops)
+            assert _table_state(br) == _model_state(staged_model), (
+                seed, step, ops,
+            )
+            if rng.random() < 0.5:
+                t.fast_forward(bname)
+                model.clear()
+                model.update(staged_model)
+            else:
+                t.drop_branch(bname)
         elif op == "cdf":
             retained = {s["version"] for s in t.snapshots()}
             live_ckpts = [c for c in checkpoints if c[0] in retained]
