@@ -12,6 +12,10 @@ Local (no spark-submit needed):
 
 Resumes from the table's checkpoint manifest automatically; prints
 per-partition lineage and throughput on completion.
+
+Blue/green staging: add ``--branch NAME`` to replay onto a named branch
+(main readers see nothing), validate, then publish with
+``lake_admin.py TABLE_ROOT branch-ff NAME`` (pure metadata).
 """
 
 from __future__ import annotations
@@ -178,6 +182,14 @@ def main() -> None:
                          "pass through); 'always': every group pays one "
                          "filtered scan and catches those too (streaming "
                          "mode always behaves like 'always')")
+    ap.add_argument("--branch", default=None,
+                    help="ingest onto a named BRANCH of the state table "
+                         "(created at the current head if absent): blue/"
+                         "green staging — main readers see nothing until "
+                         "`lake_admin.py branch-ff NAME` publishes the "
+                         "chain as pure metadata. Plain STATE ingest only "
+                         "(no sinks/fact/catalog/expire: those follow the "
+                         "publish)")
     ap.add_argument("--catalog-dir", default=None,
                     help="LakeCatalog root: auto-created; the state table "
                          "(and any index/fact sinks' tables) are registered "
@@ -227,6 +239,28 @@ def main() -> None:
     from hemera_indexer_spark.enumeration import EntityType, parse_entity_types
 
     entities = parse_entity_types(args.entity_types)
+    if args.branch:
+        if (
+            entities != EntityType.STATE
+            or args.fact_table_root or args.export_dir or args.view_dir
+            or args.dedup_index_dir or args.ann_index_dir or args.secidx_dir
+            or args.pq_index_dir or args.cdc_export_dir or args.catalog_dir
+            or args.expire_keep_last or args.streaming
+        ):
+            ap.error(
+                "--branch supports plain batch STATE ingest; sinks, "
+                "catalog, retention and streaming run against main after "
+                "`lake_admin.py branch-ff` publishes"
+            )
+        table = (
+            table.branch(args.branch)
+            if os.path.exists(
+                os.path.join(
+                    args.table_root, "meta", f"bref-{args.branch}.json"
+                )
+            )
+            else table.create_branch(args.branch)
+        )
     if args.fact_table_root:
         entities |= EntityType.FACTS
     if args.export_dir:
@@ -508,6 +542,7 @@ def main() -> None:
 
     table.refresh()
     out = {
+        **({"branch": args.branch} if args.branch else {}),
         "committed_epoch": table.committed_epoch(),
         "offsets": table.committed_offsets(),
         "wall_sec": round(wall, 2),

@@ -288,6 +288,55 @@ def test_lake_admin_branch_verbs(spark, tmp_path):
     assert admin("branch-list")["branches"] == []
 
 
+def test_run_ingest_branch_flag(spark, tmp_path):
+    """`run_ingest.py --branch`: the staging ingest lands on the branch
+    (main empty), `lake_admin.py branch-ff` publishes, and the published
+    state matches the replay oracle."""
+    from hemera_indexer_spark.oracle import expected_live_rows
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    log = str(tmp_path / "log")
+    generate_changelog(
+        log,
+        ChangelogSpec(n_docs=80, n_epochs=3, events_per_epoch=150,
+                      n_partitions=2, seed=13),
+    )
+    root = str(tmp_path / "lake")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(script, *argv):
+        r = subprocess.run(
+            [sys.executable, f"scripts/{script}", *argv],
+            capture_output=True, text=True, timeout=300, cwd=repo,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    rep = run("run_ingest.py", "--log-dir", log, "--table-root", root,
+              "--partitions", "2", "--num-buckets", "4", "--cores", "2",
+              "--branch", "staging")
+    assert rep["branch"] == "staging" and rep["committed_epoch"] == 2
+    t = LakeTable.load(spark, root)
+    assert t.current_state().count() == 0  # main untouched
+    run("lake_admin.py", root, "branch-ff", "staging")
+    t.refresh()
+    exp = {e["doc_id"]: e["tokens"] for e in expected_live_rows(log, 2)}
+    got = {r["doc_id"]: list(r["tokens"])
+           for r in t.current_state().collect()}
+    assert got == exp
+    # sink-less guard: --branch with a sink selection errors loudly
+    r = subprocess.run(
+        [sys.executable, "scripts/run_ingest.py", "--log-dir", log,
+         "--table-root", root, "--partitions", "2", "--branch", "b2",
+         "--export-dir", str(tmp_path / "exp")],
+        capture_output=True, text=True, timeout=120, cwd=repo,
+    )
+    assert r.returncode != 0 and "plain batch STATE ingest" in r.stderr
+
+
 def test_create_branch_validates(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "lake"))
     with pytest.raises(ValueError, match="invalid branch name"):
