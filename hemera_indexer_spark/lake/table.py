@@ -549,6 +549,7 @@ class LakeTable:
         """Time travel by FENCED EPOCH: the newest retained snapshot whose
         manifest epoch is <= ``epoch`` (the change-log-coordinate form of
         ``as_of``, natural for CDC debugging: "state after epoch K")."""
+        self._require_main("as_of_epoch")
         best = None
         for s in self.snapshots():
             if s["epoch_id"] <= epoch and (
@@ -969,6 +970,7 @@ class LakeTable:
         reuses the previous resolve, so the number of Spark point lookups
         is bounded by the commits that actually touched this bucket, not
         by the retention depth."""
+        self._require_main("key_history")
         b = self.spark.sql(
             f"SELECT pmod(xxhash64(?), {int(self.num_buckets)}) AS b",
             args=[key_value],

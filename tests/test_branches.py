@@ -156,6 +156,8 @@ def test_branch_handle_guards(spark, tmp_path):
     for verb in (
         lambda: br.tag("t1"),
         lambda: br.rollback_to(0),
+        lambda: br.as_of_epoch(0),
+        lambda: br.key_history("d1"),
         lambda: br.purge_keys(["d1"]),
         lambda: br.expire_snapshots(),
         lambda: br.vacuum_orphans(),
