@@ -105,6 +105,21 @@ VERSION_FILE = "VERSION"
 # immutable, so they cache by name); v0/v1 snapshots stay readable.
 FORMAT_VERSION = 2
 
+# Per-file key Bloom filters (Parquet/Iceberg bloom-filter analog), opt-in
+# via table properties: when ``bloom.key.bits`` (m) is set, every write
+# stamps each new file entry with a ``kbloom`` bitset over the key column
+# (``bloom.key.hashes`` = k positions per key, default 4). Point lookups
+# then skip files whose bloom PROVES the probed keys absent. Safety shape
+# matches zone maps: false positives only KEEP extra files, false
+# negatives are impossible by construction, files without a bloom (written
+# before opt-in, or by older code) are always kept — pruning is a
+# performance move, never a correctness dependency. The key column is
+# per-key immutable by definition, so bloom pruning can never split a
+# key's versions across kept/skipped files (the mutable-column zone-map
+# hazard does not apply).
+BLOOM_BITS_PROP = "bloom.key.bits"
+BLOOM_HASHES_PROP = "bloom.key.hashes"
+
 
 class ConcurrentCommitError(RuntimeError):
     pass
@@ -201,6 +216,8 @@ class LakeTable:
         seq_col: str = "seq",
         properties: dict | None = None,
         stats_cols: tuple[str, ...] | list[str] | None = None,
+        bloom_bits: int = 0,
+        bloom_hashes: int = 4,
     ) -> "LakeTable":
         """``stats_cols``: payload columns to zone-map — per-file min/max
         recorded in the snapshot from Parquet footers at every write, so
@@ -208,9 +225,16 @@ class LakeTable:
         without opening them (the generalization of the built-in seq
         stats; Iceberg/Delta call this data skipping). Atomic orderable
         types only (numeric / string / boolean): array, struct, map and
-        binary columns have no usable footer order."""
+        binary columns have no usable footer order.
+
+        ``bloom_bits``/``bloom_hashes``: opt into per-file key Bloom
+        filters (see ``set_bloom``) — point lookups then skip files whose
+        bloom proves the probed keys absent, cutting a key's lookup from
+        every file of its bucket to the files that actually hold it."""
         if stats_cols:
             _validate_stats_cols(schema, stats_cols)
+        if bloom_bits < 0 or bloom_hashes < 1:
+            raise ValueError("bloom bits must be >= 0 and hashes >= 1")
         t = cls(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -228,6 +252,9 @@ class LakeTable:
         }
         if stats_cols:
             snap["properties"]["stats_cols"] = ",".join(stats_cols)
+        if bloom_bits:
+            snap["properties"][BLOOM_BITS_PROP] = str(int(bloom_bits))
+            snap["properties"][BLOOM_HASHES_PROP] = str(int(bloom_hashes))
         t._write_snapshot(snap, expected_parent=None)
         return t
 
@@ -353,6 +380,24 @@ class LakeTable:
         Validation matches ``create(stats_cols=...)``."""
         _validate_stats_cols(self.schema, cols)
         self.update_properties({"stats_cols": ",".join(cols)})
+
+    def set_bloom(self, bits: int, hashes: int = 4) -> None:
+        """Enable (or retune) per-file key Bloom filters on a LIVE table;
+        ``bits=0`` disables for future writes. Existing files keep their
+        old (or missing) blooms — correct either way, since a missing
+        bloom always keeps the file and each entry's (m, k) is
+        self-describing — and every subsequent write stamps the new
+        family; ``compact()`` / ``compact_files()`` backfills history.
+        Size rule of thumb: bits ≈ 10× the expected keys per file gives
+        ~1% false-positive keeps."""
+        if bits < 0 or hashes < 1:
+            raise ValueError("bloom bits must be >= 0 and hashes >= 1")
+        self.update_properties(
+            {
+                BLOOM_BITS_PROP: str(int(bits)) if bits else None,
+                BLOOM_HASHES_PROP: str(int(hashes)) if bits else None,
+            }
+        )
 
     def committed_epoch(self) -> int:
         return self.snapshot["manifest"]["epoch_id"]
@@ -745,7 +790,71 @@ class LakeTable:
         stats = self._file_stats(entries, bucket_of)
         for s in stats:
             s["kind"] = kind
+        m_bits = int(
+            self.snapshot["properties"].get(BLOOM_BITS_PROP, 0) or 0
+        )
+        if m_bits and entries:
+            k_hashes = int(
+                self.snapshot["properties"].get(BLOOM_HASHES_PROP, 4) or 4
+            )
+            blooms = self._build_key_blooms(entries, m_bits, k_hashes)
+            for s in stats:
+                b64 = blooms.get(s["path"])
+                if b64 is not None:
+                    s["kbloom"] = {"m": m_bits, "k": k_hashes, "b64": b64}
         return stats
+
+    def _build_key_blooms(
+        self, paths: list[str], m_bits: int, k_hashes: int
+    ) -> dict[str, str]:
+        """Per-file Bloom filter over the key column for just-written files
+        (the Parquet/Iceberg bloom-filter analog, kept in the snapshot so
+        point lookups prune without opening footers). One column-pruned
+        scan of the new files: each key sets k bit positions
+        ``pmod(xxhash64(key, i), m)`` (i = 1..k), DISTINCT positions are
+        collected per file and packed driver-side — the collect is bounded
+        by files × m bits, metadata-sized by construction. Returns
+        {relpath: base64 bitset}. Empty when the key column is absent from
+        the written schema (nothing to index)."""
+        import base64
+        from urllib.parse import unquote, urlparse
+
+        key = self.key_col
+        df = self.spark.read.parquet(*paths)
+        if key not in df.columns:
+            return {}
+        pos = (
+            df.select(
+                F.input_file_name().alias("_f"), F.col(key).alias("_k")
+            )
+            .select(
+                "_f",
+                F.explode(
+                    F.array(
+                        *[
+                            F.pmod(
+                                F.xxhash64(F.col("_k"), F.lit(i)),
+                                F.lit(m_bits),
+                            )
+                            for i in range(1, k_hashes + 1)
+                        ]
+                    )
+                ).alias("_p"),
+            )
+            .groupBy("_f")
+            .agg(F.collect_set("_p").alias("ps"))
+        )
+        out: dict[str, str] = {}
+        nbytes = (m_bits + 7) // 8
+        for r in pos.collect():
+            local = unquote(urlparse(r["_f"]).path)
+            rel = os.path.relpath(local, self.root)
+            buf = bytearray(nbytes)
+            for p in r["ps"]:
+                p = int(p)
+                buf[p >> 3] |= 1 << (p & 7)
+            out[rel] = base64.b64encode(bytes(buf)).decode("ascii")
+        return out
 
     # ------------------------------------------------------------ read path
     def _select_files(
@@ -815,7 +924,13 @@ class LakeTable:
         (e.g. a creation time): pruning on a mutable payload column could
         drop a file holding the losing old version of a key while keeping
         the winner, changing the merge-on-read fold."""
-        files = self._select_files(buckets, seq_at_least, kind, ranges)
+        return self._read_entries(
+            self._select_files(buckets, seq_at_least, kind, ranges)
+        )
+
+    def _read_entries(self, files: list[dict]) -> DataFrame:
+        """Scan an explicit list of snapshot file entries (the shared tail
+        of ``read`` and the bloom-pruned point-lookup path)."""
         if not files:
             return self.spark.createDataFrame([], self.schema)
         paths = [os.path.join(self.root, f["path"]) for f in files]
@@ -896,14 +1011,20 @@ class LakeTable:
         # constant folding, so collect() is a driver-local evaluation.
         # Parameterized (never spliced into the SQL text): a key containing
         # backslashes/quotes would otherwise parse differently than the
-        # native literal used by bucket_col at write time, and the
-        # parameter keeps the key's TYPE (xxhash64('5') != xxhash64(5L)).
+        # native literal used by bucket_col at write time. The parameter is
+        # CAST to the key column's exact type — parameter binding types a
+        # Python int as INT, but xxhash64 is width-sensitive
+        # (xxhash64(21) != xxhash64(21L)), so an uncast probe on a BIGINT
+        # key would hash into the wrong bucket and silently return empty.
         b = self.spark.sql(
-            f"SELECT pmod(xxhash64(?), {int(self.num_buckets)}) AS b",
+            f"SELECT pmod(xxhash64({self._key_cast()}), "
+            f"{int(self.num_buckets)}) AS b",
             args=[key_value],
         ).collect()[0]["b"]
         return self._lookup_fold(
-            {b}, F.col(self.key_col) == F.lit(key_value)
+            {b},
+            F.col(self.key_col) == F.lit(key_value),
+            key_values=[key_value],
         )
 
     def lookup_many(self, key_values: list) -> DataFrame:
@@ -919,23 +1040,101 @@ class LakeTable:
         buckets = {
             r["b"]
             for r in self.spark.sql(
-                f"SELECT pmod(xxhash64(k), {int(self.num_buckets)}) AS b "
+                f"SELECT pmod(xxhash64({self._key_cast('k')}), "
+                f"{int(self.num_buckets)}) AS b "
                 f"FROM VALUES {marks} AS t(k)",
                 args=list(key_values),
             ).collect()
         }
         return self._lookup_fold(
-            buckets, F.col(self.key_col).isin(list(key_values))
+            buckets,
+            F.col(self.key_col).isin(list(key_values)),
+            key_values=list(key_values),
         )
 
-    def _lookup_fold(self, buckets: set[int], pred) -> DataFrame:
+    def _key_cast(self, expr: str = "?") -> str:
+        """SQL cast of a probe value to the key column's EXACT stored type.
+        Parameter binding types a Python int as INT, but xxhash64 hashes
+        by physical width (xxhash64(21) != xxhash64(21L)) — every probe
+        that must reproduce a write-side hash of the key column goes
+        through this cast."""
+        return (
+            f"CAST({expr} AS "
+            f"{self.schema[self.key_col].dataType.simpleString()})"
+        )
+
+    def _bloom_positions(
+        self, key_values: list, m_bits: int, k_hashes: int
+    ) -> list[set[int]]:
+        """Probe-side bit positions per key for one (m, k) bloom family.
+        Same hash as the write side — ``pmod(xxhash64(key, i), m)`` with i
+        an int literal — evaluated through Spark SQL so the key's TYPE
+        hashes exactly as it was written (a VALUES-only SELECT constant-
+        folds to a LocalRelation: driver-local, no job)."""
+        vals = ", ".join(f"({i}, ?)" for i in range(len(key_values)))
+        hs = ", ".join(f"({i})" for i in range(1, k_hashes + 1))
+        rows = self.spark.sql(
+            f"SELECT t.idx, pmod(xxhash64({self._key_cast('t.k')}, h.i), "
+            f"{int(m_bits)}) AS p "
+            f"FROM (VALUES {vals}) AS t(idx, k) "
+            f"CROSS JOIN (VALUES {hs}) AS h(i)",
+            args=list(key_values),
+        ).collect()
+        out: list[set[int]] = [set() for _ in key_values]
+        for r in rows:
+            out[r["idx"]].add(int(r["p"]))
+        return out
+
+    def _bloom_keep(self, files: list[dict], key_values: list) -> list[dict]:
+        """Drop file entries whose key bloom PROVES none of ``key_values``
+        present. Files without a bloom (pre-opt-in, older writers) are
+        kept; per-file (m, k) is self-describing, so entries written under
+        different bloom settings prune correctly side by side."""
+        import base64
+
+        combos = {
+            (f["kbloom"]["m"], f["kbloom"]["k"])
+            for f in files
+            if f.get("kbloom")
+        }
+        if not combos or not key_values:
+            return files
+        pos = {
+            mk: self._bloom_positions(key_values, mk[0], mk[1])
+            for mk in combos
+        }
+        kept = []
+        for f in files:
+            kb = f.get("kbloom")
+            if not kb:
+                kept.append(f)
+                continue
+            bits = base64.b64decode(kb["b64"])
+            psets = pos[(kb["m"], kb["k"])]
+            if any(
+                all((bits[p >> 3] >> (p & 7)) & 1 for p in ps)
+                for ps in psets
+            ):
+                kept.append(f)
+        return kept
+
+    def _lookup_fold(
+        self, buckets: set[int], pred, key_values: list | None = None
+    ) -> DataFrame:
         key, seqc = self.key_col, self.seq_col
+        files = self._select_files(buckets=buckets)
+        if key_values:
+            files = self._bloom_keep(files, key_values)
         rows = (
-            self.read(buckets=buckets, kind="base")
+            self._read_entries(
+                [f for f in files if f.get("kind", "base") == "base"]
+            )
             .where(pred)
             .withColumn("_prio", F.lit(1))
             .unionByName(
-                self.read(buckets=buckets, kind="delta")
+                self._read_entries(
+                    [f for f in files if f.get("kind", "base") == "delta"]
+                )
                 .where(pred)
                 .withColumn("_prio", F.lit(0))
             )
@@ -972,7 +1171,8 @@ class LakeTable:
         by the retention depth."""
         self._require_main("key_history")
         b = self.spark.sql(
-            f"SELECT pmod(xxhash64(?), {int(self.num_buckets)}) AS b",
+            f"SELECT pmod(xxhash64({self._key_cast()}), "
+            f"{int(self.num_buckets)}) AS b",
             args=[key_value],
         ).collect()[0]["b"]
         out: list[dict] = []
