@@ -928,6 +928,98 @@ class LakeTable:
             self._select_files(buckets, seq_at_least, kind, ranges)
         )
 
+    def scan_report(
+        self,
+        buckets: set[int] | None = None,
+        seq_at_least: int | None = None,
+        kind: str | None = None,
+        ranges: dict | None = None,
+        key_values: list | None = None,
+    ) -> dict:
+        """EXPLAIN-style accounting of the file-pruning cascade for one
+        read shape — how many live files (and footer rows) each metadata
+        layer keeps, applied in the same order the real read paths apply
+        them: bucket hash -> seq fence -> file kind -> zone maps -> key
+        blooms. Metadata-only: no data file is opened, so the report is
+        safe to run against a production table at any size (cost is one
+        driver pass over the snapshot's file entries, plus — only when
+        ``key_values`` probe a bloom-enabled table — the same driver-local
+        hash evaluation the lookup itself would do.
+
+        ``key_values`` mirrors ``lookup_many``: when given and ``buckets``
+        is None, the probed keys' buckets are derived first (the pruning a
+        point lookup actually gets), then blooms drop files that provably
+        hold none of the keys. Layers that were not requested are omitted
+        from the report rather than shown as no-ops.
+
+        Returns ``{files_total, rows_total, layers: [{layer, kept_files,
+        skipped_files, kept_rows}...], files_kept, rows_kept, kept}`` where
+        ``kept`` is the surviving relpaths. The numbers are exactly what
+        ``read(...)`` / ``lookup_many(...)`` with the same arguments would
+        scan — asserted by tests, so the report can serve as pruning
+        evidence (files-skipped rows in benchmarks) without re-deriving
+        the cascade by hand."""
+        files = list(self.snapshot["files"])
+        total_rows = sum(f.get("rows") or 0 for f in files)
+        report: dict = {
+            "files_total": len(files),
+            "rows_total": total_rows,
+            "layers": [],
+        }
+
+        def step(name: str, kept: list[dict], prev_n: int) -> int:
+            report["layers"].append(
+                {
+                    "layer": name,
+                    "kept_files": len(kept),
+                    "skipped_files": prev_n - len(kept),
+                    "kept_rows": sum(f.get("rows") or 0 for f in kept),
+                }
+            )
+            return len(kept)
+
+        if key_values and buckets is None:
+            marks = ", ".join("(?)" for _ in key_values)
+            buckets = {
+                r["b"]
+                for r in self.spark.sql(
+                    f"SELECT pmod(xxhash64({self._key_cast('k')}), "
+                    f"{int(self.num_buckets)}) AS b "
+                    f"FROM VALUES {marks} AS t(k)",
+                    args=list(key_values),
+                ).collect()
+            }
+        n = len(files)
+        if buckets is not None:
+            files = [f for f in files if f["bucket"] in buckets]
+            n = step("bucket", files, n)
+        if seq_at_least is not None:
+            files = [
+                f
+                for f in files
+                if f["max_seq"] is None or f["max_seq"] >= seq_at_least
+            ]
+            n = step("seq_fence", files, n)
+        if kind is not None:
+            files = [f for f in files if f.get("kind", "base") == kind]
+            n = step("kind", files, n)
+        if ranges:
+            unknown = set(ranges) - set(self.stats_cols)
+            if unknown:
+                raise ValueError(
+                    f"range-pruning columns {sorted(unknown)} are not "
+                    f"zone-mapped (stats_cols={list(self.stats_cols)})"
+                )
+            files = [f for f in files if not self._zone_disjoint(f, ranges)]
+            n = step("zone_map", files, n)
+        if key_values:
+            files = self._bloom_keep(files, list(key_values))
+            n = step("key_bloom", files, n)
+        report["files_kept"] = len(files)
+        report["rows_kept"] = sum(f.get("rows") or 0 for f in files)
+        report["kept"] = [f["path"] for f in files]
+        return report
+
     def _read_entries(self, files: list[dict]) -> DataFrame:
         """Scan an explicit list of snapshot file entries (the shared tail
         of ``read`` and the bloom-pruned point-lookup path)."""

@@ -10,6 +10,8 @@ Usage:
     python scripts/lake_admin.py TABLE_ROOT rollback --version V
     python scripts/lake_admin.py TABLE_ROOT analyze [COL,COL...]
     python scripts/lake_admin.py TABLE_ROOT fsck [--deep]
+    python scripts/lake_admin.py TABLE_ROOT scan-report [--keys K,K...]
+        [--range COL:LO:HI ...] [--seq-at-least N]
     python scripts/lake_admin.py TABLE_ROOT clone DEST
     python scripts/lake_admin.py TABLE_ROOT purge KEY[,KEY...] [--keep-last N]
     python scripts/lake_admin.py TABLE_ROOT expire [--keep-last N]
@@ -152,6 +154,7 @@ def main():
         "verb",
         choices=[
             "health", "history", "tag", "rollback", "analyze", "fsck",
+            "scan-report",
             "clone", "purge", "expire", "vacuum",
             "compact", "pack", "maintain", "truncate", "staged", "publish",
             "discard",
@@ -194,6 +197,14 @@ def main():
                          "staleness reaches this many commits (min 2)")
     ap.add_argument("--before-seq", type=int, default=None,
                     help="truncate: drop fact history with seq below this")
+    ap.add_argument("--keys", default=None,
+                    help="scan-report: probe keys, comma-separated "
+                         "(coerced to the key column's type)")
+    ap.add_argument("--range", dest="ranges", action="append", default=None,
+                    help="scan-report: COL:LO:HI zone-map range (either "
+                         "bound empty for one-sided; repeatable)")
+    ap.add_argument("--seq-at-least", type=int, default=None,
+                    help="scan-report: seq-fence pruning floor")
     args = ap.parse_args()
 
     from hemera_indexer_spark.lake import LakeTable
@@ -237,6 +248,48 @@ def main():
         out = {"tagged": args.arg, "version": tagged_version}
     elif args.verb == "fsck":
         out = t.fsck(deep=args.deep)
+    elif args.verb == "scan-report":
+        from pyspark.sql import types as T
+
+        keys = None
+        if args.keys:
+            keys = [k for k in args.keys.split(",") if k]
+            kt = next(
+                f.dataType for f in t.schema.fields if f.name == t.key_col
+            )
+            if isinstance(
+                kt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                keys = [int(k) for k in keys]
+            elif isinstance(kt, (T.FloatType, T.DoubleType)):
+                keys = [float(k) for k in keys]
+        ranges = None
+        if args.ranges:
+            ranges = {}
+            for spec in args.ranges:
+                col, _, rest = spec.partition(":")
+                lo, _, hi = rest.partition(":")
+                ct = next(
+                    (f.dataType for f in t.schema.fields if f.name == col),
+                    None,
+                )
+
+                def cv(s):
+                    if s == "":
+                        return None
+                    if isinstance(
+                        ct,
+                        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+                    ):
+                        return int(s)
+                    if isinstance(ct, (T.FloatType, T.DoubleType)):
+                        return float(s)
+                    return s
+
+                ranges[col] = (cv(lo), cv(hi))
+        out = t.scan_report(
+            seq_at_least=args.seq_at_least, ranges=ranges, key_values=keys
+        )
     elif args.verb == "analyze":
         cols = [c for c in args.arg.split(",") if c] if args.arg else None
         out = {"analyzed": t.analyze(cols=cols)}
