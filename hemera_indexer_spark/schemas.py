@@ -80,3 +80,22 @@ OPS = ("insert", "update", "delete", "rollback")
 # user-facing payload. Everything else in SEQUENCES_SCHEMA (and any evolved
 # column) is payload and participates in LWW replacement.
 STATE_META_COLUMNS = ("doc_id", "seq", "is_deleted")
+
+# Per-epoch processing journal (StreamController(metrics_dir=)): the
+# queryable face of RunStats, one row per processed epoch per commit
+# attempt. metric_id = "epoch@state_version" — unique per attempt, so a
+# repair/restore re-drive journals again instead of deduping away; seq is
+# the state table version (monotone), so fact-table retention verbs apply.
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_id", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("events", T.LongType(), True),
+        T.StructField("rollbacks", T.LongType(), True),
+        T.StructField("wall_ms", T.LongType(), True),
+        T.StructField("strategy", T.StringType(), True),
+        T.StructField("quarantined", T.LongType(), True),
+        T.StructField("tenant", T.StringType(), True),
+    ]
+)

@@ -64,8 +64,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hemera_indexer_spark.functions import log_partition_col
-from hemera_indexer_spark.lake import LakeTable
-from hemera_indexer_spark.schemas import CHANGE_EVENT_SCHEMA
+from hemera_indexer_spark.lake import ConcurrentCommitError, LakeTable
+from hemera_indexer_spark.lake.table import VERSION_FILE
+from hemera_indexer_spark.schemas import CHANGE_EVENT_SCHEMA, METRICS_SCHEMA
 from hemera_indexer_spark.streaming import consensus  # noqa: submodule import
 # (safe under partial package init: Python >=3.5 falls back to sys.modules
 # for submodule-from-package imports during circular initialization)
@@ -191,6 +192,7 @@ class StreamController:
         fact_retention_lag_seqs: int | None = None,
         catalog=None,
         catalog_tables: list[str] | None = None,
+        metrics_dir: str | None = None,
     ):
         # Dead-letter quarantine (the reference logs-and-skips items its
         # exporters cannot convert rather than poisoning the batch,
@@ -274,6 +276,22 @@ class StreamController:
         # atomicity the per-table fences alone can't give a JOIN.
         self.catalog = catalog
         self.catalog_tables = catalog_tables
+        # Per-epoch processing journal (the queryable face of RunStats —
+        # the reference keeps per-job record rows in PG the same way,
+        # /root/reference/indexer/controller/dispatcher/base_dispatcher.py
+        # job bookkeeping): when ``metrics_dir`` is set, every committed
+        # group appends one row per processed epoch (events, rollbacks,
+        # wall_ms, strategy, quarantined, tenant) into a tiny fact
+        # LakeTable there, keyed by ``epoch@state_version`` so a repair or
+        # restore re-drive journals a SECOND attempt instead of being
+        # silently deduped. Best-effort observability, never load-bearing:
+        # the write happens AFTER the state commit, so a crash between the
+        # two loses only the journal row (the fenced re-run skips the
+        # group and writes nothing), and the insert path is the unfenced
+        # idempotent (key, seq) anti-join — a retried journal write cannot
+        # double-count.
+        self.metrics_dir = metrics_dir
+        self._metrics_table = None
         # catch-up batching caps: how many backlogged rollback-free epochs may
         # share one merge+commit, and a row budget per commit (from footer
         # counts, no scan) so a deep backlog cannot produce an unbounded
@@ -576,10 +594,73 @@ class StreamController:
                     i += 1
                     if meta["maybe_rollback"]:
                         break
-                stats.epochs.extend(self._process_group(group, metas))
+                group_stats = self._process_group(group, metas)
+                stats.epochs.extend(group_stats)
+                if self.metrics_dir:
+                    self._record_metrics(group_stats)
         finally:
             prefetch.shutdown(wait=False)
         return stats
+
+    def _metrics(self) -> LakeTable:
+        """Lazy-open (or create) the metrics journal fact table. A
+        creation race between tenant controllers sharing one journal
+        degrades to load-after-lose."""
+        if self._metrics_table is None:
+            version_file = os.path.join(
+                self.metrics_dir, "meta", VERSION_FILE
+            )
+            if os.path.exists(version_file):
+                self._metrics_table = LakeTable.load(
+                    self.spark, self.metrics_dir
+                )
+            else:
+                try:
+                    self._metrics_table = LakeTable.create(
+                        self.spark,
+                        self.metrics_dir,
+                        METRICS_SCHEMA,
+                        num_buckets=1,
+                        key_col="metric_id",
+                        properties={"table_type": "fact"},
+                    )
+                except (ConcurrentCommitError, FileExistsError):
+                    self._metrics_table = LakeTable.load(
+                        self.spark, self.metrics_dir
+                    )
+        return self._metrics_table
+
+    def _record_metrics(self, epoch_stats: list) -> None:
+        """Append one journal row per PROCESSED epoch of a just-committed
+        group (skipped/fenced epochs write nothing — they did no work).
+        metric_id = ``epoch@state_version`` ties each row to the exact
+        snapshot its group produced: normal replay journals each epoch
+        once, a repair/restore re-drive journals a second attempt under
+        the new version, and a crash-retried journal write dedups on the
+        (key, seq) anti-join."""
+        live = [s for s in epoch_stats if not s.skipped]
+        if not live:
+            return
+        t = self._metrics()
+        v = int(self.table.snapshot["version"])
+        tenant = "" if self.tenant_id is None else str(self.tenant_id)
+        rows = [
+            (
+                f"{s.epoch}@{v}",
+                v,
+                s.epoch,
+                s.events,
+                s.rollbacks,
+                s.wall_ms,
+                s.strategy,
+                s.quarantined,
+                tenant,
+            )
+            for s in live
+        ]
+        t.insert_if_absent(
+            self.spark.createDataFrame(rows, METRICS_SCHEMA)
+        )
 
     def process_epoch(self, epoch: int) -> EpochStats:
         """Single-epoch entry point (kept for fenced re-runs and tests);
@@ -587,7 +668,10 @@ class StreamController:
         if epoch <= self._committed_floor():
             return EpochStats(epoch, 0, 0, 0, skipped=True)
         meta = self._epoch_meta(self._epoch_files(epoch))
-        return self._process_group([epoch], [meta])[0]
+        out = self._process_group([epoch], [meta])[0]
+        if self.metrics_dir:
+            self._record_metrics([out])
+        return out
 
     # ---------------------------------------------------------------- repair
     def repair_range(

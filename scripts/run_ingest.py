@@ -196,6 +196,11 @@ def main() -> None:
                          "under fixed names and re-pinned after every "
                          "committed group, so catalog readers always see a "
                          "mutually-consistent multi-table point")
+    ap.add_argument("--metrics-dir", default=None,
+                    help="per-epoch processing journal: append one row per "
+                         "processed epoch (events, rollbacks, wall_ms, "
+                         "strategy, quarantined, tenant) into a fact "
+                         "LakeTable at this path (batch controller only)")
     args = ap.parse_args()
     tenant_kw = {}
     if args.quarantine_dir is not None:
@@ -487,6 +492,7 @@ def main() -> None:
             fact_compact_max_files=args.fact_compact_max_files,
             fact_compact_small_rows=args.fact_compact_small_rows or None,
             fact_retention_lag_seqs=args.fact_retention_lag_seqs,
+            metrics_dir=args.metrics_dir,
             **tenant_kw, **catalog_kw,
         ).repair_range(lo, hi, lock_ttl_s=args.repair_lock_ttl)
         events = stats.total_events
@@ -499,6 +505,9 @@ def main() -> None:
                 "--dedup-index-dir and --fact-table-root) only; drop "
                 "EXPORTS or use the batch loop"
             )
+        if args.metrics_dir:
+            ap.error("--metrics-dir journals from the batch controller; "
+                     "drop --streaming")
         from hemera_indexer_spark.streaming.structured import StructuredIngest
 
         q = StructuredIngest(
@@ -532,6 +541,7 @@ def main() -> None:
             fact_compact_max_files=args.fact_compact_max_files,
             fact_compact_small_rows=args.fact_compact_small_rows or None,
             fact_retention_lag_seqs=args.fact_retention_lag_seqs,
+            metrics_dir=args.metrics_dir,
             **tenant_kw, **catalog_kw,
         ).run(max_epochs=args.max_epochs)
         events = stats.total_events

@@ -265,6 +265,33 @@ def test_fact_table_lookup_prunes(spark, tmp_path):
     assert len(t._bloom_keep(files, keys)) < len(files)
 
 
+def test_special_character_keys(spark, tmp_path):
+    """Probe values ride as BOUND parameters end to end (bucket hash,
+    bloom positions, predicate literal) — keys holding quotes,
+    backslashes, commas or non-ASCII must hash identically to their
+    write-side column values and round-trip through lookup."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "b14"),
+        SCHEMA,
+        num_buckets=2,
+        bloom_bits=1024,
+    )
+    keys = ['a"b', "a'b", "a\\b", "héllo-世界", "a,b(c)", "?:x"]
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(k, i + 1, f"v{i}", "upsert") for i, k in enumerate(keys)],
+            "doc_id string, seq long, val string, op string",
+        ),
+        epoch_id=0,
+    )
+    for i, k in enumerate(keys):
+        got = [tuple(r) for r in t.lookup(k).collect()]
+        assert got == [(k, i + 1, f"v{i}")], k
+    got = sorted(r["doc_id"] for r in t.lookup_many(keys).collect())
+    assert got == sorted(keys)
+
+
 def test_create_rejects_bad_params(spark, tmp_path):
     with pytest.raises(ValueError):
         LakeTable.create(

@@ -232,6 +232,21 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
                 seq += 1
                 model[k] = (seq, None, True)
         assert _table_state(t) == _model_state(model), (seed, step, ops)
+        # interleave the bloom surface with every other verb: retunes are
+        # property-only (the model is untouched), and a bloom-pruned point
+        # lookup after ANY op must agree with the model — compaction
+        # backfill, rebucket re-hash, restore and purge all feed this
+        if rng.random() < 0.3:
+            t.set_bloom(rng.choice([0, 512, 2048]), hashes=rng.randint(1, 4))
+        if rng.random() < 0.4:
+            k = rng.choice(KEYS)
+            live = _model_state(model)
+            got = [
+                (r["doc_id"], r["seq"], r["val"])
+                for r in t.lookup(k).collect()
+            ]
+            want = [(k, *live[k])] if k in live else []
+            assert got == want, (seed, step, k, ops)
         checkpoints.append((t.snapshot["version"], dict(model)))
     # every seed ends with one FORCED restore (the random mix may not roll
     # the rollback verb), then a merge on top — restore + write-after-
