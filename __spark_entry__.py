@@ -2219,16 +2219,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the per-round driver CORRECTNESS check covers only
     # the FIRST 50 entries in insertion order. Rounds 1-4 attested the block
     # starting at "pricing_summary" (all green in CORRECTNESS_r04.json);
-    # round 5 rotates the 42 never-driver-checked queries (plus this round's
-    # new ones) to the front so the union of per-round driver artifacts
-    # covers the whole registry. With 112 entries the round-5 window covers
-    # slots 1-50 (… bpe_pairs, audio_decode_stats); the twelve past slot 50
-    # (video_frame_stats, semantic_dedup, quantile_sketch, bm25_topk,
-    # pagerank_top, pq_adc_topk, pq_index_topk, dsir_topk,
-    # quality_classifier, leakage_split, span_corruption, fim_transform)
-    # would rotate to the front in any future window. The local oracle gate
-    # (tests/test_queries_oracle.py) always runs ALL 112 entries regardless,
-    # and every one is green there.
+    # round 5 rotates never-driver-checked queries to the front so the union
+    # of per-round driver artifacts covers as much of the registry as the
+    # 50-row window allows. With 112 entries and 103 attested across rounds
+    # 1-4, the round-5 window holds 50 never-checked entries (moving_avg /
+    # rollup_agg / quantile_stats were already attested in round 3 and moved
+    # to the attested block below, making room for semantic_dedup /
+    # pq_index_topk / leakage_split). Union after round 5 = 103/112; the
+    # nine past slot 50 (video_frame_stats, quantile_sketch, bm25_topk,
+    # pagerank_top, pq_adc_topk, dsir_topk, quality_classifier,
+    # span_corruption, fim_transform) would rotate to the front in any
+    # future window. The local oracle gate (tests/test_queries_oracle.py)
+    # always runs ALL 112 entries regardless, and every one is green there.
     return {
         "zonemap_range_scan": q_zonemap_range_scan,
         "zorder_box_scan": q_zorder_box_scan,
@@ -2236,9 +2238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_topk": q_ivf_index_topk,
         "bloom_decontaminate": q_bloom_decontaminate,
         "secidx_lookup": q_secidx_lookup,
-        "moving_avg": q_moving_avg,
-        "rollup_agg": q_rollup_agg,
-        "quantile_stats": q_quantile_stats,
+        "semantic_dedup": q_semantic_dedup,
+        "pq_index_topk": q_pq_index_topk,
+        "leakage_split": q_leakage_split,
         "tfidf_topk": q_tfidf_topk,
         "mixture_sample": q_mixture_sample,
         "temperature_mixture": q_temperature_mixture,
@@ -2281,18 +2283,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "audio_decode_stats": q_audio_decode_stats,
         "video_frame_stats": q_video_frame_stats,
-        "semantic_dedup": q_semantic_dedup,
         "quantile_sketch": q_quantile_sketch,
         "bm25_topk": q_bm25_topk,
         "pagerank_top": q_pagerank,
         "pq_adc_topk": q_pq_adc_topk,
-        "pq_index_topk": q_pq_index_topk,
         "dsir_topk": q_dsir_topk,
         "quality_classifier": q_quality_classifier,
-        "leakage_split": q_leakage_split,
         "span_corruption": q_span_corruption,
         "fim_transform": q_fim_transform,
         # --- driver-attested in rounds 1-4 (CORRECTNESS_r01..r04) ---
+        "moving_avg": q_moving_avg,
+        "rollup_agg": q_rollup_agg,
+        "quantile_stats": q_quantile_stats,
         "pricing_summary": q_pricing_summary,
         "filter_pushdown": q_filter_pushdown,
         "specification_filter": q_specification_filter,
