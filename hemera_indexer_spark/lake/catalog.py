@@ -182,6 +182,21 @@ class LakeCatalog:
         consistent snapshot joins should run against."""
         return {n: self.table(n) for n in self.snapshot["tables"]}
 
+    def register_views(
+        self, prefix: str = "", strategy: str = "sql"
+    ) -> dict[str, int]:
+        """Register every catalog table as a ``spark.sql`` temp view at
+        its PINNED catalog version — the SQL face of ``read_view()``: all
+        views belong to ONE catalog snapshot, so cross-view joins can
+        never see a torn multi-table transaction, and a concurrent
+        ``publish_all`` (or a table head racing ahead of the catalog) is
+        invisible until the catalog pointer advances AND the views are
+        re-registered. Returns ``{view_name: pinned_table_version}``."""
+        return {
+            prefix + n: t.register_view(prefix + n, strategy=strategy)
+            for n, t in self.read_view().items()
+        }
+
     def _entry(self, name: str) -> dict:
         try:
             return self.snapshot["tables"][name]

@@ -1090,6 +1090,34 @@ class LakeTable:
             out = out.where(~F.col("is_deleted")).drop("is_deleted")
         return out
 
+    def register_view(
+        self, name: str, strategy: str = "sql", raw: bool = False
+    ) -> int:
+        """Expose this table to plain ``spark.sql`` as a session temp view
+        (the SQL face of the explorer read API; reference analog: the
+        Flask routes in /root/reference/api/app/explorer/routes.py expose
+        the PG tables that this lake replaces).
+
+        The view wraps ``current_state(strategy)`` — the resolved live
+        rows — or, with ``raw=True``, the raw multi-version ``read()``
+        scan (every file's rows, pre-LWW-fold: the debugging view).
+
+        Snapshot-pinning semantics: the DataFrame plan enumerates the
+        CURRENT snapshot's immutable data files at registration time, so
+        the view is a stable as-of-registration read — the SQL analog of
+        holding a ``LakeTable`` handle. Commits after registration are
+        invisible until the view is re-registered (same name replaces);
+        combine with ``as_of``/``as_of_tag``/``branch`` handles for
+        explicit time travel: ``t.as_of(3).register_view("docs_v3")``.
+
+        Returns the pinned snapshot version. Temp views are driver-side
+        session-catalog entries (no metastore dependency) holding only
+        the logical plan — O(files) metadata, nothing data-sized — so the
+        cost model is identical at 100 TB."""
+        df = self.read() if raw else self.current_state(strategy)
+        df.createOrReplaceTempView(name)
+        return self.snapshot["version"]
+
     def lookup(self, key_value) -> DataFrame:
         """Point lookup (the explorer API's by-hash routes analog,
         /root/reference/api/app/explorer/routes.py): resolve ONE key by
