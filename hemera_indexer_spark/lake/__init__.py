@@ -4,6 +4,7 @@ from hemera_indexer_spark.lake.maintenance import (
     run_maintenance,
 )
 from hemera_indexer_spark.lake.table import (
+    CheckViolationError,
     ConcurrentCommitError,
     FormatVersionError,
     LakeTable,
@@ -15,6 +16,7 @@ __all__ = [
     "CatalogTxnError",
     "MaintenancePolicy",
     "run_maintenance",
+    "CheckViolationError",
     "ConcurrentCommitError",
     "FormatVersionError",
 ]

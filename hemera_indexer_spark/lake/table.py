@@ -73,6 +73,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import time
 import uuid
 
@@ -127,6 +128,23 @@ class ConcurrentCommitError(RuntimeError):
 
 class FormatVersionError(RuntimeError):
     """Snapshot written by a newer engine generation than this reader."""
+
+
+class CheckViolationError(RuntimeError):
+    """An incoming batch violates a declared CHECK constraint. Raised
+    BEFORE any file is written, so the failed write is a clean no-op
+    (nothing to vacuum, fences untouched). Carries per-check violation
+    counts and up to 3 sample rows per violated check."""
+
+    def __init__(self, op_name: str, counts: dict, samples: dict):
+        self.op_name = op_name
+        self.counts = counts
+        self.samples = samples
+        super().__init__(
+            f"{op_name}: batch violates CHECK constraint(s) "
+            f"{ {n: int(c) for n, c in counts.items()} }; "
+            f"samples: {samples}"
+        )
 
 
 #: Integral promotion ladder for type widening (strictly increasing width).
@@ -398,6 +416,94 @@ class LakeTable:
                 BLOOM_HASHES_PROP: str(int(hashes)) if bits else None,
             }
         )
+
+    # ------------------------------------------------------------ checks
+    def checks(self) -> dict[str, str]:
+        """Declared CHECK constraints: ``{name: boolean SQL predicate}``
+        (stored as versioned ``check:<name>`` snapshot properties, so the
+        active constraint set time-travels with the table)."""
+        return {
+            k[len("check:"):]: v
+            for k, v in self.snapshot["properties"].items()
+            if k.startswith("check:")
+        }
+
+    def set_check(self, name: str, predicate: str) -> None:
+        """Declare (or replace) a CHECK constraint — the Delta Lake
+        ``ADD CONSTRAINT ... CHECK`` analog. ``predicate`` is a boolean
+        SQL expression over the table's columns (plus ``op``, which write
+        batches carry); every subsequent write batch is validated BEFORE
+        any file lands and a violating batch raises
+        ``CheckViolationError`` as a clean no-op.
+
+        SQL-standard three-valued semantics: a row violates only when the
+        predicate evaluates to FALSE — NULL passes (so payload-NULL
+        delete events and schema-evolution NULL fills don't trip payload
+        checks). The predicate must analyze against the table schema now
+        (fail at declaration, not at the first write) and cost is one
+        aggregate pass per write batch, only while checks exist.
+
+        This is the DOMAIN-validation layer (business rules over parsed
+        payloads); the controller's ``quarantine_dir`` handles malformed
+        ENVELOPES (unknown ops, NULL identity) — different failure
+        classes, deliberately different dispositions (loud abort here,
+        divert-and-continue there)."""
+        if not re.fullmatch(r"[A-Za-z0-9_\-]+", name):
+            raise ValueError(
+                f"check name must match [A-Za-z0-9_-]+, got {name!r}"
+            )
+        probe = self.spark.createDataFrame(
+            [], self.schema
+        ).withColumn("op", F.lit("upsert"))
+        try:
+            col = probe.select(F.expr(predicate).alias("_c"))
+        except Exception as e:
+            raise ValueError(
+                f"check {name!r} does not analyze against the table "
+                f"schema: {e}"
+            ) from e
+        if not isinstance(col.schema["_c"].dataType, T.BooleanType):
+            raise ValueError(
+                f"check {name!r} must be a boolean predicate, got "
+                f"{col.schema['_c'].dataType.simpleString()}"
+            )
+        self.update_properties({f"check:{name}": predicate})
+
+    def drop_check(self, name: str) -> None:
+        if f"check:{name}" not in self.snapshot["properties"]:
+            raise KeyError(f"no check named {name!r}")
+        self.update_properties({f"check:{name}": None})
+
+    def _enforce_checks(self, df: DataFrame, op_name: str) -> None:
+        """Validate a write batch against the declared checks in ONE
+        aggregate pass (sum-of-violations per check); on violation, a
+        second bounded pass collects <=3 sample rows per violated check
+        for the error (exceptional path only). Zero cost when no checks
+        are declared."""
+        checks = self.checks()
+        if not checks:
+            return
+        viol = {
+            n: F.coalesce(F.expr(p), F.lit(True)) == F.lit(False)
+            for n, p in checks.items()
+        }
+        row = df.agg(
+            *[
+                F.sum(F.when(v, 1).otherwise(0)).alias(n)
+                for n, v in viol.items()
+            ]
+        ).collect()[0]
+        bad = {n: row[n] for n in checks if (row[n] or 0) > 0}
+        if not bad:
+            return
+        samples = {
+            n: [
+                {k: str(v) for k, v in r.asDict().items()}
+                for r in df.where(viol[n]).limit(3).collect()
+            ]
+            for n in list(bad)[:3]
+        }
+        raise CheckViolationError(op_name, bad, samples)
 
     def committed_epoch(self) -> int:
         return self.snapshot["manifest"]["epoch_id"]
@@ -1521,6 +1627,10 @@ class LakeTable:
             upd = upd.withColumn(
                 c, F.when(F.col("is_deleted"), F.lit(None)).otherwise(F.col(c))
             )
+        # checks run on the normalized shape (all schema columns + op):
+        # delete events have payloads nulled above, so NULL-passes
+        # three-valued logic exempts tombstones from payload checks.
+        self._enforce_checks(upd, "merge_upsert")
         upd = upd.select(*state_cols).withColumn("_bucket", bucket_col(F.col(key), b))
 
         if mode == "mor":
@@ -1632,6 +1742,9 @@ class LakeTable:
         batch = self._fill_missing_columns(updates.drop("is_deleted")).select(
             key, seqc, "op", *payload_cols
         )
+        # NULL-passes semantics fit patches naturally: NULL means
+        # "unchanged" here, and an unchanged column cannot newly violate.
+        self._enforce_checks(batch, "merge_patch")
         b = self.num_buckets
         touched = {
             r[0]
@@ -1738,6 +1851,12 @@ class LakeTable:
         state_cols = schema.fieldNames()
         upd = self._fill_missing_columns(updates).select(*state_cols).dropDuplicates(
             [key, seqc]
+        )
+        # fact batches carry no op column; expose a constant so check
+        # predicates written against the uniform (schema + op) surface
+        # analyze here too
+        self._enforce_checks(
+            upd.withColumn("op", F.lit("insert")), "insert_if_absent"
         )
         # retention floor (truncate_before): a re-delivered event whose
         # history was already truncated must NOT resurrect — the anti-join
@@ -2064,6 +2183,9 @@ class LakeTable:
         if "is_deleted" in cols and "is_deleted" not in out.columns:
             out = out.withColumn("is_deleted", F.lit(False))
         out = self._fill_missing_columns(out)
+        self._enforce_checks(
+            out.withColumn("op", F.lit("insert")), "bulk_load"
+        )
         shaped = (
             out.select(*cols)
             .withColumn("_bucket", bucket_col(F.col(self.key_col), self.num_buckets))
