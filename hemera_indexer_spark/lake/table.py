@@ -1566,8 +1566,14 @@ class LakeTable:
         mode: str | None = None,
         properties_update: dict | None = None,
         wap_id: str | None = None,
+        enforce_checks: bool = True,
     ) -> bool:
         """LWW merge of an update batch into the table.
+
+        ``enforce_checks=False`` skips the CHECK-constraint pass for
+        callers that already validated (or diverted) violations — the
+        StreamController's ``check_policy='quarantine'`` path, which
+        would otherwise pay a redundant aggregate scan per batch.
 
         ``wap_id``: write-audit-publish — the merge's data files land on
         disk and its snapshot is STAGED under that id instead of becoming
@@ -1630,7 +1636,8 @@ class LakeTable:
         # checks run on the normalized shape (all schema columns + op):
         # delete events have payloads nulled above, so NULL-passes
         # three-valued logic exempts tombstones from payload checks.
-        self._enforce_checks(upd, "merge_upsert")
+        if enforce_checks:
+            self._enforce_checks(upd, "merge_upsert")
         upd = upd.select(*state_cols).withColumn("_bucket", bucket_col(F.col(key), b))
 
         if mode == "mor":

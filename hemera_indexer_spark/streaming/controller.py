@@ -186,6 +186,7 @@ class StreamController:
         tenant_id=None,
         quarantine_dir: str | None = None,
         quarantine_scan: str = "footer",
+        check_policy: str = "abort",
         rebucket_target_rows: int | None = None,
         fact_compact_max_files: int | None = None,
         fact_compact_small_rows: int | None = 1_000_000,
@@ -245,6 +246,34 @@ class StreamController:
                 "(one extra filtered scan per group).",
                 stacklevel=2,
             )
+        # ``check_policy``: what happens when the state table has CHECK
+        # constraints (LakeTable.set_check) and a batch violates them.
+        #   'abort'      — default: merge_upsert raises CheckViolationError
+        #                  (loud stop; fences untouched; fix and re-drive).
+        #   'quarantine' — divert the violating EVENTS (op insert/update
+        #                  only; delete/rollback are control events whose
+        #                  payloads are semantically void and are never
+        #                  diverted) to the dead-letter dir with reason
+        #                  'check:<name>', merge the clean remainder, and
+        #                  continue — the same disposition as envelope
+        #                  malformations. Requires ``quarantine_dir``.
+        # Domain checks are not footer-provable, so 'quarantine' runs the
+        # divert scan on every group regardless of ``quarantine_scan``;
+        # on a hash-chained log a diverted event breaks chain continuity
+        # exactly like an envelope divert, and the same loud refusal
+        # applies. ``replay_quarantined`` re-evaluates the CURRENT check
+        # set: still-violating rows stay dead-lettered (never crash the
+        # replay merge).
+        if check_policy not in ("abort", "quarantine"):
+            raise ValueError(
+                f"check_policy must be 'abort' or 'quarantine', "
+                f"got {check_policy!r}"
+            )
+        if check_policy == "quarantine" and quarantine_dir is None:
+            raise ValueError(
+                "check_policy='quarantine' requires quarantine_dir"
+            )
+        self.check_policy = check_policy
         self.quarantine_dir = quarantine_dir
         self.quarantine_scan = quarantine_scan
         self.spark = spark
@@ -845,6 +874,33 @@ class StreamController:
                         raise
                     time.sleep(0.1 * (attempt + 1))
 
+    def _check_reason_expr(self, checks: dict[str, str]) -> F.Column:
+        """'check:<name>' of the FIRST (name-ordered) declared check the
+        row violates, NULL if none. SQL three-valued semantics (only
+        FALSE violates); op 'delete'/'rollback' rows are control events
+        and never match. Columns the predicates reference must exist —
+        use ``_fill_schema_cols`` on pre-evolution event frames first."""
+        expr = F.lit(None).cast("string")
+        for name in sorted(checks, reverse=True):
+            viol = (
+                F.coalesce(F.expr(checks[name]), F.lit(True)) == F.lit(False)
+            )
+            applies = (~F.col("op").isin("delete", "rollback")) & viol
+            expr = F.when(applies, F.lit(f"check:{name}")).otherwise(expr)
+        return expr
+
+    def _fill_schema_cols(self, df):
+        """NULL-fill table-schema columns absent from an event frame
+        (pre-evolution epochs) so check predicates analyze; returns
+        (filled_df, added_column_names) — callers drop the added columns
+        before writing so dead-letter rows keep their original shape."""
+        missing = [
+            f for f in self.table.schema.fields if f.name not in df.columns
+        ]
+        for f_ in missing:
+            df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        return df, [f.name for f in missing]
+
     def replay_quarantined(
         self,
         fix=None,
@@ -902,7 +958,19 @@ class StreamController:
         )
         if fix is not None:
             df = fix(df)
-        reason = _malformed_reason()
+        # A replayed row must never crash the merge: re-evaluate the
+        # table's CURRENT check set (regardless of check_policy — the
+        # abort policy guards ingest, but here the row is already
+        # dead-lettered and "still violating" is the honest disposition).
+        cur_checks = self.table.checks()
+        added: list[str] = []
+        if cur_checks:
+            df, added = self._fill_schema_cols(df)
+            reason = F.coalesce(
+                _malformed_reason(), self._check_reason_expr(cur_checks)
+            )
+        else:
+            reason = _malformed_reason()
         df = df.withColumn("_still", reason).persist()
         try:
             is_rb = F.col("_still").isNull() & (F.col("op") == "rollback")
@@ -917,6 +985,8 @@ class StreamController:
                     good.drop(*drop), epoch_id=None,
                     strategy=self._auto_pick
                     if self.merge_strategy == "auto" else self.merge_strategy,
+                    # _still already re-evaluated the current check set
+                    enforce_checks=not cur_checks,
                 )
             # rewrite the dead-letter dir: stage remaining rows, clear the
             # covered partitions, move the stage in (see docstring order)
@@ -931,7 +1001,7 @@ class StreamController:
                             )
                         ),
                     )
-                    .drop("_still")
+                    .drop("_still", *added)
                     .write.partitionBy("_src_epoch")
                     .mode("overwrite")
                     .parquet(tmp)
@@ -1166,8 +1236,17 @@ class StreamController:
         # Footer null-count stats prove most groups clean, so the extra
         # scan is skipped entirely in the common case ('footer' mode).
         n_quarantined = 0
+        # Domain-check diversion shares the envelope divert's write (one
+        # pass, one reason column, same idempotent pre-clear): checks are
+        # not footer-provable, so an active 'quarantine' policy forces the
+        # scan every group.
+        q_checks = (
+            self.table.checks()
+            if self.check_policy == "quarantine" else {}
+        )
         if self.quarantine_dir is not None and (
             self.quarantine_scan == "always"
+            or q_checks
             or any(m.get("maybe_malformed") for m in metas)
         ):
             # The dead-letter layout is partitioned by the SOURCE epoch
@@ -1195,9 +1274,18 @@ class StreamController:
                 d = os.path.join(self.quarantine_dir, f"_src_epoch={e}")
                 if os.path.isdir(d):
                     shutil.rmtree(d)
+            if q_checks:
+                qdf, added = self._fill_schema_cols(df)
+                reason_col = F.coalesce(
+                    _malformed_reason(), self._check_reason_expr(q_checks)
+                )
+            else:
+                qdf, added = df, []
+                reason_col = _malformed_reason()
             (
-                df.withColumn("quarantine_reason", _malformed_reason())
+                qdf.withColumn("quarantine_reason", reason_col)
                 .where(F.col("quarantine_reason").isNotNull())
+                .drop(*added)
                 .withColumn("_src_epoch", src_epoch)
                 .write.partitionBy("_src_epoch")
                 .option("partitionOverwriteMode", "dynamic")
@@ -1226,15 +1314,25 @@ class StreamController:
                 # with the evidence already on disk in the dead-letter
                 # dir. Deterministic error — never retried.
                 raise ValueError(
-                    f"{n_quarantined} malformed event(s) inside a "
+                    f"{n_quarantined} diverted event(s) inside a "
                     f"hash-chained log (dead-lettered under "
-                    f"{self.quarantine_dir}): a missing event breaks "
-                    f"chain continuity, so this is upstream chain "
-                    f"corruption the quarantine cannot skip; repair the "
-                    f"log (or drop the consensus columns) and re-run"
+                    f"{self.quarantine_dir}): a missing event — whether "
+                    f"malformed or check-violating — breaks chain "
+                    f"continuity, so this is upstream chain corruption "
+                    f"the quarantine cannot skip; repair the log (or "
+                    f"drop the consensus columns) and re-run"
                 )
             if n_quarantined:
-                df = df.where(_malformed_reason().isNull())
+                if q_checks:
+                    fdf, added = self._fill_schema_cols(df)
+                    df = fdf.where(
+                        F.coalesce(
+                            _malformed_reason(),
+                            self._check_reason_expr(q_checks),
+                        ).isNull()
+                    ).drop(*added)
+                else:
+                    df = df.where(_malformed_reason().isNull())
 
         # rollback events are rare and tiny; the footer pass proves their
         # absence for most epochs (rollback_to_seq all-null), so this scan —
@@ -1359,6 +1457,8 @@ class StreamController:
                             epoch_id=last_epoch if is_last else None,
                             manifest=manifest,
                             strategy=strategy,
+                            # quarantine policy already diverted violators
+                            enforce_checks=not q_checks,
                         )
                     else:
                         # tenant mode: the fence + manifest live in a
@@ -1377,6 +1477,7 @@ class StreamController:
                                 if is_last
                                 else None
                             ),
+                            enforce_checks=not q_checks,
                         )
                 # the winners/events ratio only means "in-batch dedup" for a
                 # clean merge-on-read commit: cow rewrites whole buckets

@@ -182,6 +182,15 @@ def main() -> None:
                          "pass through); 'always': every group pays one "
                          "filtered scan and catches those too (streaming "
                          "mode always behaves like 'always')")
+    ap.add_argument("--check-policy", default="abort",
+                    choices=["abort", "quarantine"],
+                    help="disposition of CHECK-constraint violations "
+                         "(LakeTable.set_check): 'abort' raises "
+                         "CheckViolationError before anything lands; "
+                         "'quarantine' diverts violating insert/update "
+                         "events to --quarantine-dir (required) with "
+                         "reason 'check:<name>' and merges the clean "
+                         "remainder (batch controller only)")
     ap.add_argument("--branch", default=None,
                     help="ingest onto a named BRANCH of the state table "
                          "(created at the current head if absent): blue/"
@@ -206,6 +215,8 @@ def main() -> None:
     if args.quarantine_dir is not None:
         tenant_kw["quarantine_dir"] = args.quarantine_dir
         tenant_kw["quarantine_scan"] = args.quarantine_scan
+    if args.check_policy != "abort":
+        tenant_kw["check_policy"] = args.check_policy
     if args.tenant_col is not None:
         if args.tenant_id is None:
             ap.error("--tenant-col requires --tenant-id")
@@ -508,6 +519,10 @@ def main() -> None:
         if args.metrics_dir:
             ap.error("--metrics-dir journals from the batch controller; "
                      "drop --streaming")
+        if args.check_policy != "abort":
+            ap.error("--check-policy quarantine uses the batch "
+                     "controller; streaming merges keep the abort "
+                     "policy (CheckViolationError fails the query)")
         from hemera_indexer_spark.streaming.structured import StructuredIngest
 
         q = StructuredIngest(
