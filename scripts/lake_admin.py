@@ -12,6 +12,11 @@ Usage:
     python scripts/lake_admin.py TABLE_ROOT fsck [--deep]
     python scripts/lake_admin.py TABLE_ROOT scan-report [--keys K,K...]
         [--range COL:LO:HI ...] [--seq-at-least N]
+    python scripts/lake_admin.py TABLE_ROOT checks
+    python scripts/lake_admin.py TABLE_ROOT check-set NAME=PREDICATE
+    python scripts/lake_admin.py TABLE_ROOT check-drop NAME
+    python scripts/lake_admin.py TABLE_ROOT sql "SELECT ... FROM t ..."
+        [--limit N]
     python scripts/lake_admin.py TABLE_ROOT clone DEST
     python scripts/lake_admin.py TABLE_ROOT purge KEY[,KEY...] [--keep-last N]
     python scripts/lake_admin.py TABLE_ROOT expire [--keep-last N]
@@ -154,7 +159,7 @@ def main():
         "verb",
         choices=[
             "health", "history", "tag", "rollback", "analyze", "fsck",
-            "scan-report",
+            "scan-report", "checks", "check-set", "check-drop", "sql",
             "clone", "purge", "expire", "vacuum",
             "compact", "pack", "maintain", "truncate", "staged", "publish",
             "discard",
@@ -205,6 +210,8 @@ def main():
                          "bound empty for one-sided; repeatable)")
     ap.add_argument("--seq-at-least", type=int, default=None,
                     help="scan-report: seq-fence pruning floor")
+    ap.add_argument("--limit", type=int, default=100,
+                    help="sql: max rows printed (driver-side cap)")
     args = ap.parse_args()
 
     from hemera_indexer_spark.lake import LakeTable
@@ -246,6 +253,30 @@ def main():
         )
         t.tag(args.arg, version=args.version)
         out = {"tagged": args.arg, "version": tagged_version}
+    elif args.verb == "checks":
+        out = {"checks": t.checks()}
+    elif args.verb == "check-set":
+        if not args.arg or "=" not in args.arg:
+            ap.error("check-set requires NAME=PREDICATE")
+        name, pred = args.arg.split("=", 1)
+        t.set_check(name, pred)
+        out = {"check_set": name, "predicate": pred}
+    elif args.verb == "check-drop":
+        if not args.arg:
+            ap.error("check-drop requires a NAME")
+        t.drop_check(args.arg)
+        out = {"check_dropped": args.arg}
+    elif args.verb == "sql":
+        # ad-hoc SQL over the table: registered as view `t` (resolved
+        # live rows), pinned at the current snapshot for this one query
+        if not args.arg:
+            ap.error("sql requires a QUERY (the table is view `t`)")
+        v = t.register_view("t")
+        rows = [
+            r.asDict(recursive=True)
+            for r in spark.sql(args.arg).limit(args.limit).collect()
+        ]
+        out = {"version": v, "rows": rows, "n": len(rows)}
     elif args.verb == "fsck":
         out = t.fsck(deep=args.deep)
     elif args.verb == "scan-report":
