@@ -275,6 +275,7 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
 import os
 
 TOK_LEN = 12
+TOK_CAP = 64  # CHECK-constraint cap: every normal row satisfies it
 
 
 def _write_epoch(log_dir, epoch, rows):
@@ -331,6 +332,10 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
     table = LakeTable.create(
         spark, str(tmp_path / "lake"), SEQUENCES_SCHEMA, num_buckets=4
     )
+    # active CHECK for the whole walk: every normal row satisfies it, so
+    # the fold oracle is unchanged and violations (append_chk) must take
+    # the dead-letter path alongside envelope malformations
+    table.set_check("tok_cap", f"tokens IS NULL OR size(tokens) <= {TOK_CAP}")
     tenants = (1, 2)
     logs = {t: str(tmp_path / f"log{t}") for t in tenants}
     for d in logs.values():
@@ -363,8 +368,9 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
     seq = 0
     committed_max_seq = 0
     clones = 0
+    rebuilds = 0
 
-    def append_epoch(t, with_bad, with_dup):
+    def append_epoch(t, with_bad, with_dup, with_chk=False):
         nonlocal seq
         rows = []
         for _ in range(rng.randint(2, 5)):
@@ -399,6 +405,13 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
                     ]
                 )
                 rows.append(bad)
+        if with_chk:
+            # valid envelope, CHECK-violating payload (tokens over the
+            # cap) on a FRESH key -> must dead-letter, never fold
+            seq += 1
+            rows.append(
+                (f"t{t}_chk{seq}", "update", seq, [seq] * (TOK_CAP + 1))
+            )
         e = next_epoch[t]
         next_epoch[t] += 1
         _write_epoch(logs[t], e, rows)
@@ -419,13 +432,18 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
             spark, table, logs[t], 1,
             tenant_col="chain_id", tenant_id=t,
             quarantine_dir=qdirs[t], quarantine_scan="always",
+            check_policy="quarantine",
             sinks=[sink, ssink],
         ).run()
         had_pending = bool(pending[t])
         for rows in pending[t]:
             driven_epoch[t] += 1
             for k, op, s, tok in sorted(rows, key=lambda r: r[2]):
-                if k is None or op not in ("update", "delete"):
+                if (
+                    k is None
+                    or op not in ("update", "delete")
+                    or (tok is not None and len(tok) > TOK_CAP)
+                ):
                     expected_quar[t] += 1
                     continue
                 cur = model[t].get(k)
@@ -503,8 +521,10 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
             op = "append"
         elif r < 0.42:
             op = "append_bad"
-        elif r < 0.52:
+        elif r < 0.50:
             op = "append_dup"
+        elif r < 0.56:
+            op = "append_chk"
         elif r < 0.74:
             op = "drive"
         elif r < 0.80:
@@ -527,6 +547,8 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
             append_epoch(t, with_bad=True, with_dup=False)
         elif op == "append_dup":
             append_epoch(t, with_bad=False, with_dup=True)
+        elif op == "append_chk":
+            append_epoch(t, with_bad=False, with_dup=False, with_chk=True)
         elif op == "drive":
             drive(t)
         elif op == "compact":
@@ -558,6 +580,25 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
                 committed_max_seq += 1
                 tt = int(k[1])
                 model[tt][k] = (committed_max_seq, None, True)
+                # RTBF reaches derived artifacts too: the signature /
+                # secondary indexes hold shingle hashes and sorted
+                # projections OF THE PURGED PAYLOAD, and purge's
+                # aggressive expire (required — retained snapshots would
+                # vacuum-protect the payload) breaks incremental sync by
+                # design. The operator playbook is a rebuild from the
+                # post-purge table, which purges the index content and
+                # resets the sync cursor in one move.
+                rebuilds += 1
+                for tt2 in tenants:
+                    idx[tt2] = SignatureIndex.build_from_table(
+                        spark, str(tmp_path / f"idx{tt2}_r{rebuilds}"),
+                        table, text_col="tokens", k=8, bands=2,
+                        num_buckets=4,
+                    )
+                sidx = SecondaryIndex.build_from_table(
+                    spark, str(tmp_path / f"sidx_r{rebuilds}"), table,
+                    "n_tok", num_buckets=4,
+                )
         elif op == "clone":
             clones += 1
             c = table.clone_to(str(tmp_path / f"clone{clones}"))
