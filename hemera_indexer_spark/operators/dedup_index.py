@@ -465,6 +465,74 @@ class SignatureIndex:
             wide.unpersist()
             ch.unpersist()
 
+    def apply_purge(
+        self,
+        purged_ids: list,
+        source: LakeTable,
+        physical: bool = True,
+        keep_last: int = 1,
+    ) -> dict:
+        """Fast-forward the index across a source ``purge_keys`` (RTBF)
+        in O(purged keys) — the scalable alternative to a full rebuild.
+
+        ``purge_keys`` must expire the source's pre-purge snapshots
+        (retaining them would vacuum-protect the purged payload), which
+        makes ``changes_since`` from any pre-purge cursor impossible BY
+        DESIGN. But the purge mutated only the purged keys — its
+        compact/expire/vacuum tail is pure reorganization — so the
+        complete index maintenance is: tombstone those keys' signature
+        rows (their band values are DERIVED FROM the purged payload and
+        must go too) and fast-forward the sync cursor to the post-purge
+        head, fenced in one commit. Requires the index to have been in
+        sync at the moment of the purge (the documented sync-then-purge
+        retention discipline); anything else changed since the old
+        cursor would be silently missed — rebuild instead.
+
+        ``physical=True`` finishes the RTBF: compact (the tombstone
+        survives with NULL bands — no derived content), expire all but
+        ``keep_last`` index snapshots and vacuum, so no retained index
+        file holds the purged doc's band values. ``physical=False``
+        leaves ordinary tombstones (payload-derived bands linger in
+        pre-compaction files until maintenance). Admission REPORTS
+        written by SignatureIndexSink are outside the index and need
+        their own scrub if they may reference purged ids."""
+        if self.synced_version() < 0:
+            raise ValueError(
+                "index has never synced; apply_purge fast-forwards an "
+                "in-sync cursor — build_from_table() first"
+            )
+        target = source.snapshot["version"]
+        if self.synced_version() >= target:
+            return {"applied": False,
+                    "synced_version": self.synced_version()}
+        spark = self.table.spark
+        kt = next(
+            f.dataType for f in self.table.schema.fields
+            if f.name == "doc_id"
+        )
+        ids = spark.createDataFrame(
+            [(i,) for i in purged_ids],
+            T.StructType([T.StructField("doc_id", kt)]),
+        )
+        rows = ids.select(
+            "doc_id",
+            F.lit(target).cast("long").alias("seq"),
+            F.lit("delete").alias("op"),
+            *[
+                F.lit(None).cast("string").alias(c)
+                for c in _band_cols(self.k, self.bands)
+            ],
+        )
+        applied = self.table.merge_upsert(rows, epoch_id=target)
+        out = {"applied": applied, "synced_version": self.synced_version()}
+        if physical and applied:
+            self.table.compact()
+            out["snapshots_expired"] = self.table.expire_snapshots(
+                keep_last=keep_last
+            )
+            out["files_vacuumed"] = self.table.vacuum_orphans()
+        return out
+
     # --------------------------------------------------------------- lookup
     def candidates(
         self,

@@ -172,6 +172,60 @@ class SecondaryIndex:
             properties_update=properties_update,
         )
 
+    def apply_purge(
+        self,
+        purged_ids: list,
+        source: LakeTable,
+        physical: bool = True,
+        keep_last: int = 1,
+    ) -> dict:
+        """Fast-forward across a source ``purge_keys`` (RTBF) in
+        O(purged keys) — same contract as
+        ``SignatureIndex.apply_purge``: the purge's aggressive snapshot
+        expire breaks ``changes_since`` by design, but only the purged
+        keys changed, so tombstoning them at the post-purge head version
+        (one fenced commit) is complete maintenance. Requires the index
+        to have been in sync at the purge (sync-then-purge discipline).
+
+        ``physical=True`` finishes the RTBF: ``maintain()`` compacts the
+        maintenance table AND rewrites the sorted projection (which
+        holds the purged key's value — it must go too), then expires all
+        but ``keep_last`` index snapshots and vacuums."""
+        if self.synced_version() < 0:
+            raise ValueError(
+                "index has never synced; apply_purge fast-forwards an "
+                "in-sync cursor — build_from_table() first"
+            )
+        target = source.snapshot["version"]
+        if self.synced_version() >= target:
+            return {"applied": False,
+                    "synced_version": self.synced_version()}
+        key, vc = self.key_col, self.value_col
+        kt = next(
+            f.dataType for f in self.table.schema.fields if f.name == key
+        )
+        ids = self.table.spark.createDataFrame(
+            [(i,) for i in purged_ids],
+            T.StructType([T.StructField(key, kt)]),
+        )
+        rows = ids.select(
+            F.col(key),
+            F.lit(target).cast("long").alias("seq"),
+            F.lit("delete").alias("op"),
+            F.lit(None).cast(
+                self.table.schema[vc].dataType.simpleString()
+            ).alias(vc),
+        )
+        applied = self.table.merge_upsert(rows, epoch_id=target)
+        out = {"applied": applied, "synced_version": self.synced_version()}
+        if physical and applied:
+            self.maintain()
+            out["snapshots_expired"] = self.table.expire_snapshots(
+                keep_last=keep_last
+            )
+            out["files_vacuumed"] = self.table.vacuum_orphans()
+        return out
+
     def maintain(self, n_files: int | None = None) -> None:
         """Compact the maintenance table (value-clustered for row-group
         locality) and rewrite the sorted projection: ``n_files`` range

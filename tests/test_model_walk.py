@@ -368,7 +368,6 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
     seq = 0
     committed_max_seq = 0
     clones = 0
-    rebuilds = 0
 
     def append_epoch(t, with_bad, with_dup, with_chk=False):
         nonlocal seq
@@ -576,6 +575,14 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
             )
             if live:
                 k = rng.choice(live)
+                # the sync-then-purge discipline (apply_purge's contract):
+                # bring every consumer's cursor to the head WHILE history
+                # is still retained, then purge, then fast-forward
+                for tt2 in tenants:
+                    if idx[tt2].synced_version() < table.snapshot["version"]:
+                        idx[tt2].update_from_changes(table, text_col="tokens")
+                if sidx.synced_version() < table.snapshot["version"]:
+                    sidx.update_from_changes(table)
                 table.purge_keys([k])
                 committed_max_seq += 1
                 tt = int(k[1])
@@ -585,20 +592,13 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
                 # projections OF THE PURGED PAYLOAD, and purge's
                 # aggressive expire (required — retained snapshots would
                 # vacuum-protect the payload) breaks incremental sync by
-                # design. The operator playbook is a rebuild from the
-                # post-purge table, which purges the index content and
-                # resets the sync cursor in one move.
-                rebuilds += 1
+                # design. apply_purge is the O(purged) playbook: drop the
+                # derived rows and fast-forward the cursor in one fenced
+                # commit (tests/test_index_purge.py proves the equality
+                # law vs a full rebuild).
                 for tt2 in tenants:
-                    idx[tt2] = SignatureIndex.build_from_table(
-                        spark, str(tmp_path / f"idx{tt2}_r{rebuilds}"),
-                        table, text_col="tokens", k=8, bands=2,
-                        num_buckets=4,
-                    )
-                sidx = SecondaryIndex.build_from_table(
-                    spark, str(tmp_path / f"sidx_r{rebuilds}"), table,
-                    "n_tok", num_buckets=4,
-                )
+                    idx[tt2].apply_purge([k], table)
+                sidx.apply_purge([k], table)
         elif op == "clone":
             clones += 1
             c = table.clone_to(str(tmp_path / f"clone{clones}"))
