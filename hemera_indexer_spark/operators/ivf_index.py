@@ -290,6 +290,60 @@ class IVFIndex:
         finally:
             ch.unpersist()
 
+    def apply_purge(
+        self,
+        purged_ids: list,
+        source: LakeTable,
+        physical: bool = True,
+        keep_last: int = 1,
+    ) -> dict:
+        """Fast-forward across a source ``purge_keys`` (RTBF) in
+        O(purged keys) — same contract as ``SignatureIndex.apply_purge``:
+        the purge's aggressive snapshot expire breaks ``changes_since``
+        by design, but only the purged keys changed, so tombstoning
+        their assignment rows (the cell is derived from the purged
+        embedding) at the post-purge head is complete maintenance.
+        Requires sync-at-purge (sync-then-purge discipline); rebuild
+        otherwise. Tombstones stamp the SYNC slot of the widened seq
+        domain (2*version) so a later retrain at the same version still
+        out-sequences them. Note ``drift()`` measures from
+        ``trained_version``, whose snapshot the purge likely expired —
+        the next quantizer decision after a purge should be
+        ``retrain()``, not ``maybe_retrain()``."""
+        if self.synced_version() < 0:
+            raise ValueError(
+                "index has never synced; apply_purge fast-forwards an "
+                "in-sync cursor — build_from_table() first"
+            )
+        target = source.snapshot["version"]
+        if self.synced_version() >= target:
+            return {"applied": False,
+                    "synced_version": self.synced_version()}
+        kt = next(
+            f.dataType for f in self.table.schema.fields
+            if f.name == "vec_id"
+        )
+        ids = self.table.spark.createDataFrame(
+            [(i,) for i in purged_ids],
+            T.StructType([T.StructField("vec_id", kt)]),
+        )
+        rows = ids.select(
+            "vec_id",
+            F.lit(self._seq_for(target, trained=False))
+            .cast("long").alias("seq"),
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("int").alias("cell"),
+        )
+        applied = self.table.merge_upsert(rows, epoch_id=target)
+        out = {"applied": applied, "synced_version": self.synced_version()}
+        if physical and applied:
+            self.table.compact()
+            out["snapshots_expired"] = self.table.expire_snapshots(
+                keep_last=keep_last
+            )
+            out["files_vacuumed"] = self.table.vacuum_orphans()
+        return out
+
     def drift(self, source: LakeTable, id_col: str = "vec_id") -> float:
         """Fraction of the corpus whose rows changed since the quantizer was
         TRAINED: distinct changed keys since ``trained_version`` over the

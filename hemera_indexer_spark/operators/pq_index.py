@@ -296,6 +296,54 @@ class PQIndex:
         )
         return changed / max(self.rows_at_train(), 1)
 
+    def apply_purge(
+        self,
+        purged_ids: list,
+        source: LakeTable,
+        physical: bool = True,
+        keep_last: int = 1,
+    ) -> dict:
+        """Fast-forward across a source ``purge_keys`` (RTBF) in
+        O(purged keys) — same contract as ``SignatureIndex.apply_purge``:
+        tombstone the purged keys' code rows (PQ codes are a lossy
+        ENCODING of the purged embedding and must be forgotten) at the
+        post-purge head, fenced in one commit. Requires sync-at-purge;
+        rebuild otherwise. Physical mode compacts + expires + vacuums so
+        no retained index file holds the purged codes."""
+        if self.synced_version() < 0:
+            raise ValueError(
+                "index has never synced; apply_purge fast-forwards an "
+                "in-sync cursor — build_from_table() first"
+            )
+        target = source.snapshot["version"]
+        if self.synced_version() >= target:
+            return {"applied": False,
+                    "synced_version": self.synced_version()}
+        kt = next(
+            f.dataType for f in self.table.schema.fields
+            if f.name == "vec_id"
+        )
+        ids = self.table.spark.createDataFrame(
+            [(i,) for i in purged_ids],
+            T.StructType([T.StructField("vec_id", kt)]),
+        )
+        rows = ids.select(
+            "vec_id",
+            F.lit(self._seq_for(target, trained=False))
+            .cast("long").alias("seq"),
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("array<int>").alias("codes"),
+        )
+        applied = self.table.merge_upsert(rows, epoch_id=target)
+        out = {"applied": applied, "synced_version": self.synced_version()}
+        if physical and applied:
+            self.table.compact()
+            out["snapshots_expired"] = self.table.expire_snapshots(
+                keep_last=keep_last
+            )
+            out["files_vacuumed"] = self.table.vacuum_orphans()
+        return out
+
     def retrain(
         self,
         source: LakeTable,

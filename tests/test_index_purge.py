@@ -165,3 +165,105 @@ def test_secondary_index_apply_purge(spark, tmp_path):
     assert sidx.update_from_changes(src)
     got2 = {r["doc_id"] for r in sidx.lookup(9, 11).collect()}
     assert got2 == {"a", "b", "c", "e"}
+
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("is_deleted", T.BooleanType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _mk_vec_source(spark, root):
+    t = LakeTable.create(
+        spark, str(root), VEC_SCHEMA, num_buckets=4, key_col="vec_id"
+    )
+    t.bulk_load(
+        spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding").limit(200)
+    )
+    return t
+
+
+def _vec_merge(t, spark, rows, epoch):
+    t.merge_upsert(
+        spark.createDataFrame(
+            rows, "vec_id long, seq long, embedding array<float>, op string"
+        ),
+        epoch_id=epoch,
+    )
+
+
+def test_ivf_index_apply_purge(spark, tmp_path):
+    from hemera_indexer_spark.operators.ivf_index import IVFIndex
+
+    src = _mk_vec_source(spark, tmp_path / "src")
+    idx = IVFIndex.build_from_table(spark, str(tmp_path / "idx"), src, ncells=4)
+    victim = src.current_state().select("vec_id").head()["vec_id"]
+
+    src.purge_keys([victim])
+    with pytest.raises(FileNotFoundError):
+        idx.update_from_changes(src)
+
+    out = idx.apply_purge([victim], src)
+    assert out["applied"] and out["synced_version"] == src.snapshot["version"]
+    assert idx.assignments().where(f"vec_id = {victim}").count() == 0
+    # disk-level: no retained index file pairs the victim with a cell
+    for f in glob.glob(
+        os.path.join(str(tmp_path / "idx"), "**", "*.parquet"),
+        recursive=True,
+    ):
+        tb = pq.read_table(f)
+        if {"vec_id", "cell"} <= set(tb.schema.names):
+            for r in tb.to_pylist():
+                assert not (
+                    r["vec_id"] == victim and r["cell"] is not None
+                ), f
+    # cursor whole again: post-purge commits sync incrementally against
+    # the FROZEN quantizer (centroids rode the snapshot untouched)
+    _vec_merge(
+        src, spark,
+        [(999999, 50, [float(d % 7) - 3.0 for d in range(64)], "update")],
+        epoch=1,
+    )
+    assert idx.update_from_changes(src)
+    assert idx.assignments().where("vec_id = 999999").count() == 1
+
+
+def test_pq_index_apply_purge(spark, tmp_path):
+    from hemera_indexer_spark.operators.pq_index import PQIndex
+
+    src = _mk_vec_source(spark, tmp_path / "src")
+    idx = PQIndex.build_from_table(
+        spark, str(tmp_path / "idx"), src, in_dim=64, m=8, ks=16
+    )
+    victim = src.current_state().select("vec_id").head()["vec_id"]
+
+    src.purge_keys([victim])
+    with pytest.raises(FileNotFoundError):
+        idx.update_from_changes(src)
+
+    out = idx.apply_purge([victim], src)
+    assert out["applied"]
+    assert idx.codes().where(f"vec_id = {victim}").count() == 0
+    for f in glob.glob(
+        os.path.join(str(tmp_path / "idx"), "**", "*.parquet"),
+        recursive=True,
+    ):
+        tb = pq.read_table(f)
+        if {"vec_id", "codes"} <= set(tb.schema.names):
+            for r in tb.to_pylist():
+                assert not (
+                    r["vec_id"] == victim and r["codes"] is not None
+                ), f
+    _vec_merge(
+        src, spark,
+        [(999999, 50, [float(d % 7) - 3.0 for d in range(64)], "update")],
+        epoch=1,
+    )
+    assert idx.update_from_changes(src)
+    assert idx.codes().where("vec_id = 999999").count() == 1
