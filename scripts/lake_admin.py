@@ -19,6 +19,9 @@ Usage:
         [--limit N]
     python scripts/lake_admin.py TABLE_ROOT clone DEST
     python scripts/lake_admin.py TABLE_ROOT purge KEY[,KEY...] [--keep-last N]
+        [--sig-index R[,R]] [--sec-index R] [--ivf-index R] [--pq-index R]
+        (associated indexes are synced BEFORE the purge and
+        apply_purge'd after — the complete RTBF playbook in one command)
     python scripts/lake_admin.py TABLE_ROOT expire [--keep-last N]
     python scripts/lake_admin.py TABLE_ROOT vacuum
     python scripts/lake_admin.py TABLE_ROOT compact [--strategy sql|jvm]
@@ -212,6 +215,18 @@ def main():
                     help="scan-report: seq-fence pruning floor")
     ap.add_argument("--limit", type=int, default=100,
                     help="sql: max rows printed (driver-side cap)")
+    ap.add_argument("--sig-index", default=None,
+                    help="purge: SignatureIndex root(s), comma-separated — "
+                         "synced before the purge, apply_purge'd after")
+    ap.add_argument("--sec-index", default=None,
+                    help="purge: SecondaryIndex root(s)")
+    ap.add_argument("--ivf-index", default=None,
+                    help="purge: IVFIndex root(s)")
+    ap.add_argument("--pq-index", default=None,
+                    help="purge: PQIndex root(s)")
+    ap.add_argument("--text-col", default="text",
+                    help="purge: SignatureIndex text column for the "
+                         "pre-purge sync")
     args = ap.parse_args()
 
     from hemera_indexer_spark.lake import LakeTable
@@ -350,10 +365,55 @@ def main():
             keys = [int(k) for k in keys]
         elif isinstance(kt, (T.FloatType, T.DoubleType)):
             keys = [float(k) for k in keys]
+        # sync-then-purge: derived indexes fast-forward via apply_purge
+        # AFTER the purge, but their cursors must be at the head BEFORE
+        # history expires — sync each one first, while it still can.
+        idx_objs = []
+        for spec, loader in (
+            (args.sig_index, "SignatureIndex"),
+            (args.sec_index, "SecondaryIndex"),
+            (args.ivf_index, "IVFIndex"),
+            (args.pq_index, "PQIndex"),
+        ):
+            if not spec:
+                continue
+            if loader == "SignatureIndex":
+                from hemera_indexer_spark.operators.dedup_index import (
+                    SignatureIndex as cls,
+                )
+            elif loader == "SecondaryIndex":
+                from hemera_indexer_spark.operators.secondary_index import (
+                    SecondaryIndex as cls,
+                )
+            elif loader == "IVFIndex":
+                from hemera_indexer_spark.operators.ivf_index import (
+                    IVFIndex as cls,
+                )
+            else:
+                from hemera_indexer_spark.operators.pq_index import (
+                    PQIndex as cls,
+                )
+            for root in spec.split(","):
+                idx_objs.append((root, cls.load(spark, root)))
+        for root, ix in idx_objs:
+            if ix.synced_version() >= t.snapshot["version"]:
+                continue
+            kind = type(ix).__name__
+            if kind == "SignatureIndex":
+                ix.update_from_changes(t, text_col=args.text_col)
+            elif kind in ("IVFIndex", "PQIndex"):
+                ix.update_from_changes(
+                    t, id_col=args.id_col, vec_col=args.vec_col
+                )
+            else:
+                ix.update_from_changes(t)
         out = t.purge_keys(
             keys,
             keep_last=args.keep_last if args.keep_last is not None else 1,
         )
+        out["indexes"] = {
+            root: ix.apply_purge(keys, t) for root, ix in idx_objs
+        }
     elif args.verb == "widen":
         if not args.arg:
             ap.error("widen requires COL:TYPE[,COL:TYPE...] "
