@@ -1,0 +1,215 @@
+"""Changelog APPLY: replicate a LakeTable from its exported envelope feed.
+
+``ChangelogExportSink`` (streaming/sinks.py) is the egress half of the
+WAL loop: after each committed group it writes the state table's net
+change feed as Debezium-shaped envelope directories
+
+    chg_v<from>_<to>/  rows (<key>, op c|u|d, before, after,
+                             version_from, version_to, epoch)
+
+``LakeMirror`` is the ingress half: it tails those directories and
+applies them to a DESTINATION LakeTable, giving cross-region replication
+/ disaster recovery / blue-green reader promotion over nothing but the
+feed — the consumer never touches the source table's files (the
+reference ships state to downstreams by re-exporting from PG,
+/root/reference/indexer/exporters/postgres_item_exporter.py:23-70; the
+envelope feed is that export bus re-expressed as data files).
+
+Replica ordering law — the WHOLE point of this module: the replica's LWW
+seq domain is ``version_to`` (the SOURCE SNAPSHOT VERSION), never the
+source rows' own seqs. The feed is a NET feed; a source rollback
+RETRACTS a key to an older image whose payload seq is LOWER than what
+the replica already holds, so folding on payload seq would silently keep
+the rolled-back value forever. Folding on version_to makes every later
+envelope beat every earlier one, and re-applying the same envelope tie
+(target-wins) — idempotent by the same law every sink in this engine
+uses. (This is the SignatureIndex round-stamping discipline,
+operators/dedup_index.py, applied to whole-row replication.)
+
+Crash/retry discipline: one ``merge_upsert(epoch_id=version_to)`` per
+envelope directory — the replica's manifest epoch (source-version
+domain) is the sync cursor, and the snapshot flip commits data + cursor
+atomically. A re-driven apply of an already-applied directory is fenced
+to a no-op; a crash between directories re-drives from the cursor.
+Schema evolution rides the feed: a directory whose ``after`` struct
+carries new fields additively evolves the replica first (idempotent,
+commit-free when already present).
+
+Gaps fail loudly: each directory must chain (``version_from`` == the
+replica's cursor). A vacuumed/missing intermediate directory would
+otherwise silently produce a replica that disagrees with the source for
+every key whose change fell in the hole.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..lake.table import LakeTable
+
+# Non-key columns every envelope directory carries (ChangelogExportSink.sync)
+_ENVELOPE_COLS = frozenset(
+    {"op", "before", "after", "version_from", "version_to", "epoch"}
+)
+# Replica-side seq column: the source snapshot version each row was last
+# touched at. Prefixed to stay clear of any source payload column.
+MIRROR_SEQ_COL = "_src_version"
+
+
+class FeedGapError(RuntimeError):
+    """An envelope directory is missing between the replica's cursor and
+    the next available directory — applying across the hole would
+    silently lose every change inside it."""
+
+
+class LakeMirror:
+    """Apply a ``ChangelogExportSink`` feed to a replica LakeTable.
+
+    ``LakeMirror(spark, feed_dir, dest_root).sync()`` creates the replica
+    on first contact (schema inferred from the first envelope directory)
+    and applies every pending directory in version order. Safe to re-run
+    from cron/CLI at any cadence; each run costs O(new envelope rows).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        feed_dir: str,
+        dest_root: str,
+        num_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.feed_dir = feed_dir
+        self.dest_root = dest_root
+        self.num_buckets = num_buckets
+        self.dest: LakeTable | None = (
+            LakeTable.load(spark, dest_root)
+            if os.path.exists(os.path.join(dest_root, "meta"))
+            else None
+        )
+
+    # ------------------------------------------------------------ cursor
+    @property
+    def applied_version(self) -> int:
+        """Source snapshot version the replica is synced to (-1: none)."""
+        if self.dest is None:
+            return -1
+        return self.dest.snapshot["manifest"]["epoch_id"]
+
+    def pending(self) -> list[tuple[int, int, str]]:
+        """Envelope directories newer than the cursor, version-ordered."""
+        out = []
+        for d in os.listdir(self.feed_dir):
+            if not d.startswith("chg_v"):
+                continue
+            parts = d[len("chg_v"):].split("_")
+            v_from, v_to = int(parts[0]), int(parts[1])
+            if v_to > self.applied_version:
+                out.append((v_from, v_to, os.path.join(self.feed_dir, d)))
+        return sorted(out, key=lambda t: t[1])
+
+    # -------------------------------------------------------------- sync
+    def sync(self) -> int:
+        """Apply all pending envelope directories; returns how many."""
+        n = 0
+        for v_from, v_to, path in self.pending():
+            cursor = self.applied_version
+            if cursor >= 0 and v_from != cursor:
+                raise FeedGapError(
+                    f"envelope chain break: replica is at source version "
+                    f"{cursor} but the next directory covers "
+                    f"v{v_from}->v{v_to}; the feed for "
+                    f"v{cursor}->v{v_from} is missing from {self.feed_dir}"
+                )
+            self._apply_dir(path, v_to)
+            n += 1
+        return n
+
+    # --------------------------------------------------------- internals
+    @staticmethod
+    def _key_col(env: DataFrame) -> str:
+        keys = [c for c in env.columns if c not in _ENVELOPE_COLS]
+        if len(keys) != 1:
+            raise ValueError(
+                f"not an envelope directory: expected exactly one key "
+                f"column besides {sorted(_ENVELOPE_COLS)}, got {keys}"
+            )
+        return keys[0]
+
+    @staticmethod
+    def _payload_fields(env: DataFrame) -> list[T.StructField]:
+        # ``after`` carries the full state row minus the key; is_deleted
+        # is the replica table's OWN internal column (op 'd' encodes
+        # deletion in the feed), so it is never a payload field.
+        after = next(f for f in env.schema.fields if f.name == "after")
+        return [
+            f for f in after.dataType.fields if f.name != "is_deleted"
+        ]
+
+    def _ensure_dest(self, env: DataFrame, key: str) -> LakeTable:
+        if self.dest is not None:
+            return self.dest
+        key_type = next(
+            f.dataType for f in env.schema.fields if f.name == key
+        )
+        fields = [
+            T.StructField(key, key_type),
+            T.StructField(MIRROR_SEQ_COL, T.LongType()),
+            T.StructField("is_deleted", T.BooleanType(), False),
+            *[
+                T.StructField(f.name, f.dataType, True)
+                for f in self._payload_fields(env)
+            ],
+        ]
+        self.dest = LakeTable.create(
+            self.spark,
+            self.dest_root,
+            T.StructType(fields),
+            num_buckets=self.num_buckets,
+            key_col=key,
+            seq_col=MIRROR_SEQ_COL,
+            properties={"mirror_feed": self.feed_dir},
+        )
+        return self.dest
+
+    def _apply_dir(self, path: str, v_to: int) -> None:
+        # Each directory is read with ITS OWN schema (never mergeSchema):
+        # pre-evolution directories legitimately carry narrower images.
+        env = self.spark.read.parquet(path)
+        key = self._key_col(env)
+        dest = self._ensure_dest(env, key)
+        if key != dest.key_col:
+            raise ValueError(
+                f"feed key column {key!r} != replica key column "
+                f"{dest.key_col!r} — wrong feed for this replica?"
+            )
+        payload = self._payload_fields(env)
+        new_fields = [
+            f for f in payload if f.name not in dest.schema.fieldNames()
+        ]
+        if new_fields:
+            dest.evolve_schema(new_fields)  # idempotent, additive
+        upd = env.select(
+            F.col(key),
+            F.lit(v_to).cast("long").alias(MIRROR_SEQ_COL),
+            F.when(F.col("op") == "d", F.lit("delete"))
+            .when(F.col("op") == "c", F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+            *[F.col(f"after.{f.name}").alias(f.name) for f in payload],
+        )
+        # Fence = the replica manifest epoch in the SOURCE-VERSION domain;
+        # snapshot flip commits rows + cursor atomically, so a re-driven
+        # directory is a clean no-op and a crash resumes exactly here.
+        dest.merge_upsert(upd, epoch_id=v_to)
+
+    # ------------------------------------------------------------- reads
+    def state(self, strategy: str = "sql") -> DataFrame:
+        """The replica, shaped like the SOURCE's ``current_state`` (the
+        mirror bookkeeping column dropped)."""
+        if self.dest is None:
+            raise FileNotFoundError("mirror has not synced yet")
+        return self.dest.current_state(strategy).drop(MIRROR_SEQ_COL)
