@@ -708,6 +708,65 @@ def q_secidx_lookup(spark, sf):
     return idx.lookup(200, 260)
 
 
+def q_cdc_mirror(spark, sf):
+    """The full replication loop (streaming/mirror.py): a deterministic
+    CDC stream derived from ``events`` merges into a SOURCE LakeTable in
+    two epochs; a ChangelogExportSink exports Debezium-shaped envelope
+    directories after each; LakeMirror applies the feed to a REPLICA
+    table. The query returns the REPLICA's state — so a green row proves
+    merge -> net-change export -> fenced apply end-to-end equals the
+    plain LWW fold the oracle states (deletes drop, latest seq wins).
+    Built once per sf dir under /tmp (the q_secidx pattern)."""
+    import hashlib as _h
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hemera_indexer_spark.lake.table import LakeTable
+    from hemera_indexer_spark.streaming.mirror import LakeMirror
+    from hemera_indexer_spark.streaming.sinks import ChangelogExportSink
+
+    tag = _h.md5(f"{sf}|cdcmirror".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"hemera_q_mirror_{tag}")
+    feed, replica = os.path.join(root, "feed"), os.path.join(root, "replica")
+    done = os.path.join(root, "_BUILT")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        schema = T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("seq", T.LongType()),
+                T.StructField("is_deleted", T.BooleanType(), False),
+                T.StructField("val", T.DoubleType()),
+                T.StructField("typ", T.StringType()),
+            ]
+        )
+        src = LakeTable.create(
+            spark, os.path.join(root, "src"), schema, num_buckets=8,
+            key_col="k", seq_col="seq",
+        )
+        sink = ChangelogExportSink(src, feed)  # cursor at v0: full feed
+        stream = _t(spark, sf, "events").select(
+            (F.col("user_id") % 200).alias("k"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_id") % 13 == 0, F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+            F.col("value").alias("val"),
+            F.col("event_type").alias("typ"),
+        )
+        # two commits -> two envelope directories -> multi-dir apply
+        src.merge_upsert(stream.where(F.col("seq") % 2 == 0), epoch_id=0)
+        sink.sync(epoch=0)
+        src.merge_upsert(stream.where(F.col("seq") % 2 == 1), epoch_id=1)
+        sink.sync(epoch=1)
+        LakeMirror(spark, feed, replica).sync()
+        with open(done, "w") as f:
+            f.write("ok")
+    m = LakeMirror(spark, feed, replica)
+    return m.state().select("k", "seq", "val", "typ")
+
+
 def q_ivf_index_topk(spark, sf):
     """The PERSISTED IVF path (operators/ivf_index.py): quantizer trained
     ONCE into a LakeTable-backed index (centroids ride the snapshot as a
@@ -2221,16 +2280,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # starting at "pricing_summary" (all green in CORRECTNESS_r04.json);
     # round 5 rotates never-driver-checked queries to the front so the union
     # of per-round driver artifacts covers as much of the registry as the
-    # 50-row window allows. With 112 entries and 103 attested across rounds
+    # 50-row window allows. With 113 entries and 103 attested across rounds
     # 1-4, the round-5 window holds 50 never-checked entries (moving_avg /
     # rollup_agg / quantile_stats were already attested in round 3 and moved
     # to the attested block below, making room for semantic_dedup /
-    # pq_index_topk / leakage_split). Union after round 5 = 103/112; the
-    # nine past slot 50 (video_frame_stats, quantile_sketch, bm25_topk,
+    # pq_index_topk / leakage_split). Union after round 5 = 103/113; the
+    # ten past slot 50 (video_frame_stats, quantile_sketch, bm25_topk,
     # pagerank_top, pq_adc_topk, dsir_topk, quality_classifier,
-    # span_corruption, fim_transform) would rotate to the front in any
-    # future window. The local oracle gate (tests/test_queries_oracle.py)
-    # always runs ALL 112 entries regardless, and every one is green there.
+    # span_corruption, fim_transform, cdc_mirror) would rotate to the front
+    # in any future window. The local oracle gate
+    # (tests/test_queries_oracle.py) runs ALL 113 entries regardless, and
+    # every one is green there.
     return {
         "zonemap_range_scan": q_zonemap_range_scan,
         "zorder_box_scan": q_zorder_box_scan,
@@ -2291,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "span_corruption": q_span_corruption,
         "fim_transform": q_fim_transform,
+        "cdc_mirror": q_cdc_mirror,
         # --- driver-attested in rounds 1-4 (CORRECTNESS_r01..r04) ---
         "moving_avg": q_moving_avg,
         "rollup_agg": q_rollup_agg,
@@ -4403,6 +4464,22 @@ def _oracle_sql_literal() -> dict[str, str]:
         "pq_adc_topk": _pq_oracle(),
         "dsir_topk": _dsir_oracle(),
         "quality_classifier": _classifier_oracle(),
+        "cdc_mirror": """
+            WITH s AS (
+                SELECT user_id % 200 AS k,
+                       event_id AS seq,
+                       (event_id % 13 = 0) AS is_del,
+                       value AS val,
+                       event_type AS typ
+                FROM events
+            ),
+            w AS (
+                SELECT *, row_number() OVER
+                         (PARTITION BY k ORDER BY seq DESC) AS rn
+                FROM s
+            )
+            SELECT k, seq, val, typ FROM w WHERE rn = 1 AND NOT is_del
+        """,
         "fim_transform": """
             WITH t AS (
                 SELECT doc_id,

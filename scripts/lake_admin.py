@@ -18,6 +18,9 @@ Usage:
     python scripts/lake_admin.py TABLE_ROOT sql "SELECT ... FROM t ..."
         [--limit N]
     python scripts/lake_admin.py TABLE_ROOT clone DEST
+    python scripts/lake_admin.py REPLICA_ROOT mirror FEED_DIR
+        (apply a ChangelogExportSink envelope feed to a replica table —
+        created on first sync; re-run at any cadence, O(new envelopes))
     python scripts/lake_admin.py TABLE_ROOT purge KEY[,KEY...] [--keep-last N]
         [--sig-index R[,R]] [--sec-index R] [--ivf-index R] [--pq-index R]
         (associated indexes are synced BEFORE the purge and
@@ -172,6 +175,7 @@ def main():
             "ivf-maintain",
             "cat-create", "cat-register", "cat-versions", "cat-publish",
             "cat-recover", "cat-advance", "cat-fsck",
+            "mirror",
         ],
     )
     ap.add_argument("arg", nargs="?", default=None,
@@ -240,6 +244,24 @@ def main():
         return
     if args.verb.startswith("cat-"):
         print(json.dumps(_catalog(spark, args)))
+        return
+    if args.verb == "mirror":
+        # TABLE_ROOT is the REPLICA root (created on first sync); arg is
+        # the envelope feed directory a ChangelogExportSink writes.
+        from hemera_indexer_spark.streaming.mirror import LakeMirror
+
+        if not args.arg:
+            ap.error("mirror requires a FEED_DIR")
+        m = LakeMirror(spark, args.arg, args.table_root,
+                       num_buckets=args.num_buckets)
+        applied = m.sync()
+        print(json.dumps({
+            "mirrored": args.table_root,
+            "feed": args.arg,
+            "dirs_applied": applied,
+            "source_version": m.applied_version,
+            "rows": m.dest.stats_row_count(),
+        }))
         return
     t = LakeTable.load(spark, args.table_root)
 
