@@ -16,15 +16,21 @@ reference ships state to downstreams by re-exporting from PG,
 envelope feed is that export bus re-expressed as data files).
 
 Replica ordering law — the WHOLE point of this module: the replica's LWW
-seq domain is ``version_to`` (the SOURCE SNAPSHOT VERSION), never the
-source rows' own seqs. The feed is a NET feed; a source rollback
-RETRACTS a key to an older image whose payload seq is LOWER than what
-the replica already holds, so folding on payload seq would silently keep
-the rolled-back value forever. Folding on version_to makes every later
-envelope beat every earlier one, and re-applying the same envelope tie
-(target-wins) — idempotent by the same law every sink in this engine
-uses. (This is the SignatureIndex round-stamping discipline,
-operators/dedup_index.py, applied to whole-row replication.)
+seq domain is ``2 * version_to`` (the SOURCE SNAPSHOT VERSION, widened),
+never the source rows' own seqs. The feed is a NET feed; a source
+rollback RETRACTS a key to an older image whose payload seq is LOWER
+than what the replica already holds, so folding on payload seq would
+silently keep the rolled-back value forever. Folding on the source
+version makes every later envelope beat every earlier one, and
+re-applying the same envelope tie (target-wins) — idempotent by the same
+law every sink in this engine uses. The domain is WIDENED (even slots
+for syncs) for the same reason IVFIndex widens its
+(operators/ivf_index.py): a replica-side ``purge_keys`` stamps its
+tombstone at footer-max + 1 — the ODD slot between two sync versions —
+so a key re-inserted in the source right after a purge still wins on the
+replica instead of tying with the purge tombstone and losing.
+(SignatureIndex round-stamping, operators/dedup_index.py, applied to
+whole-row replication.)
 
 Crash/retry discipline: one ``merge_upsert(epoch_id=version_to)`` per
 envelope directory — the replica's manifest epoch (source-version
@@ -39,6 +45,15 @@ Gaps fail loudly: each directory must chain (``version_from`` == the
 replica's cursor). A vacuumed/missing intermediate directory would
 otherwise silently produce a replica that disagrees with the source for
 every key whose change fell in the hole.
+
+RTBF rides the chain: a source ``purge_keys`` breaks ``changes_since``
+by design (pre-purge snapshots must expire), so the exporter ships a
+PURGE DIRECTORY instead (``ChangelogExportSink.apply_purge`` — keys
+only, NO images: a right-to-be-forgotten feed must not re-export the
+payload it is deleting). The mirror recognizes it and runs a real
+``purge_keys`` on the replica — tombstone + compact + expire + vacuum,
+so no retained REPLICA file holds the purged payload either — then
+fast-forwards the cursor, fenced.
 """
 
 from __future__ import annotations
@@ -50,9 +65,10 @@ from pyspark.sql import types as T
 
 from ..lake.table import LakeTable
 
-# Non-key columns every envelope directory carries (ChangelogExportSink.sync)
+# Non-key columns an envelope directory may carry: the sync shape
+# (ChangelogExportSink.sync) plus the purge marker (apply_purge dirs)
 _ENVELOPE_COLS = frozenset(
-    {"op", "before", "after", "version_from", "version_to", "epoch"}
+    {"op", "before", "after", "version_from", "version_to", "epoch", "purge"}
 )
 # Replica-side seq column: the source snapshot version each row was last
 # touched at. Prefixed to stay clear of any source payload column.
@@ -194,7 +210,9 @@ class LakeMirror:
             dest.evolve_schema(new_fields)  # idempotent, additive
         upd = env.select(
             F.col(key),
-            F.lit(v_to).cast("long").alias(MIRROR_SEQ_COL),
+            # widened domain: syncs land on EVEN slots; a replica-side
+            # purge tombstone (footer max + 1) takes the odd slot between
+            F.lit(2 * v_to).cast("long").alias(MIRROR_SEQ_COL),
             F.when(F.col("op") == "d", F.lit("delete"))
             .when(F.col("op") == "c", F.lit("insert"))
             .otherwise(F.lit("update"))
@@ -204,6 +222,21 @@ class LakeMirror:
         # Fence = the replica manifest epoch in the SOURCE-VERSION domain;
         # snapshot flip commits rows + cursor atomically, so a re-driven
         # directory is a clean no-op and a crash resumes exactly here.
+        if "purge" not in env.columns:
+            dest.merge_upsert(upd, epoch_id=v_to)
+            return
+        # Purge directory (ChangelogExportSink.apply_purge): every row is
+        # a keys-only 'd' envelope. The replica PHYSICALLY forgets — a
+        # plain tombstone would leave the purged payload readable in
+        # pre-compaction replica files — and the driver collect is
+        # O(purged keys), the same bound purge_keys takes as input.
+        # ORDER IS LOAD-BEARING: purge FIRST, fenced cursor merge LAST.
+        # A crash after the purge re-drives into an idempotent re-purge;
+        # the reverse order would fence the re-drive out after a crash
+        # and silently skip the physical purge forever.
+        keys = [r[0] for r in env.select(key).collect()]
+        if keys:
+            dest.purge_keys(keys)
         dest.merge_upsert(upd, epoch_id=v_to)
 
     # ------------------------------------------------------------- reads

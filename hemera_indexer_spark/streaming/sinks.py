@@ -40,6 +40,7 @@ import shutil
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from hemera_indexer_spark.functions import bucket_col
 from hemera_indexer_spark.lake import LakeTable
@@ -819,6 +820,61 @@ class ChangelogExportSink:
             .parquet(dest)
         )
         self._write_cursor(to, epoch)
+        return True
+
+    def apply_purge(self, purged_keys: list) -> bool:
+        """Fast-forward the export across a source ``purge_keys`` (RTBF).
+
+        The purge expires the pre-purge snapshots, so ``sync()``'s
+        ``changes_since`` from the cursor is impossible BY DESIGN — the
+        same situation ``apply_purge`` solves for the derived indexes
+        (operators/dedup_index.py:468). Only the purged keys changed, so
+        the export writes one PURGE DIRECTORY: a keys-only 'd' envelope
+        per purged key with NULL images — deliberately imageless, a
+        right-to-be-forgotten feed must not re-export the payload it is
+        deleting — plus a ``purge=true`` marker column consumers
+        (LakeMirror) use to run a physical purge on their side instead of
+        a plain tombstone. Cursor advances to the post-purge head.
+
+        Contract (sync-then-purge, same as the indexes): the export must
+        have been synced to the head at the moment of the purge; any
+        other change since the old cursor would be silently missed —
+        re-export from scratch instead."""
+        from pyspark.sql.types import StructType
+
+        self.table.refresh()
+        cur = self._load_cursor()
+        since, to = cur["version"], self.table.snapshot["version"]
+        if to <= since:
+            return False
+        if not purged_keys:
+            raise ValueError("apply_purge requires the purged key list")
+        key = self.table.key_col
+        key_type = next(
+            f.dataType for f in self.table.schema.fields if f.name == key
+        )
+        img_type = StructType(
+            [f for f in self.table.schema.fields if f.name != key]
+        )
+        spark = self.table.spark
+        ids = spark.createDataFrame(
+            [(k,) for k in purged_keys],
+            StructType([T.StructField(key, key_type)]),
+        )
+        null_img = F.lit(None).cast(img_type)
+        env = ids.select(
+            F.col(key),
+            F.lit("d").alias("op"),
+            null_img.alias("before"),
+            null_img.alias("after"),
+            F.lit(True).alias("purge"),
+            F.lit(since).alias("version_from"),
+            F.lit(to).alias("version_to"),
+            F.lit(cur["epoch"]).alias("epoch"),
+        )
+        dest = os.path.join(self.out_dir, f"chg_v{since:06d}_{to:06d}")
+        env.write.mode("overwrite").parquet(dest)
+        self._write_cursor(to, cur["epoch"])
         return True
 
     # ---------------------------------------------------------- envelope

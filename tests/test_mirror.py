@@ -168,3 +168,154 @@ def test_mirror_state_shape_matches_source(spark, tmp_path):
     assert MIRROR_SEQ_COL in m.dest.schema.fieldNames()
     # replica cursor lives in the source-version domain
     assert m.applied_version == src.snapshot["version"]
+
+
+def _replica_disk_vals(root, key_val):
+    """Every stored 'val' for a key across ALL replica parquet files —
+    the ground truth a propagated purge must empty."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                       recursive=True):
+        t = pq.read_table(p)
+        if "doc_id" not in t.column_names or "val" not in t.column_names:
+            continue
+        for row in t.to_pylist():
+            if row["doc_id"] == key_val:
+                out.append(row["val"])
+    return out
+
+
+def test_mirror_purge_propagates_physical_forget(spark, tmp_path):
+    # RTBF through the replication chain: source purge_keys ->
+    # exporter apply_purge (keys-only purge directory, NO images) ->
+    # mirror runs a REAL purge_keys on the replica. After the sync the
+    # purged payload exists in no retained replica file, and a later
+    # re-insert of the key in the source still wins on the replica
+    # (the widened seq domain: purge tombstone at the odd slot).
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), _tiny_state_schema(),
+        num_buckets=4, key_col="doc_id", seq_col="seq",
+    )
+    feed = str(tmp_path / "feed")
+    replica_root = str(tmp_path / "replica")
+    sink = ChangelogExportSink(src, feed)
+    src.merge_upsert(_upd(spark, [(1, 10, "update", "secret"),
+                                  (2, 11, "update", "keep")]))
+    sink.sync(epoch=0)
+    m = LakeMirror(spark, feed, replica_root)
+    m.sync()
+    assert _replica_disk_vals(replica_root, 1) == ["secret"]
+
+    src.purge_keys([1])
+    assert sink.apply_purge([1])
+    # purge dir carries NO payload images (RTBF feeds must not
+    # re-export what they delete)
+    pdirs = sorted(d for d in os.listdir(feed) if d.startswith("chg_v"))
+    prows = spark.read.parquet(os.path.join(feed, pdirs[-1])).collect()
+    assert all(r["purge"] and r["after"] is None and r["before"] is None
+               for r in prows)
+    assert m.sync() == 1
+    vals = _replica_disk_vals(replica_root, 1)
+    assert vals and all(v is None for v in vals)  # tombstone skeleton only
+    assert {r["doc_id"] for r in m.state().collect()} == {2}
+    _assert_same_state(src, m)
+
+    # re-insert after the purge: 2*v_next beats the replica purge
+    # tombstone's odd slot (would TIE and lose in an unwidened domain)
+    src.merge_upsert(_upd(spark, [(1, 999, "update", "reborn")]))
+    sink.sync(epoch=1)
+    m.sync()
+    got = {r["doc_id"]: r["val"] for r in m.state().collect()}
+    assert got == {1: "reborn", 2: "keep"}
+    _assert_same_state(src, m)
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_mirror_walk_matches_source(spark, tmp_path, seed):
+    # Seeded interleaving of every source verb the feed must survive:
+    # merges (upserts + deletes), compaction and rebucketing (NET-empty
+    # envelope dirs), retention at keep_last=1 (legal only because the
+    # per-step sync keeps the cursor at the head), snapshot restore
+    # (retraction envelopes), purge (apply_purge propagation) and bloom
+    # retunes (properties-only commits). After every step the exporter
+    # syncs and the replica must equal the source exactly.
+    import random
+
+    rng = random.Random(seed)
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), _tiny_state_schema(),
+        num_buckets=4, key_col="doc_id", seq_col="seq",
+    )
+    feed = str(tmp_path / "feed")
+    sink = ChangelogExportSink(src, feed)
+    m = LakeMirror(spark, feed, str(tmp_path / "replica"))
+    seq = 0
+    ops = []
+
+    def merge_batch():
+        nonlocal seq
+        rows = []
+        for _ in range(rng.randint(1, 6)):
+            k = rng.randrange(12)
+            seq += 1
+            if rng.random() < 0.25:
+                rows.append((k, seq, "delete", None))
+            else:
+                rows.append((k, seq, "update", f"v{seq}"))
+        src.merge_upsert(
+            spark.createDataFrame(
+                rows, "doc_id long, seq long, op string, val string"
+            )
+        )
+
+    merge_batch()
+    # cursor to head BEFORE any maintenance can expire the seed commit —
+    # the documented retention discipline: keep_last must retain at least
+    # the exporter's lag, and an every-step sync keeps the lag at zero
+    sink.sync(epoch=0)
+    m.sync()
+    for step in range(12):
+        r = rng.random()
+        purged = None
+        if r < 0.45:
+            op = "merge"
+            merge_batch()
+        elif r < 0.60:
+            op = "compact"
+            src.compact()
+        elif r < 0.70:
+            op = "rebucket"
+            if src.num_buckets < 16:
+                src.rebucket(src.num_buckets * 2)
+        elif r < 0.78:
+            op = "retention"
+            src.expire_snapshots(keep_last=1)
+            src.vacuum_orphans()
+        elif r < 0.86:
+            op = "rollback"
+            vs = sorted(s["version"] for s in src.snapshots())
+            if len(vs) > 1:
+                src.rollback_to(rng.choice(vs[:-1]))
+        elif r < 0.94:
+            op = "purge"
+            live = sorted(
+                r2["doc_id"] for r2 in src.current_state().collect()
+            )
+            if live:
+                purged = rng.choice(live)
+                src.purge_keys([purged])
+        else:
+            op = "bloom"
+            src.set_bloom(rng.choice([0, 512]), hashes=2)
+        ops.append(op)
+        if purged is not None:
+            sink.apply_purge([purged])
+        else:
+            sink.sync(epoch=step + 1)
+        m.sync()
+        _assert_same_state(src, m)
+    assert {"merge"} < set(ops), ops
