@@ -23,8 +23,10 @@ Usage:
         created on first sync; re-run at any cadence, O(new envelopes))
     python scripts/lake_admin.py TABLE_ROOT purge KEY[,KEY...] [--keep-last N]
         [--sig-index R[,R]] [--sec-index R] [--ivf-index R] [--pq-index R]
-        (associated indexes are synced BEFORE the purge and
-        apply_purge'd after — the complete RTBF playbook in one command)
+        [--export-feed DIR[,DIR]]
+        (associated indexes AND export feeds are synced BEFORE the purge
+        and apply_purge'd after — the complete RTBF playbook, replicas
+        included, in one command)
     python scripts/lake_admin.py TABLE_ROOT expire [--keep-last N]
     python scripts/lake_admin.py TABLE_ROOT vacuum
     python scripts/lake_admin.py TABLE_ROOT compact [--strategy sql|jvm]
@@ -228,6 +230,11 @@ def main():
                     help="purge: IVFIndex root(s)")
     ap.add_argument("--pq-index", default=None,
                     help="purge: PQIndex root(s)")
+    ap.add_argument("--export-feed", default=None,
+                    help="purge: ChangelogExportSink feed dir(s), "
+                         "comma-separated — synced before the purge, then "
+                         "shipped a keys-only purge directory so replicas "
+                         "(LakeMirror) physically forget too")
     ap.add_argument("--text-col", default="text",
                     help="purge: SignatureIndex text column for the "
                          "pre-purge sync")
@@ -429,12 +436,27 @@ def main():
                 )
             else:
                 ix.update_from_changes(t)
+        # export feeds follow the same sync-then-purge discipline: their
+        # cursor must reach the head while pre-purge snapshots still exist
+        feeds = []
+        if args.export_feed:
+            from hemera_indexer_spark.streaming.sinks import (
+                ChangelogExportSink,
+            )
+
+            for fd in args.export_feed.split(","):
+                s = ChangelogExportSink(t, fd)
+                s.sync(epoch=s.committed_epoch())
+                feeds.append((fd, s))
         out = t.purge_keys(
             keys,
             keep_last=args.keep_last if args.keep_last is not None else 1,
         )
         out["indexes"] = {
             root: ix.apply_purge(keys, t) for root, ix in idx_objs
+        }
+        out["export_feeds"] = {
+            fd: s.apply_purge(keys) for fd, s in feeds
         }
     elif args.verb == "widen":
         if not args.arg:
