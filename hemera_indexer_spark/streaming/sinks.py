@@ -746,6 +746,17 @@ class ChangelogExportSink:
         # (default: the table version at sink construction — attach-time
         # semantics; pass 0 to backfill the full current state as ``c``
         # envelopes on the first sync).
+        if table.is_fact_table:
+            # The envelope shape and every consumer fold (LakeMirror's
+            # per-key LWW) assume state semantics; a fact table has no
+            # per-key uniqueness, so a mirrored fold would silently
+            # collapse its history. Append-only history replicates by
+            # file copy (clone_to / object-store replication), not by
+            # row envelopes.
+            raise ValueError(
+                "ChangelogExportSink exports STATE tables only; "
+                "replicate fact tables with clone_to or file-level copy"
+            )
         self.table = table
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)

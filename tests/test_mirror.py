@@ -319,3 +319,16 @@ def test_mirror_walk_matches_source(spark, tmp_path, seed):
         m.sync()
         _assert_same_state(src, m)
     assert {"merge"} < set(ops), ops
+
+
+def test_export_sink_refuses_fact_tables(spark, tmp_path):
+    # The envelope shape and the mirror's per-key LWW fold assume state
+    # semantics; a fact table (no per-key uniqueness) would silently
+    # collapse history. Loud at construction, not at first sync.
+    fact = LakeTable.create(
+        spark, str(tmp_path / "fact"), _tiny_state_schema(),
+        num_buckets=4, key_col="doc_id", seq_col="seq",
+        properties={"table_type": "fact"},
+    )
+    with pytest.raises(ValueError, match="STATE tables only"):
+        ChangelogExportSink(fact, str(tmp_path / "feed"))
