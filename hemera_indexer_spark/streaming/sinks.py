@@ -819,17 +819,30 @@ class ChangelogExportSink:
             if epoch > cur["epoch"]:
                 self._write_cursor(since, epoch)
             return False
-        env = self.envelope(self.table, since)
-        dest = os.path.join(
-            self.out_dir, f"chg_v{since:06d}_{to:06d}"
-        )
-        (
-            env.withColumn("version_from", F.lit(since))
-            .withColumn("version_to", F.lit(to))
-            .withColumn("epoch", F.lit(epoch))
-            .write.mode("overwrite")
-            .parquet(dest)
-        )
+        # The envelope pivot reads the feed FOUR ways (c / d / update
+        # pre-join / update post-join); without one materialization the
+        # whole changes_since fold (two snapshot resolves + a full-outer
+        # join) re-runs per branch (scripts/probe_mirror.py, BENCH.md).
+        feed = self.table.changes_since(since, cdf=True).persist()
+        try:
+            # materialize the cache with ONE action before the pivot: the
+            # four branches run inside a single write job, and partitions
+            # not yet cached when concurrent branch tasks hit them would
+            # re-run the fold per branch anyway
+            feed.count()
+            env = self._envelope_of(feed, self.table.key_col)
+            dest = os.path.join(
+                self.out_dir, f"chg_v{since:06d}_{to:06d}"
+            )
+            (
+                env.withColumn("version_from", F.lit(since))
+                .withColumn("version_to", F.lit(to))
+                .withColumn("epoch", F.lit(epoch))
+                .write.mode("overwrite")
+                .parquet(dest)
+            )
+        finally:
+            feed.unpersist()
         self._write_cursor(to, epoch)
         return True
 
@@ -892,15 +905,21 @@ class ChangelogExportSink:
     @staticmethod
     def envelope(table: LakeTable, since: int) -> DataFrame:
         """The Debezium reshape of ``changes_since(since, cdf=True)``:
-        one row per changed key with before/after images as structs. The
-        pre/post pivot is an equi-join on the key BETWEEN the two update
-        halves of the same feed — both sides come from one cached plan,
-        and updates are a subset of changed keys, so the join is bounded
-        by the net change size, never the table."""
+        one row per changed key with before/after images as structs.
+        Convenience wrapper; ``sync`` persists the feed first (the pivot
+        reads it four ways)."""
+        return ChangelogExportSink._envelope_of(
+            table.changes_since(since, cdf=True), table.key_col
+        )
+
+    @staticmethod
+    def _envelope_of(feed: DataFrame, key: str) -> DataFrame:
+        """Pivot a cdf feed into envelopes. The pre/post pivot is an
+        equi-join on the key BETWEEN the two update halves of the same
+        feed, and updates are a subset of changed keys, so the join is
+        bounded by the net change size, never the table."""
         from pyspark.sql.types import StructType
 
-        key = table.key_col
-        feed = table.changes_since(since, cdf=True)
         cols = [c for c in feed.columns if c != "change_op"]
         img_fields = [f for f in feed.schema.fields if f.name in cols and f.name != key]
         img_type = StructType(img_fields)
