@@ -106,6 +106,19 @@ class LakeMirror:
             if os.path.exists(os.path.join(dest_root, "meta"))
             else None
         )
+        if self.dest is not None and self.dest.seq_col != MIRROR_SEQ_COL:
+            # An existing table at dest_root that was NOT created by a
+            # mirror would be silently folded on the wrong column: the
+            # replica's LWW law lives in _src_version (widened source
+            # versions + purge tombstones), and a table keyed on e.g. the
+            # payload's own seq would drop deletes (after-image seq is
+            # NULL) and diverge without any error. Refuse loudly instead.
+            raise ValueError(
+                f"{dest_root} exists but is not a mirror replica: its seq "
+                f"column is {self.dest.seq_col!r}, expected "
+                f"{MIRROR_SEQ_COL!r}. Point the mirror at an empty "
+                f"dest_root and it will create the replica itself."
+            )
 
     # ------------------------------------------------------------ cursor
     @property

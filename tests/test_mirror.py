@@ -332,3 +332,25 @@ def test_export_sink_refuses_fact_tables(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="STATE tables only"):
         ChangelogExportSink(fact, str(tmp_path / "feed"))
+
+
+def test_mirror_refuses_non_replica_dest(spark, tmp_path):
+    # A pre-existing table at dest_root that was NOT created by the mirror
+    # folds on its own seq column (_src_version absent) — deletes carry a
+    # NULL after-image seq and would silently lose the LWW fold. The
+    # mirror must refuse at construction, before any envelope applies.
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), _tiny_state_schema(),
+        num_buckets=4, key_col="doc_id", seq_col="seq",
+    )
+    feed = str(tmp_path / "feed")
+    sink = ChangelogExportSink(src, feed)
+    src.merge_upsert(_upd(spark, [(1, 5, "update", "x")]))
+    sink.sync(epoch=0)
+    # an ordinary state table already lives where the replica should go
+    LakeTable.create(
+        spark, str(tmp_path / "replica"), _tiny_state_schema(),
+        num_buckets=4, key_col="doc_id", seq_col="seq",
+    )
+    with pytest.raises(ValueError, match="not a mirror replica"):
+        LakeMirror(spark, feed, str(tmp_path / "replica"))
