@@ -563,10 +563,19 @@ class LakeTable:
         the table.
 
         Cost is O(changed buckets), not O(table): both snapshots' file
-        lists are diffed per bucket first (pure metadata), only buckets
-        whose files changed are resolved on each side, and the two resolved
-        states full-outer join on the key. Net semantics: a key upserted
-        then rolled back between the versions reports nothing; a delete
+        lists are diffed per bucket first (pure metadata), and only
+        buckets whose files changed are read at all. State tables then
+        diff in ONE pass: each touched file is scanned once, tagged with
+        which snapshot(s) it belongs to, and a single per-key aggregate
+        computes BOTH versions' LWW winners (``max_by`` ignores rows
+        whose ordering is NULLed out by the membership flag). Under
+        merge-on-read the old file set is mostly a SUBSET of the new one
+        (deltas are additive until compaction), so the naive
+        resolve-twice-and-full-outer-join formulation reads and
+        sort-aggregates the shared base files twice and pays a third
+        shuffle for the join — the one-pass form halves the fold input
+        and drops the join entirely. Net semantics: a key upserted then
+        rolled back between the versions reports nothing; a delete
         reports the OLD row.
 
         ``cdf=True``: Delta-CDF-shaped feed — updates emit TWO rows
@@ -591,26 +600,28 @@ class LakeTable:
             if sorted(old_files.get(b, [])) != sorted(new_files.get(b, []))
         }
         key, seqc = self.key_col, self.seq_col
-        # evolved columns: serve the CURRENT schema on both sides (old rows
-        # yield NULLs for columns added since `version` — additive law)
-        new_side = self.resolved(strategy, buckets=touched)
-        old_side = old.resolved(strategy, buckets=touched)
-        for fld in self.schema.fields:
-            if fld.name not in old_side.columns:
-                old_side = old_side.withColumn(
-                    fld.name, F.lit(None).cast(fld.dataType)
-                )
-        # cast, not just reorder: after widen_schema the old snapshot serves
-        # the narrow type, and the fact path's exceptAll (and the state
-        # path's struct join) require exact type equality across sides
-        new_types = {f.name: f.dataType for f in new_side.schema.fields}
-        old_side = old_side.select(
-            *[F.col(c).cast(new_types[c]).alias(c) for c in new_side.columns]
-        )
         if self.is_fact_table:
             # append-only history has no per-key uniqueness: the net change
             # is the multiset difference (inserts since v, plus the rare
-            # rollback-pruned rows as deletes), on touched buckets only
+            # rollback-pruned rows as deletes), on touched buckets only.
+            # Evolved columns: serve the CURRENT schema on both sides (old
+            # rows yield NULLs for columns added since `version`), and cast
+            # — after widen_schema the old snapshot serves the narrow type
+            # and exceptAll requires exact type equality across sides.
+            new_side = self.resolved(strategy, buckets=touched)
+            old_side = old.resolved(strategy, buckets=touched)
+            for fld in self.schema.fields:
+                if fld.name not in old_side.columns:
+                    old_side = old_side.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
+            new_types = {f.name: f.dataType for f in new_side.schema.fields}
+            old_side = old_side.select(
+                *[
+                    F.col(c).cast(new_types[c]).alias(c)
+                    for c in new_side.columns
+                ]
+            )
             ins = new_side.exceptAll(old_side).select(
                 F.lit("insert").alias("change_op"), *new_side.columns
             )
@@ -618,17 +629,76 @@ class LakeTable:
                 F.lit("delete").alias("change_op"), *new_side.columns
             )
             return ins.unionByName(dels)
+        # State tables: one-pass diff. Every touched file is read ONCE
+        # under the CURRENT schema (old files yield NULLs for evolved
+        # columns and widen narrow types — the same schema-on-read law as
+        # self.read), tagged with snapshot membership, and one aggregate
+        # computes both sides' winners. The six groups (old-only / shared
+        # / new-only × base / delta) are disjoint file sets, so total scan
+        # I/O is |old ∪ new| files, not |old| + |new|.
+        state_cols = self.schema.fieldNames()
         del_col = "is_deleted"
-        has_del = del_col in new_side.columns
-        o = old_side.select(
-            F.col(key).alias("_k"),
-            F.struct(*[c for c in old_side.columns if c != key]).alias("_o"),
+        has_del = del_col in state_cols
+        by_path: dict[str, dict] = {}
+        old_set: set[str] = set()
+        new_set: set[str] = set()
+        for f in old.snapshot["files"]:
+            if f["bucket"] in touched:
+                by_path[f["path"]] = f
+                old_set.add(f["path"])
+        for f in self.snapshot["files"]:
+            if f["bucket"] in touched:
+                by_path[f["path"]] = f
+                new_set.add(f["path"])
+        parts: list[DataFrame] = []
+        for paths, in_old, in_new in (
+            (old_set & new_set, True, True),
+            (old_set - new_set, True, False),
+            (new_set - old_set, False, True),
+        ):
+            for kind, prio in (("base", 1), ("delta", 0)):
+                grp = [
+                    by_path[p]
+                    for p in sorted(paths)
+                    if by_path[p].get("kind", "base") == kind
+                ]
+                if not grp:
+                    continue
+                parts.append(
+                    self._read_entries(grp).select(
+                        "*",
+                        F.lit(prio).alias("_prio"),
+                        F.lit(in_old).alias("_in_old"),
+                        F.lit(in_new).alias("_in_new"),
+                    )
+                )
+        if not parts:
+            # no touched buckets: empty feed with the full output schema
+            parts = [
+                self.spark.createDataFrame([], self.schema).select(
+                    "*",
+                    F.lit(1).alias("_prio"),
+                    F.lit(True).alias("_in_old"),
+                    F.lit(True).alias("_in_new"),
+                )
+            ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        val = F.struct(*[F.col(c) for c in state_cols if c != key])
+        ord_o = F.when(
+            F.col("_in_old"), F.struct(F.col(seqc), F.col("_prio"))
         )
-        n = new_side.select(
-            F.col(key).alias("_k"),
-            F.struct(*[c for c in new_side.columns if c != key]).alias("_n"),
+        ord_n = F.when(
+            F.col("_in_new"), F.struct(F.col(seqc), F.col("_prio"))
         )
-        j = o.join(n, "_k", "full_outer")
+        # max_by skips rows whose ordering is NULL, so each side's argmax
+        # sees only its own snapshot's rows; a key absent from one side
+        # yields NULL there — exactly the full-outer-join shape downstream
+        j = u.groupBy(F.col(key).alias("_k")).agg(
+            F.max_by(F.when(F.col("_in_old"), val), ord_o).alias("_o"),
+            F.max_by(F.when(F.col("_in_new"), val), ord_n).alias("_n"),
+        )
         o_live = F.col("_o").isNotNull() & (
             ~F.col(f"_o.{del_col}") if has_del else F.lit(True)
         )
@@ -670,7 +740,7 @@ class LakeTable:
                     F.col("_k").alias(key),
                     *[
                         F.col(f"_e._img.{c}").alias(c)
-                        for c in new_side.columns
+                        for c in state_cols
                         if c not in (key, del_col)
                     ],
                 )
@@ -689,7 +759,7 @@ class LakeTable:
                 F.col("_k").alias(key),
                 *[
                     picked[c].alias(c)
-                    for c in new_side.columns
+                    for c in state_cols
                     if c not in (key, del_col)
                 ],
             )
