@@ -32,6 +32,11 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# BENCH_LAKE_DIR points mkdtemp at fast storage (tmpfs); create it up front
+# so a fresh box doesn't fail the first warmup mkdtemp with ENOENT.
+if os.environ.get("BENCH_LAKE_DIR"):
+    os.makedirs(os.environ["BENCH_LAKE_DIR"], exist_ok=True)
+
 
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
