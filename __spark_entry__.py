@@ -1750,12 +1750,14 @@ def q_zipf_slope(spark, sf):
 
 def q_source_sample(spark, sf):
     """Deterministic inspection panel: 10 docs per source by md5(doc_id)
-    rank — same rows on every engine/cluster size/retry
+    rank — same rows on every engine/cluster size/retry. Runs the
+    skew-safe two-phase form (hash-threshold prefilter + short-group
+    guard) so the oracle's plain-window SQL attests its exactness
     (operators/corpus.py ``per_group_sample``)."""
     from hemera_indexer_spark.operators.corpus import per_group_sample
 
     docs = _t(spark, sf, "documents")
-    return per_group_sample(docs, "source", "doc_id", k=10)
+    return per_group_sample(docs, "source", "doc_id", k=10, prefilter_factor=4)
 
 
 def q_bigram_logprob(spark, sf):

@@ -312,21 +312,71 @@ def zipf_slope(
 
 
 def per_group_sample(
-    df: DataFrame, group_col: str, id_col: str, k: int
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    prefilter_factor: int | None = None,
 ) -> DataFrame:
     """Deterministic k-per-group sample: rank rows inside each group by
     ``md5(id)`` (id as tie-break) and keep the first k. The same rows
     come back on every engine, cluster size, and retry — the property
     ``df.sample`` cannot give — which is what eval carve-outs and
-    human-inspection panels need. One window shuffle keyed by the group
-    column; no skew beyond the group sizes themselves."""
-    wr = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    human-inspection panels need.
+
+    Default form: one window shuffle keyed by the group column. Sorting
+    a whole group through a single ``row_number`` partition makes the
+    dominant group a straggler once groups reach billions of rows, so
+    ``prefilter_factor`` (use ~4) enables the exact two-phase form:
+
+    1. count each group (tiny agg), broadcast the counts;
+    2. keep only rows whose first 32 md5 bits fall under
+       ``factor * k / n`` of the hash space — the k smallest hashes of a
+       group are certainly among them whenever >= k rows survive, so the
+       window then sorts ~factor*k candidate rows per group instead of n;
+    3. exactness guard: any group with < k survivors (Chernoff-rare for
+       factor >= 4, routine for tiny groups whose fraction saturates
+       below 1 only through rounding) falls back to ranking all its
+       rows, so the result is bit-identical to the one-phase form.
+
+    No driver-side action in either form; the guard is a broadcast
+    anti/semi join on the (small) short-group set."""
+    order_hash = F.md5(F.col(id_col).cast("string"))
+    wr = Window.partitionBy(group_col).orderBy(order_hash, F.col(id_col))
+    out_cols = (group_col, id_col, "rk")
+    if prefilter_factor is None:
+        return (
+            df.withColumn("rk", F.row_number().over(wr))
+            .where(F.col("rk") <= k)
+            .select(*out_cols)
+        )
+    slim = df.select(group_col, id_col)
+    cnts = slim.groupBy(group_col).agg(F.count("*").alias("_n"))
+    # md5's leading 8 hex chars are uniform over [0, 2^32); keep a row iff
+    # hash32 < frac * 2^32. ceil via +1 keeps frac*2^32 truncation from
+    # starving a group that needed the boundary value.
+    hash32 = F.conv(F.substring(order_hash, 1, 8), 16, 10).cast("long")
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(prefilter_factor)) * F.lit(float(k)) / F.col("_n"),
+    )
+    thresh = (frac * F.lit(float(2**32))).cast("long") + F.lit(1)
+    surv = slim.join(F.broadcast(cnts), group_col).where(hash32 < thresh)
+    short = (
+        surv.groupBy(group_col)
+        .agg(F.count("*").alias("_s"))
+        .where(F.col("_s") < k)
+        .select(group_col)
+    )
+    cand = surv.select(group_col, id_col).join(
+        F.broadcast(short), group_col, "left_anti"
+    ).unionByName(
+        slim.join(F.broadcast(short), group_col, "left_semi")
     )
     return (
-        df.withColumn("rk", F.row_number().over(wr))
+        cand.withColumn("rk", F.row_number().over(wr))
         .where(F.col("rk") <= k)
-        .select(group_col, id_col, "rk")
+        .select(*out_cols)
     )
 
 

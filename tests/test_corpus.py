@@ -133,10 +133,37 @@ def test_per_group_sample_deterministic_across_partitionings(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_per_group_sample_prefilter_is_exact(spark):
+    # skewed group sizes: one dominant source, one exactly-k source, one
+    # SHORT source (n < k, every row must come back via the guard)
+    rows = (
+        [(i, "big", "w") for i in range(400)]
+        + [(1000 + i, "exact", "w") for i in range(5)]
+        + [(2000 + i, "short", "w") for i in range(2)]
+    )
+    d = _docs(spark, rows)
+    plain = sorted(
+        tuple(r) for r in per_group_sample(d, "source", "doc_id", 5).collect()
+    )
+    for factor in (1, 4):
+        fast = sorted(
+            tuple(r)
+            for r in per_group_sample(
+                d.repartition(7), "source", "doc_id", 5,
+                prefilter_factor=factor,
+            ).collect()
+        )
+        assert fast == plain, factor
+    assert sum(1 for g, _, _ in plain if g == "short") == 2
+    assert sum(1 for g, _, _ in plain if g == "big") == 5
     per_src = {}
-    for src, _, rk in a:
+    for src, _, rk in plain:
         per_src.setdefault(src, []).append(rk)
-    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_src.values())
+    assert sorted(per_src["big"]) == [1, 2, 3, 4, 5]
+    assert sorted(per_src["exact"]) == [1, 2, 3, 4, 5]
+    assert sorted(per_src["short"]) == [1, 2]
 
 
 def test_bigram_logprob_deterministic_doc_is_zero(spark):
