@@ -391,6 +391,25 @@ def q_topk_orders(spark, sf):
     )
 
 
+def q_grouped_topk(spark, sf):
+    """Top-3 orders per priority class by total price — via the
+    k-bounded two-stage aggregate (operators/lww.py ``topk_per_group``),
+    never a whole-group window sort: a dominant group reduces across all
+    tasks and at most partitions*k rows reach any final buffer. The
+    plain-window SQL oracle attests exactness."""
+    from hemera_indexer_spark.operators.lww import topk_per_group
+
+    o = _t(spark, sf, "orders")
+    return topk_per_group(
+        o,
+        keys=["o_orderpriority"],
+        order_cols=["o_totalprice"],
+        tiebreak="o_orderkey",
+        k=3,
+        payload=["o_orderstatus"],
+    )
+
+
 def q_union_dedup(spark, sf):
     """union + dropDuplicates by key (transfer-type union analog)."""
     ev = _t(spark, sf, "events")
@@ -2282,16 +2301,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # starting at "pricing_summary" (all green in CORRECTNESS_r04.json);
     # round 5 rotates never-driver-checked queries to the front so the union
     # of per-round driver artifacts covers as much of the registry as the
-    # 50-row window allows. With 113 entries and 103 attested across rounds
+    # 50-row window allows. With 114 entries and 103 attested across rounds
     # 1-4, the round-5 window holds 50 never-checked entries (moving_avg /
     # rollup_agg / quantile_stats were already attested in round 3 and moved
     # to the attested block below, making room for semantic_dedup /
-    # pq_index_topk / leakage_split). Union after round 5 = 103/113; the
-    # ten past slot 50 (video_frame_stats, quantile_sketch, bm25_topk,
+    # pq_index_topk / leakage_split). Union after round 5 = 103/114; the
+    # eleven past slot 50 (video_frame_stats, quantile_sketch, bm25_topk,
     # pagerank_top, pq_adc_topk, dsir_topk, quality_classifier,
-    # span_corruption, fim_transform, cdc_mirror) would rotate to the front
+    # span_corruption, fim_transform, cdc_mirror, grouped_topk) would
+    # rotate to the front
     # in any future window. The local oracle gate
-    # (tests/test_queries_oracle.py) runs ALL 113 entries regardless, and
+    # (tests/test_queries_oracle.py) runs ALL 114 entries regardless, and
     # every one is green there.
     return {
         "zonemap_range_scan": q_zonemap_range_scan,
@@ -2354,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": q_span_corruption,
         "fim_transform": q_fim_transform,
         "cdc_mirror": q_cdc_mirror,
+        "grouped_topk": q_grouped_topk,
         # --- driver-attested in rounds 1-4 (CORRECTNESS_r01..r04) ---
         "moving_avg": q_moving_avg,
         "rollup_agg": q_rollup_agg,
@@ -4466,6 +4487,19 @@ def _oracle_sql_literal() -> dict[str, str]:
         "pq_adc_topk": _pq_oracle(),
         "dsir_topk": _dsir_oracle(),
         "quality_classifier": _classifier_oracle(),
+        "grouped_topk": """
+            SELECT o_orderpriority, CAST(rank AS INT) AS rank,
+                   o_totalprice, o_orderkey, o_orderstatus
+            FROM (
+                SELECT o_orderpriority, o_totalprice, o_orderkey,
+                       o_orderstatus,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey DESC
+                       ) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
         "cdc_mirror": """
             WITH s AS (
                 SELECT user_id % 200 AS k,

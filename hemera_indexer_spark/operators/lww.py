@@ -80,3 +80,75 @@ def lww_latest_salted(
     )
     # final phase re-runs the same argmax on at most num_salts rows per key
     return lww_latest(partial, keys, F.col("_v"), payload)
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    tiebreak: str,
+    k: int,
+    payload: list[str] | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Exact top-k rows per group WITHOUT sorting any whole group on a
+    single task — the N>1 generalization of ``lww_latest``'s argmax.
+
+    ``lww_latest_window``'s ``row_number`` form funnels every row of a
+    group through one task's sort; a dominant group (one source holding
+    half a 100 TB corpus) becomes the job's straggler. This form keeps
+    the whole reduction k-bounded and parallel:
+
+    1. partial: ``groupBy(keys, spark_partition_id())`` + ``slice(
+       sort_array(collect_list(item)), 1, k)`` — map-side combine means
+       each task contributes at most k rows per group it saw, and a
+       dominant group's partials run across ALL tasks, not one;
+    2. final: explode the partials and re-run the same k-bounded
+       aggregate per group — at most ``input_partitions * k`` rows per
+       group reach the final buffer, independent of group size.
+
+    Ordering is struct-lexicographic over ``(*order_cols, tiebreak)``,
+    all in the same direction (``descending`` flips the whole tuple);
+    ``tiebreak`` must be unique within a group, which makes the result
+    deterministic and the trailing payload fields order-irrelevant.
+    Rows whose order columns are NULL follow Spark's struct ordering
+    (NULLs first ascending) — coalesce upstream if that is not wanted.
+    Output: keys, ``rank`` (1-based), order/tiebreak/payload columns
+    under their original names.
+    """
+    payload = payload or []
+    used = set(keys)
+    fields = []
+    for i, c in enumerate(order_cols):
+        fields.append(F.col(c).alias(f"_o{i}"))
+    fields.append(F.col(tiebreak).alias("_tb"))
+    out_payload = [c for c in payload if c not in used
+                   and c not in order_cols and c != tiebreak]
+    fields.extend(F.col(c).alias(f"_p_{c}") for c in out_payload)
+    item = F.struct(*fields)
+    bounded = F.slice(
+        F.sort_array(F.collect_list(item), asc=not descending), 1, k
+    ).alias("_t")
+    partial = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy(*keys, "_pid")
+        .agg(bounded)
+    )
+    merged = (
+        partial.select(*keys, F.explode("_t").alias("_e"))
+        .groupBy(*keys)
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("_e"), asc=not descending), 1, k
+            ).alias("_t")
+        )
+    )
+    return merged.select(
+        *keys, F.posexplode("_t").alias("_pos", "_e")
+    ).select(
+        *keys,
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+        *[F.col(f"_e._o{i}").alias(c) for i, c in enumerate(order_cols)],
+        F.col("_e._tb").alias(tiebreak),
+        *[F.col(f"_e._p_{c}").alias(c) for c in out_payload],
+    )

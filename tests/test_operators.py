@@ -31,6 +31,48 @@ def test_lww_variants_agree(spark):
     assert len(ra) == df.select("user_id").distinct().count()
 
 
+def test_topk_per_group_matches_window_and_is_partition_invariant(spark):
+    """The k-bounded two-stage top-k equals the whole-group window sort,
+    on skewed groups, regardless of input partitioning."""
+    from pyspark.sql import Window
+
+    from hemera_indexer_spark.operators.lww import topk_per_group
+
+    rows = (
+        [("big", i, float(i % 7), f"p{i}") for i in range(500)]
+        + [("mid", 1000 + i, float(i), f"p{i}") for i in range(10)]
+        + [("tiny", 2000, 5.0, "x"), ("tiny", 2001, 5.0, "y")]  # value tie
+        + [("short", 3000, 1.0, "z")]  # n < k
+    )
+    df = spark.createDataFrame(rows, "g string, id long, v double, p string")
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").desc())
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("g", "rank", "v", "id", "p")
+            .collect(),
+        )
+    )
+    for parts in (1, 7):
+        got = sorted(
+            map(
+                tuple,
+                topk_per_group(
+                    df.repartition(parts),
+                    keys=["g"],
+                    order_cols=["v"],
+                    tiebreak="id",
+                    k=3,
+                    payload=["p"],
+                ).select("g", "rank", "v", "id", "p").collect(),
+            )
+        )
+        assert got == want, parts
+    assert sum(1 for g, *_ in want if g == "short") == 1
+
+
 def test_specification_combinators(spark):
     from hemera_indexer_spark.plans import specification as S
 
