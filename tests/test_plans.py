@@ -212,3 +212,21 @@ def test_secidx_projection_lookup_pushes_predicate(spark):
     assert "n_chars" in pushed
     kept, total = idx._proj_files(200, 260)
     assert 0 < len(kept) < total
+
+
+def test_topk_per_group_plan_has_no_window_sort(spark):
+    """The k-bounded top-k must plan as two aggregates (partial per
+    (group, task), final merge) — never a whole-group Window sort."""
+    from hemera_indexer_spark.operators.lww import topk_per_group
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    out = topk_per_group(
+        df,
+        keys=["o_orderpriority"],
+        order_cols=["o_totalprice"],
+        tiebreak="o_orderkey",
+        k=3,
+    )
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
