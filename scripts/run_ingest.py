@@ -566,12 +566,30 @@ def main() -> None:
     ) if not args.streaming else 0
 
     table.refresh()
+    if args.tenant_col is not None:
+        # tenant mode: the run's cursor lives in the namespaced
+        # tenant_manifest property, not the default manifest (which
+        # stays at -1 and would misreport a successful tenant run)
+        tid = (
+            int(args.tenant_id)
+            if args.tenant_id.isdigit()
+            else args.tenant_id
+        )
+        man = json.loads(
+            table.snapshot["properties"].get(
+                f"tenant_manifest:{tid}",
+                '{"epoch_id": -1, "offsets": {}, "lineage": []}',
+            )
+        )
+    else:
+        man = table.snapshot["manifest"]
     out = {
         **({"branch": args.branch} if args.branch else {}),
-        "committed_epoch": table.committed_epoch(),
-        "offsets": table.committed_offsets(),
+        **({"tenant_id": args.tenant_id} if args.tenant_col else {}),
+        "committed_epoch": man["epoch_id"],
+        "offsets": {int(k): v for k, v in man["offsets"].items()},
         "wall_sec": round(wall, 2),
-        "lineage": table.snapshot["manifest"]["lineage"],
+        "lineage": man["lineage"],
     }
     if events:
         out["events"] = events

@@ -1,0 +1,123 @@
+"""TRUE multi-writer race: two OS processes, each its own SparkSession
+and StreamController, ingest different tenants into ONE shared state
+table at the same time.
+
+The single-process tenant test (tests/test_round4.py) interleaves runs
+sequentially; this one exercises the configuration the tenant-mode CAS
+retry (`StreamController._process_group`, tenant_cas_retries budget +
+per-tenant backoff phase) actually exists for — snapshot flips landing
+BETWEEN another controller's refresh and commit. Whatever interleaving
+the scheduler produces, the final table must equal both logs' oracles
+exactly, with neither tenant's rows, fences, or rollbacks leaking into
+the other's.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyspark.sql.functions as F
+
+from hemera_indexer_spark.lake import LakeTable
+from hemera_indexer_spark.schemas import SEQUENCES_SCHEMA
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_processes_ingest_tenants_simultaneously(spark, tmp_path):
+    from hemera_indexer_spark.oracle import expected_live_rows
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    logs = {}
+    for tenant in (1, 2):
+        spec = ChangelogSpec(
+            n_docs=150,
+            n_epochs=8,
+            events_per_epoch=200,
+            n_partitions=2,
+            seed=500 + tenant,
+            rollback_epochs=(5,),
+            doc_prefix=f"t{tenant}_doc",
+        )
+        logs[tenant] = generate_changelog(
+            str(tmp_path / f"log{tenant}"), spec
+        )
+    root = str(tmp_path / "lake")
+    # pre-create so neither worker races the CREATE itself (that race is
+    # covered by the metrics-table create/load fallback elsewhere)
+    LakeTable.create(spark, root, SEQUENCES_SCHEMA, num_buckets=8)
+
+    def worker(tenant):
+        return subprocess.Popen(
+            [
+                sys.executable, "scripts/run_ingest.py",
+                "--log-dir", logs[tenant].out_dir,
+                "--table-root", root,
+                "--partitions", "2",
+                "--num-buckets", "8",
+                "--cores", "2",
+                "--tenant-col", "chain_id",
+                "--tenant-id", str(tenant),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=REPO,
+        )
+
+    procs = {t: worker(t) for t in (1, 2)}  # launched back-to-back: overlap
+    reports = {}
+    for t, p in procs.items():
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, (t, err[-3000:])
+        reports[t] = json.loads(out.strip().splitlines()[-1])
+    for t in (1, 2):
+        assert reports[t]["committed_epoch"] == 7, reports[t]
+
+    table = LakeTable.load(spark, root)
+    state = table.current_state().cache()
+    try:
+        for tenant in (1, 2):
+            exp = expected_live_rows(logs[tenant].out_dir, 2)
+            got = sorted(
+                (
+                    r.asDict(recursive=True)
+                    for r in state.where(
+                        F.col("chain_id") == tenant
+                    ).collect()
+                ),
+                key=lambda d: d["doc_id"],
+            )
+            assert len(got) == len(exp), f"tenant {tenant} row count"
+            for g, e in zip(got, exp):
+                assert g["doc_id"] == e["doc_id"]
+                assert g["tokens"] == e["tokens"], (tenant, g["doc_id"])
+        # no rows outside the two tenants; per-tenant fences both present
+        assert state.where(~F.col("chain_id").isin(1, 2)).count() == 0
+    finally:
+        state.unpersist()
+    props = table.snapshot["properties"]
+    for t in (1, 2):
+        man = json.loads(props[f"tenant_manifest:{t}"])
+        assert man["epoch_id"] == 7, (t, man)
+    # a fresh fenced re-drive of either tenant is a clean no-op
+    rerun = subprocess.run(
+        [
+            sys.executable, "scripts/run_ingest.py",
+            "--log-dir", logs[1].out_dir,
+            "--table-root", root,
+            "--partitions", "2",
+            "--num-buckets", "8",
+            "--cores", "2",
+            "--tenant-col", "chain_id",
+            "--tenant-id", "1",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert rerun.returncode == 0, rerun.stderr[-3000:]
+    v_after = LakeTable.load(spark, root).snapshot["version"]
+    assert v_after == table.snapshot["version"]
