@@ -1024,3 +1024,47 @@ def test_fim_deterministic(spark):
     a = fim_transform(docs).collect()
     b = fim_transform(docs).collect()
     assert a == b
+
+
+def test_topk_per_group_property_matches_python_reference(spark):
+    """For ANY row multiset (duplicate values, negative/zero, ragged
+    group sizes) the two-stage top-k equals a pure-Python sort."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from hemera_indexer_spark.operators.lww import topk_per_group
+
+    row_st = st.tuples(
+        st.integers(0, 3),                 # group index
+        st.integers(-50, 50),              # order value (ties likely)
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=st.lists(row_st, min_size=1, max_size=60),
+           k=st.integers(1, 5))
+    def run(rows, k):
+        data = [(f"g{g}", i, v) for i, (g, v) in enumerate(rows)]
+        df = spark.createDataFrame(data, "g string, id long, v long")
+        got = sorted(
+            map(tuple, topk_per_group(
+                df.repartition(3), keys=["g"], order_cols=["v"],
+                tiebreak="id", k=k,
+            ).select("g", "rank", "v", "id").collect())
+        )
+        want = []
+        by_g = {}
+        for g, i, v in data:
+            by_g.setdefault(g, []).append((v, i))
+        for g, items in by_g.items():
+            items.sort(reverse=True)  # (v desc, id desc) = struct desc
+            want.extend(
+                (g, rank, v, i)
+                for rank, (v, i) in enumerate(items[:k], start=1)
+            )
+        assert got == sorted(want)
+
+    run()
