@@ -121,3 +121,94 @@ def test_two_processes_ingest_tenants_simultaneously(spark, tmp_path):
     assert rerun.returncode == 0, rerun.stderr[-3000:]
     v_after = LakeTable.load(spark, root).snapshot["version"]
     assert v_after == table.snapshot["version"]
+
+
+def test_compactor_races_tenant_writers(spark, tmp_path):
+    """Physical-layout commits racing data commits: while TWO tenant
+    ingest processes write, the main process repeatedly compacts the
+    same table. The compactor's CAS may lose any given attempt (that is
+    the contract — retry from a fresh snapshot), but no interleaving may
+    corrupt the fold: final per-tenant state must equal both oracles."""
+    import time
+
+    from hemera_indexer_spark.lake import ConcurrentCommitError
+    from hemera_indexer_spark.oracle import expected_live_rows
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    logs = {}
+    for tenant in (1, 2):
+        spec = ChangelogSpec(
+            n_docs=120,
+            n_epochs=6,
+            events_per_epoch=200,
+            n_partitions=2,
+            seed=700 + tenant,
+            doc_prefix=f"t{tenant}_doc",
+        )
+        logs[tenant] = generate_changelog(
+            str(tmp_path / f"log{tenant}"), spec
+        )
+    root = str(tmp_path / "lake")
+    table = LakeTable.create(spark, root, SEQUENCES_SCHEMA, num_buckets=8)
+
+    def worker(tenant):
+        return subprocess.Popen(
+            [
+                sys.executable, "scripts/run_ingest.py",
+                "--log-dir", logs[tenant].out_dir,
+                "--table-root", root,
+                "--partitions", "2",
+                "--num-buckets", "8",
+                "--cores", "2",
+                "--tenant-col", "chain_id",
+                "--tenant-id", str(tenant),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=REPO,
+        )
+
+    procs = {t: worker(t) for t in (1, 2)}
+    compactions = lost_races = 0
+    deadline = time.time() + 540
+    while any(p.poll() is None for p in procs.values()):
+        assert time.time() < deadline, "writers did not finish"
+        try:
+            table.refresh()
+            if table.compact():
+                compactions += 1
+        except ConcurrentCommitError:
+            lost_races += 1  # expected traffic: retry from fresh snapshot
+        time.sleep(0.3)
+    for t, p in procs.items():
+        out, err = p.communicate(timeout=60)
+        assert p.returncode == 0, (t, err[-3000:])
+        assert json.loads(out.strip().splitlines()[-1])["committed_epoch"] == 5
+
+    table.refresh()
+    state = table.current_state().cache()
+    try:
+        for tenant in (1, 2):
+            exp = expected_live_rows(logs[tenant].out_dir, 2)
+            got = sorted(
+                (
+                    r.asDict(recursive=True)
+                    for r in state.where(
+                        F.col("chain_id") == tenant
+                    ).collect()
+                ),
+                key=lambda d: d["doc_id"],
+            )
+            assert len(got) == len(exp), f"tenant {tenant} row count"
+            for g, e in zip(got, exp):
+                assert g["doc_id"] == e["doc_id"]
+                assert g["tokens"] == e["tokens"], (tenant, g["doc_id"])
+    finally:
+        state.unpersist()
+    # the race actually happened: the compactor did real work mid-run
+    # (it may also have lost CAS attempts; both counts are legitimate)
+    assert compactions + lost_races > 0
