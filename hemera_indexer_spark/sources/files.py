@@ -105,8 +105,52 @@ def write_range_files(
         ).csv(out_dir)
     elif fmt == "json":
         out.write.partitionBy("range_id").mode("overwrite").json(out_dir)
+    elif fmt == "orc":
+        # columnar interchange sink: arrays survive natively, and ORC's
+        # per-stripe min/max stats give downstream readers the same
+        # footer-pruning physics as parquet (no JSON string detour)
+        out.write.partitionBy("range_id").mode("overwrite").orc(out_dir)
     else:
         raise ValueError(f"unsupported sink format {fmt}")
+
+
+def read_columnar_changelog(
+    spark: SparkSession,
+    in_dir: str,
+    schema: T.StructType,
+    seq_range: tuple[int, int] | None = None,
+    seqs_per_file: int | None = None,
+    fmt: str = "orc",
+) -> DataFrame:
+    """Read change events back from a columnar range-file sink
+    (``write_range_files(fmt='orc')`` layout) — the columnar counterpart
+    of the CSV source, with no JSON-string token detour.
+
+    Pruning physics for a ``seq_range``: pass the sink's
+    ``seqs_per_file`` and the derived ``range_id BETWEEN floor(lo/N),
+    floor(hi/N)`` predicate becomes a PARTITION filter (directory
+    pruning — untouched ranges are never listed, the columnar analog of
+    ``prune_range_files``); the ``seq BETWEEN`` predicate additionally
+    prunes stripes/row-groups via column stats inside kept
+    directories. Without ``seqs_per_file`` only the stats-level pruning
+    applies."""
+    reader = spark.read.schema(
+        T.StructType(
+            list(schema.fields)
+            + [T.StructField("range_id", T.LongType(), True)]
+        )
+    )
+    df = reader.orc(in_dir) if fmt == "orc" else reader.parquet(in_dir)
+    if seq_range is not None:
+        lo, hi = seq_range
+        if seqs_per_file:
+            df = df.where(
+                F.col("range_id").between(
+                    lo // seqs_per_file, hi // seqs_per_file
+                )
+            )
+        df = df.where(F.col("seq").between(lo, hi))
+    return df.select(*schema.fieldNames())
 
 
 def console_sink(df: DataFrame, n: int = 20) -> None:

@@ -495,6 +495,61 @@ def test_csv_source_sink_roundtrip(spark, tmp_path):
     assert got == orig
 
 
+def test_orc_range_sink_roundtrip_and_partition_pruning(spark, tmp_path):
+    """ORC range sink: arrays survive natively (no JSON-string detour),
+    the roundtrip is lossless, and a seq_range + seqs_per_file read
+    plans a PartitionFilters entry on range_id (directory pruning)."""
+    from hemera_indexer_spark.schemas import CHANGE_EVENT_SCHEMA
+    from hemera_indexer_spark.sources.files import (
+        read_columnar_changelog,
+        write_range_files,
+    )
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    spec = ChangelogSpec(
+        n_docs=50, n_epochs=2, events_per_epoch=200, n_partitions=2,
+        schema_evolution_epoch=None, rollback_epochs=(),
+    )
+    log = str(tmp_path / "log")
+    generate_changelog(log, spec)
+    ev = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(
+        f"{log}/epoch=*/partition=*"
+    )
+    out = str(tmp_path / "orc_out")
+    write_range_files(ev, out, seqs_per_file=100, fmt="orc")
+
+    back = read_columnar_changelog(spark, out, CHANGE_EVENT_SCHEMA)
+    a = sorted(
+        (r["seq"], r["doc_id"], tuple(r["tokens"] or ()))
+        for r in ev.collect()
+    )
+    b = sorted(
+        (r["seq"], r["doc_id"], tuple(r["tokens"] or ()))
+        for r in back.collect()
+    )
+    assert a == b  # lossless incl. token arrays
+
+    pruned = read_columnar_changelog(
+        spark, out, CHANGE_EVENT_SCHEMA,
+        seq_range=(150, 249), seqs_per_file=100,
+    )
+    rows = pruned.select("seq").collect()
+    # the generator re-delivers duplicate events by design: compare the
+    # pruned read against the same predicate over the source multiset
+    want = sorted(
+        r["seq"]
+        for r in ev.where(F.col("seq").between(150, 249)).collect()
+    )
+    assert sorted(r["seq"] for r in rows) == want
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "range_id" in plan.split("PartitionFilters:")[1].splitlines()[0]
+
+
 def test_json_range_sink(spark, tmp_path):
     from hemera_indexer_spark.sources.files import write_range_files
 
