@@ -624,8 +624,11 @@ def test_ingest_walk_matches_model(spark, tmp_path, seed):
             assert table.as_of_tag(f"w{step}").current_state().count() == n_live
         check_all()
     # drain: drive both tenants so every appended epoch is asserted folded
+    # (recorded in ops — an arbitrary seed's random schedule may contain
+    # no mid-walk drive, but the drain guarantees one always happens)
     for t in (2, 1):
         drive(t)
+        ops.append(f"drive:{t}")
     # guarantee the near-dup admission machinery fired at least once:
     # duplicate a TENANT-1 live doc (all of tenant 1's commits are in
     # idx[1] after the drain drive above, so the flag is deterministic)
