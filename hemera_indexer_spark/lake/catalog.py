@@ -49,7 +49,12 @@ import uuid
 
 from pyspark.sql import SparkSession
 
-from .table import ConcurrentCommitError, LakeTable, _atomic_write
+from .table import (
+    ConcurrentCommitError,
+    LakeTable,
+    _atomic_write,
+    _publish_exclusive,
+)
 
 VERSION_FILE = "VERSION"
 TXN_FILE = "txn.json"
@@ -84,10 +89,19 @@ class LakeCatalog:
 
     def refresh(self) -> dict:
         with open(os.path.join(self.root, VERSION_FILE)) as f:
-            v = int(f.read().strip())
+            v = self._probe_head(int(f.read().strip()))
         with open(os.path.join(self.root, f"cat-{v:010d}.json")) as f:
             self._snapshot = json.load(f)
         return self._snapshot
+
+    def _probe_head(self, v: int) -> int:
+        """Same discipline as LakeTable: the commit point is the claimed
+        cat file; VERSION is a probe-forward fast-path cache."""
+        while os.path.exists(
+            os.path.join(self.root, f"cat-{v + 1:010d}.json")
+        ):
+            v += 1
+        return v
 
     @property
     def snapshot(self) -> dict:
@@ -105,15 +119,21 @@ class LakeCatalog:
                 )
         else:
             with open(vpath) as f:
-                cur = int(f.read().strip())
+                cur = self._probe_head(int(f.read().strip()))
             if cur != snap["parent"]:
                 raise ConcurrentCommitError(
                     f"catalog moved to {cur}, expected {snap['parent']}"
                 )
-        _atomic_write(
+        # the exclusive claim IS the commit (one winner per version —
+        # a concurrent register()/advance() loses loudly, never clobbers)
+        if not _publish_exclusive(
             os.path.join(self.root, f"cat-{snap['version']:010d}.json"),
             json.dumps(snap),
-        )
+        ):
+            raise ConcurrentCommitError(
+                f"catalog version {snap['version']} was claimed by a "
+                f"concurrent committer"
+            )
         _atomic_write(vpath, str(snap["version"]))
         self._snapshot = snap
 

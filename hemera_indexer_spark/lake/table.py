@@ -210,6 +210,28 @@ def _atomic_write(path: str, data: str) -> None:
     os.replace(tmp, path)
 
 
+def _publish_exclusive(path: str, data: str) -> bool:
+    """Atomically publish ``data`` at ``path`` ONLY if nothing is there
+    yet: tmp write + fsync + hard-link claim. ``os.link`` fails on an
+    existing target instead of replacing it (unlike ``os.replace``), so
+    exactly ONE concurrent publisher wins and nobody's file is silently
+    clobbered. Returns False for the losers. This is the POSIX analog of
+    an object store's conditional PUT (If-None-Match) / a metastore CAS —
+    the primitive a real deployment swaps in here."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -296,12 +318,24 @@ class LakeTable:
             )
             return self._snapshot
         with open(os.path.join(self.meta_dir, VERSION_FILE)) as f:
-            v = int(f.read().strip())
+            v = self._probe_head(int(f.read().strip()))
         snap = self._load_snap_file(
             os.path.join(self.meta_dir, f"snap-{v:010d}.json")
         )
         self._snapshot = snap
         return self._snapshot
+
+    def _probe_head(self, v: int) -> int:
+        """Resolve the true head from the VERSION fast-path cache: the
+        commit point is the exclusive snapshot-file claim, so the pointer
+        may lag (a committer crashed or stalled between claim and pointer
+        write). Probing ``snap-(v+1)`` forward is O(lag), which is 0 in
+        the steady state and tiny under contention."""
+        while os.path.exists(
+            os.path.join(self.meta_dir, f"snap-{v + 1:010d}.json")
+        ):
+            v += 1
+        return v
 
     # --------------------------------------------- two-level metadata (v2)
     def _load_snap_file(self, path: str) -> dict:
@@ -788,11 +822,17 @@ class LakeTable:
     def _write_snapshot(
         self, snap: dict, expected_parent: int | None, wap_id: str | None = None
     ) -> None:
-        """Best-effort compare-and-swap on the version pointer: the snapshot
-        only lands if VERSION still equals the version this commit was based
-        on. Single-writer is the supported model (as in the reference's
-        fix_record lock); this check makes accidental racing writers fail
-        loudly instead of losing updates.
+        """Compare-and-swap commit. The ATOMIC primitive is the exclusive
+        hard-link claim of the snapshot file (``_publish_exclusive``) —
+        exactly one committer per version wins, losers get
+        ``ConcurrentCommitError``; the VERSION pointer is a fast-path
+        cache that readers probe forward from (``_probe_head``). This
+        holds under truly concurrent multi-process writers — the tenant-mode
+        configuration (several controllers sharing one table) and any
+        maintenance actor racing them depend on it; the pre-claim parent
+        check alone had a check-to-flip window in which two committers
+        could both publish the same version and one commit silently
+        vanished (caught by tests/test_concurrent_tenants.py).
 
         ``wap_id`` (write-audit-publish): the snapshot is written as a
         STAGED file (``wap-<id>.json``) and the version pointer is NOT
@@ -823,7 +863,13 @@ class LakeTable:
             snap["format_version"] = FORMAT_VERSION
             disk = self._split_files_to_manifests(snap)
             seq = ref["head_seq"] + 1
-            _atomic_write(self._branch_snap_path(br, seq), json.dumps(disk))
+            if not _publish_exclusive(
+                self._branch_snap_path(br, seq), json.dumps(disk)
+            ):
+                raise ConcurrentCommitError(
+                    f"branch {br!r} snapshot {seq} was claimed by a "
+                    f"concurrent committer"
+                )
             # snapshot lands before the ref flip: a crash in between leaves
             # an unreachable branch snap (vacuum collects its files), never
             # a dangling head
@@ -839,7 +885,7 @@ class LakeTable:
                 raise ConcurrentCommitError(f"table already exists at {self.root}")
         else:
             with open(vpath) as f:
-                cur = int(f.read().strip())
+                cur = self._probe_head(int(f.read().strip()))
             if cur != expected_parent:
                 raise ConcurrentCommitError(
                     f"version moved to {cur}, expected {expected_parent}"
@@ -858,8 +904,21 @@ class LakeTable:
                 json.dumps(disk),
             )
             return  # pointer untouched; the live snapshot is unchanged
+        # THE COMMIT POINT: the exclusive claim of the snapshot file. The
+        # version check above is only an optimistic fast-path — two
+        # committers can both pass it off the same parent; exactly one
+        # wins the link claim, the loser gets the loud CAS error (and its
+        # data files become vacuumable orphans). VERSION below is a
+        # FAST-PATH CACHE, not the source of truth: readers probe forward
+        # from it (_probe_head), so a committer crashing between claim and
+        # pointer write — or a stalled committer writing the pointer late
+        # and briefly regressing it — never hides or loses a commit.
         spath = os.path.join(self.meta_dir, f"snap-{snap['version']:010d}.json")
-        _atomic_write(spath, json.dumps(disk))
+        if not _publish_exclusive(spath, json.dumps(disk)):
+            raise ConcurrentCommitError(
+                f"version {snap['version']} was claimed by a concurrent "
+                f"committer"
+            )
         _atomic_write(vpath, str(snap["version"]))
         self._snapshot = snap
 
@@ -3548,7 +3607,7 @@ class LakeTable:
         self._require_main("fast_forward")
         ref = self._load_branch_ref(name)
         with open(os.path.join(self.meta_dir, VERSION_FILE)) as f:
-            head = int(f.read().strip())
+            head = self._probe_head(int(f.read().strip()))
         if head != ref["base_version"]:
             raise ConcurrentCommitError(
                 f"main moved to {head}, branch {name!r} forked at "

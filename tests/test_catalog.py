@@ -449,3 +449,25 @@ def test_catalog_fsck(spark, tmp_path):
     assert ("missing_file", "b") in kinds
     # the metadata-level catalog check alone stays clean (pin retained)
     assert cat.fsck()["ok"]
+
+
+def test_catalog_claim_is_exclusive_and_probes_forward(spark, tmp_path):
+    """Same commit discipline as the table: the claimed cat file IS the
+    commit; a stale-handle write loses loudly (never clobbers), and a
+    claimed-but-unflipped catalog commit is the head readers resolve."""
+    cat, a, b = _mk(spark, tmp_path)
+    v = cat.snapshot["version"]
+    # hand-claim v+1 (committer crashed before the pointer write)
+    snap = dict(cat.snapshot)
+    snap = {"version": v + 1, "parent": v, "tables": dict(snap["tables"])}
+    with open(os.path.join(cat.root, f"cat-{v + 1:010d}.json"), "w") as f:
+        json.dump(snap, f)
+    fresh = LakeCatalog.load(spark, cat.root)
+    assert fresh.snapshot["version"] == v + 1
+    # the stale handle's next commit sees the probed head and loses loudly
+    with pytest.raises(ConcurrentCommitError):
+        cat.register("c", a.root)
+    cat.refresh()
+    assert cat.snapshot["version"] == v + 1
+    cat.register("c", a.root)  # refresh-and-retry converges
+    assert cat.snapshot["version"] == v + 2

@@ -212,3 +212,56 @@ def test_compactor_races_tenant_writers(spark, tmp_path):
     # the race actually happened: the compactor did real work mid-run
     # (it may also have lost CAS attempts; both counts are legitimate)
     assert compactions + lost_races > 0
+
+
+def test_snapshot_claim_is_exclusive_and_head_probes_forward(spark, tmp_path):
+    """The commit point is the exclusive snapshot-file claim: a commit
+    racing into an already-claimed version loses LOUDLY (never clobbers),
+    and a claimed-but-unflipped commit (committer crashed between claim
+    and pointer write) is still the head every reader resolves."""
+    import pytest
+
+    from hemera_indexer_spark.lake import ConcurrentCommitError
+    from hemera_indexer_spark.lake.table import VERSION_FILE
+
+    root = str(tmp_path / "lake")
+    t = LakeTable.create(spark, root, SEQUENCES_SCHEMA, num_buckets=4)
+
+    def batch(doc, seq):
+        return spark.createDataFrame(
+            [(doc, "upsert", seq, [seq])],
+            "doc_id string, op string, seq long, tokens array<int>",
+        )
+
+    t.merge_upsert(batch("d1", 1), epoch_id=0)
+    v = t.snapshot["version"]
+
+    # simulate a concurrent committer that claimed v+1 but crashed before
+    # writing the pointer: copy the head snapshot forward by hand
+    import shutil
+
+    src = os.path.join(root, "meta", f"snap-{v:010d}.json")
+    claimed = os.path.join(root, "meta", f"snap-{v + 1:010d}.json")
+    snap = json.load(open(src))
+    snap["version"], snap["parent"] = v + 1, v
+    with open(claimed, "w") as f:
+        json.dump(snap, f)
+
+    # a reader resolves the claimed commit as head even though VERSION
+    # still points at v
+    assert int(open(os.path.join(root, "meta", VERSION_FILE)).read()) == v
+    fresh = LakeTable.load(spark, root)
+    assert fresh.snapshot["version"] == v + 1
+
+    # a stale-handle commit loses loudly (parent check sees the probed
+    # head, and the claim itself would refuse the existing file)
+    with pytest.raises(ConcurrentCommitError):
+        t.merge_upsert(batch("d2", 2), epoch_id=1)
+
+    # refresh-and-retry converges on top of the claimed commit
+    t.refresh()
+    assert t.snapshot["version"] == v + 1
+    t.merge_upsert(batch("d2", 2), epoch_id=1)
+    assert t.snapshot["version"] == v + 2
+    docs = {r["doc_id"] for r in t.current_state().collect()}
+    assert docs == {"d1", "d2"}
