@@ -3551,13 +3551,22 @@ class LakeTable:
                 f"snapshot {v} is not retained; cannot branch from it"
             )
         # raw disk-form copy: keeps the file_manifests pointers, so the
-        # branch shares the fork point's manifests instead of re-splitting
+        # branch shares the fork point's manifests instead of re-splitting.
+        # BOTH files are claimed exclusively: two concurrent create_branch
+        # calls with the same name race to one winner; the loser raises
+        # instead of clobbering the winner's fork snapshot (the two could
+        # fork DIFFERENT heads) or its ref. A creator crashing between the
+        # two claims leaves an orphaned branch snap that blocks re-creation
+        # loudly until removed — loud beats a silently inconsistent branch.
         with open(spath) as f:
-            _atomic_write(self._branch_snap_path(name, 0), f.read())
-        _atomic_write(
+            if not _publish_exclusive(self._branch_snap_path(name, 0), f.read()):
+                raise ValueError(f"branch {name!r} already exists")
+        if not _publish_exclusive(
             self._branch_ref_path(name),
             json.dumps({"name": name, "base_version": v, "head_seq": 0}),
-        )
+        ):
+            os.remove(self._branch_snap_path(name, 0))
+            raise ValueError(f"branch {name!r} already exists")
         return self.branch(name)
 
     def branch(self, name: str) -> "LakeTable":
