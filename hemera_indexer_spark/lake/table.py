@@ -422,6 +422,90 @@ class LakeTable:
         raw = self.snapshot["properties"].get("stats_cols", "")
         return tuple(c for c in raw.split(",") if c)
 
+    # ------------------------------------------------- schema identity map
+    @property
+    def schema_id(self) -> int:
+        """Monotone schema generation. 0 until the first rename/drop; from
+        then on every schema change (including adds) bumps it, and new data
+        files are stamped with the generation they were written under
+        (``sid`` in their manifest entries) so reads can map each file's
+        PHYSICAL column names onto the current LOGICAL schema."""
+        return self.snapshot.get("schema_id", 0)
+
+    def _schema_log(self) -> list[dict]:
+        """Chronological schema-change ops ({sid, op, ...}). Empty for
+        tables that never renamed/dropped a column — the read fast path."""
+        return self.snapshot.get("schema_log", [])
+
+    @staticmethod
+    def _physical_name(col: str, sid: int, log: list[dict]) -> str | None:
+        """Name under which current logical column ``col`` is stored in a
+        file written at schema generation ``sid`` — or None if that
+        incarnation of the column did not exist yet (added, or
+        dropped-then-re-added, after the file was written; the read
+        NULL-fills it, which is what keeps a re-added column from
+        resurrecting stale physical data, the job Iceberg gives field IDs).
+
+        Walks the log backwards through every op NEWER than ``sid``:
+        renames rewrite the tracked name; an add of the tracked name means
+        the column postdates the file."""
+        name = col
+        for e in reversed(log):
+            if e["sid"] <= sid:
+                break
+            op = e["op"]
+            if op == "rename" and e["new"] == name:
+                name = e["old"]
+            elif op == "add" and name in e["cols"]:
+                return None
+        return name
+
+    @staticmethod
+    def _resolve_stale(name: str, log: list[dict]) -> str | None:
+        """Forward walk: what became of a column a WRITER still calls
+        ``name``? Chases rename chains to the current name, goes None on a
+        drop, and snaps back to ``name`` if the original name was later
+        re-added (the writer then targets the new incarnation)."""
+        alive: str | None = name
+        for e in log:
+            op = e["op"]
+            if op == "rename":
+                if alive is not None and e["old"] == alive:
+                    alive = e["new"]
+            elif op == "drop":
+                if alive is not None and e["col"] == alive:
+                    alive = None
+            elif op == "add":
+                if alive is None and name in e["cols"]:
+                    alive = name
+        return alive
+
+    def resolve_writer_column(self, name: str) -> str | None:
+        """Old-writer compatibility resolution (the name-mapping half of
+        Iceberg's field-ID story, WRITE side): the current logical column a
+        writer-supplied ``name`` should land in.
+
+        - ``name`` is in the current schema → itself (an exact match
+          always wins, even over a rename chain — the writer speaks the
+          current schema).
+        - it was renamed → the current successor name (ingest keeps
+          flowing through a rename with zero writer coordination).
+        - it was dropped → None (the value is discarded; additive
+          evolution must NOT resurrect a deliberately dropped column).
+        - never seen → itself (genuinely new column: additive-evolution
+          territory)."""
+        if name in set(self.schema.fieldNames()):
+            return name
+        log = self._schema_log()
+        if not log:
+            return name
+        tgt = self._resolve_stale(name, log)
+        if tgt is None:
+            return None
+        if tgt != name and tgt in set(self.schema.fieldNames()):
+            return tgt
+        return name
+
     def set_stats_cols(self, cols: tuple[str, ...] | list[str]) -> None:
         """Declare (or change) the zone-mapped columns on a LIVE table.
         Existing files keep their old (or missing) stats — reads stay
@@ -622,6 +706,18 @@ class LakeTable:
         hops. Fact tables ignore the flag (append-only history has no
         updates; the multiset diff already carries full images)."""
         old = self.as_of(version)
+        old_log = old.snapshot.get("schema_log", [])
+        if old_log != self._schema_log()[: len(old_log)]:
+            # only reachable via rollback_to across a rename/drop followed
+            # by a DIFFERENT schema op: the two snapshots' sid stamps no
+            # longer mean the same physical mapping, so an incremental
+            # diff could mis-map old files. The rollback verb already
+            # tells incremental consumers to re-drive; enforce it loudly.
+            raise ValueError(
+                "changes_since: schema log diverged between the requested "
+                "version and the head (rollback across a rename/drop) — "
+                "incremental consumers must rebase from a full read"
+            )
         old_files: dict[int, list[str]] = {}
         for f in old.snapshot["files"]:
             old_files.setdefault(f["bucket"], []).append(f["path"])
@@ -1023,8 +1119,14 @@ class LakeTable:
                         entries.append(p)
                         bucket_of[p] = b
         stats = self._file_stats(entries, bucket_of)
+        sid = self.schema_id
         for s in stats:
             s["kind"] = kind
+            if sid:
+                # written under the current schema generation: reads map
+                # this file's physical names through the rename log tail
+                # NEWER than sid (identity for the head generation)
+                s["sid"] = sid
         m_bits = int(
             self.snapshot["properties"].get(BLOOM_BITS_PROP, 0) or 0
         )
@@ -1122,13 +1224,20 @@ class LakeTable:
             ]
         return files
 
-    @staticmethod
-    def _zone_disjoint(entry: dict, ranges: dict) -> bool:
+    def _zone_disjoint(self, entry: dict, ranges: dict) -> bool:
         """True iff the file's zone map PROVES it holds no row in every
         requested range. Missing/None stats keep the file — pruning is a
-        performance move, never a correctness dependency."""
+        performance move, never a correctness dependency. Files written
+        before a column rename carry their stats under the OLD physical
+        name — translate through the schema log before probing (a file
+        whose generation predates the column keeps: no stats, no prune)."""
         stats = entry.get("stats") or {}
+        log = self._schema_log()
         for col, (lo, hi) in ranges.items():
+            if log:
+                col = self._physical_name(col, entry.get("sid", 0), log)
+                if col is None:
+                    continue
             mn, mx = stats.get(col) or (None, None)
             if lo is not None and mx is not None and mx < lo:
                 return True
@@ -1257,11 +1366,56 @@ class LakeTable:
 
     def _read_entries(self, files: list[dict]) -> DataFrame:
         """Scan an explicit list of snapshot file entries (the shared tail
-        of ``read`` and the bloom-pruned point-lookup path)."""
+        of ``read``, the bloom-pruned point-lookup path, ``changes_since``
+        and every maintenance rewrite).
+
+        Tables that ever ran ``rename_column``/``drop_column`` serve files
+        written under OLD schema generations through a per-generation
+        physical→logical mapping: entries are grouped by their stamped
+        ``sid``, each group is read with its own physical read schema
+        (old names, CURRENT — possibly widened — types) and projected onto
+        the current logical names, NULL-filling columns that postdate the
+        file. The no-rename case (``schema_log`` empty — every table until
+        its first rename/drop) takes the exact single-scan fast path."""
         if not files:
             return self.spark.createDataFrame([], self.schema)
-        paths = [os.path.join(self.root, f["path"]) for f in files]
-        return self.spark.read.schema(self.schema).parquet(*paths)
+        log = self._schema_log()
+        if not log:
+            paths = [os.path.join(self.root, f["path"]) for f in files]
+            return self.spark.read.schema(self.schema).parquet(*paths)
+        cur = self.schema
+        groups: dict[int, list[dict]] = {}
+        for f in files:
+            groups.setdefault(f.get("sid", 0), []).append(f)
+        parts: list[DataFrame] = []
+        for sid in sorted(groups):
+            paths = [
+                os.path.join(self.root, f["path"]) for f in groups[sid]
+            ]
+            phys_fields: list[T.StructField] = []
+            sel: list = []
+            identity = True
+            for fld in cur.fields:
+                phys = self._physical_name(fld.name, sid, log)
+                if phys is None:
+                    sel.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+                    identity = False
+                else:
+                    phys_fields.append(
+                        T.StructField(phys, fld.dataType, fld.nullable)
+                    )
+                    sel.append(F.col(phys).alias(fld.name))
+                    if phys != fld.name:
+                        identity = False
+            df = (
+                self.spark.read.schema(T.StructType(phys_fields))
+                .parquet(*paths)
+            )
+            parts.append(df if identity else df.select(*sel))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _dirty_buckets(self) -> set[int]:
         """Buckets where a key may appear in more than one file (a delta
@@ -1601,6 +1755,16 @@ class LakeTable:
         snap["version"] = self.snapshot["version"] + 1
         snap["parent"] = self.snapshot["version"]
         snap["schema"] = json.loads(new_schema.json())
+        if snap.get("schema_log"):
+            # once the rename/drop log is live, adds must be recorded too:
+            # a column re-ADDED after a drop shares its name with stale
+            # physical data in pre-drop files, and only the add's sid tells
+            # the read to NULL-fill those instead of resurrecting it
+            sid = snap.get("schema_id", 0) + 1
+            snap["schema_id"] = sid
+            snap["schema_log"].append(
+                {"sid": sid, "op": "add", "cols": [f.name for f in added]}
+            )
         self._write_snapshot(snap, expected_parent=self.snapshot["version"])
 
     def widen_schema(self, changes: dict[str, T.DataType]) -> None:
@@ -1667,6 +1831,133 @@ class LakeTable:
         snap["schema"] = json.loads(new_schema.json())
         self._write_snapshot(snap, expected_parent=self.snapshot["version"])
 
+    def _refuse_check_ref(self, verb: str, col: str) -> None:
+        import re as _re
+
+        for name, expr in (self.checks() or {}).items():
+            if _re.search(rf"\b{_re.escape(col)}\b", str(expr)):
+                raise ValueError(
+                    f"{verb}: column {col!r} is referenced by CHECK "
+                    f"{name!r} ({expr!r}); drop_check first (the stored "
+                    f"SQL would silently stop seeing the column)"
+                )
+
+    def _schema_change_snap(self) -> tuple[dict, int]:
+        """Deep-copied next snapshot with the schema generation bumped;
+        returns (snap, new_sid). Shared by rename/drop."""
+        snap = json.loads(json.dumps(dict(self.snapshot)))
+        sid = snap.get("schema_id", 0) + 1
+        snap["schema_id"] = sid
+        snap.setdefault("schema_log", [])
+        snap["version"] = self.snapshot["version"] + 1
+        snap["parent"] = self.snapshot["version"]
+        return snap, sid
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only ALTER TABLE RENAME COLUMN (Iceberg's field-ID
+        rename re-expressed for a name-mapped format): O(1 snapshot
+        commit), zero data rewritten. Files written before the rename keep
+        the old physical name and are served through a per-file-generation
+        name mapping (see ``_read_entries``); every post-rename write uses
+        the new name, and compaction/rebucket naturally migrate history to
+        it. Time travel to a pre-rename version serves the OLD name (that
+        snapshot carries the old schema + log prefix); ``changes_since``
+        across the rename boundary presents CURRENT names.
+
+        Refused for: the key column (bucket layout + bloom filters are
+        keyed on it), the seq column and ``is_deleted`` (engine control
+        columns baked into merge/fold SQL), columns referenced by CHECK
+        constraints (the stored SQL text would go stale), and branch
+        handles (main-table verb). A zone-mapped column's ``stats_cols``
+        property follows the rename in the same commit; old file entries
+        keep their stats under the physical name and pruning translates.
+
+        Operational caveat (documented, not detectable here): external
+        consumers configured BY NAME against this table — a
+        SecondaryIndex/SignatureIndex ``col=``, a StreamController
+        ``tenant_col=`` — must be reconfigured to the new name; their
+        configs live outside this table's metadata.
+
+        Reference analog: hemera-indexer renames columns with Alembic
+        ALTER TABLE (PG metadata-only, same shape)."""
+        self._require_main("rename_column")
+        cur = self.schema
+        names = set(cur.fieldNames())
+        if old not in names:
+            raise ValueError(f"rename_column: no column {old!r}")
+        if new in names:
+            raise ValueError(f"rename_column: column {new!r} already exists")
+        import re as _re
+
+        if not _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", new):
+            raise ValueError(f"rename_column: invalid column name {new!r}")
+        if old in (self.key_col, self.seq_col, "is_deleted"):
+            raise ValueError(
+                f"rename_column: {old!r} is an engine control column "
+                f"(key/seq/tombstone flag) — renaming it would desync the "
+                f"bucket layout and merge SQL; clone_to into a table "
+                f"created with the target names instead"
+            )
+        self._refuse_check_ref("rename_column", old)
+        snap, sid = self._schema_change_snap()
+        snap["schema_log"].append(
+            {"sid": sid, "op": "rename", "old": old, "new": new}
+        )
+        snap["schema"] = json.loads(
+            T.StructType(
+                [
+                    T.StructField(
+                        new if f.name == old else f.name,
+                        f.dataType,
+                        f.nullable,
+                    )
+                    for f in cur.fields
+                ]
+            ).json()
+        )
+        sc = list(self.stats_cols)
+        if old in sc:
+            snap["properties"] = dict(snap["properties"])
+            snap["properties"]["stats_cols"] = ",".join(
+                new if c == old else c for c in sc
+            )
+        self._write_snapshot(snap, expected_parent=self.snapshot["version"])
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only ALTER TABLE DROP COLUMN: O(1) snapshot commit —
+        old files keep the bytes (the read schema simply stops selecting
+        them; compaction physically sheds them over time), and a later
+        ``evolve_schema`` re-ADD of the same name is safe: the add is
+        logged at a newer generation, so pre-drop files NULL-fill the new
+        incarnation instead of resurrecting stale values (the trap that
+        makes name-matched formats refuse re-adds; field-ID semantics via
+        the schema log). Same refusals as ``rename_column`` plus
+        zone-map bookkeeping: a dropped ``stats_cols`` entry is removed."""
+        self._require_main("drop_column")
+        cur = self.schema
+        if name not in cur.fieldNames():
+            raise ValueError(f"drop_column: no column {name!r}")
+        if name in (self.key_col, self.seq_col, "is_deleted"):
+            raise ValueError(
+                f"drop_column: {name!r} is an engine control column "
+                f"(key/seq/tombstone flag) and cannot be dropped"
+            )
+        self._refuse_check_ref("drop_column", name)
+        snap, sid = self._schema_change_snap()
+        snap["schema_log"].append({"sid": sid, "op": "drop", "col": name})
+        snap["schema"] = json.loads(
+            T.StructType(
+                [f for f in cur.fields if f.name != name]
+            ).json()
+        )
+        sc = list(self.stats_cols)
+        if name in sc:
+            snap["properties"] = dict(snap["properties"])
+            snap["properties"]["stats_cols"] = ",".join(
+                c for c in sc if c != name
+            )
+        self._write_snapshot(snap, expected_parent=self.snapshot["version"])
+
     # ------------------------------------------------------------ MERGE
     def _fill_missing_columns(self, df: DataFrame) -> DataFrame:
         """Align ``df`` to the state schema at every write entry point
@@ -1675,8 +1966,26 @@ class LakeTable:
         writer still supplies at a pre-widen type (the type-widening law —
         keeps old writers valid after ``widen_schema``; the cast is exact
         by construction of ``_is_widening``). Non-widening type mismatches
-        are left untouched for Spark to reject downstream."""
+        are left untouched for Spark to reject downstream.
+
+        Old-writer name mapping: once the schema log is live, incoming
+        columns that the current schema renamed are steered into their
+        successor (writer sent both old and new → the exact match wins and
+        the stale one is discarded), and columns that were DROPPED are
+        discarded so no write path resurrects them."""
         schema = self.schema
+        log = self._schema_log()
+        if log:
+            cur = set(schema.fieldNames())
+            for c in list(df.columns):
+                if c in cur:
+                    continue
+                tgt = self._resolve_stale(c, log)
+                if tgt is None:
+                    df = df.drop(c)
+                elif tgt != c and tgt in cur:
+                    df = df.drop(c) if tgt in df.columns \
+                        else df.withColumnRenamed(c, tgt)
         df_types = {f.name: f.dataType for f in df.schema.fields}
         for c in schema.fieldNames():
             if c not in df.columns:
@@ -2241,11 +2550,9 @@ class LakeTable:
         if not packable:
             return False
         version = base["version"] + 1
-        replaced = {
-            f["path"] for b in packable for f in cand[b]
-        }
-        paths = [os.path.join(self.root, p) for p in sorted(replaced)]
-        rows = self.spark.read.schema(self.schema).parquet(*paths).withColumn(
+        packed_entries = [f for b in packable for f in cand[b]]
+        replaced = {f["path"] for f in packed_entries}
+        rows = self._read_entries(packed_entries).withColumn(
             "_bucket", bucket_col(F.col(self.key_col), self.num_buckets)
         )
         if zorder:
@@ -2570,10 +2877,8 @@ class LakeTable:
             return {"files_dropped": 0, "files_rewritten": 0}
         new_files = []
         if straddling:
-            paths = [os.path.join(self.root, f["path"]) for f in straddling]
             rows = (
-                self.spark.read.schema(self.schema)
-                .parquet(*paths)
+                self._read_entries(straddling)
                 .where(F.col(seqc) >= F.lit(cutoff))
                 .withColumn(
                     "_bucket", bucket_col(F.col(self.key_col), self.num_buckets)
@@ -2631,10 +2936,8 @@ class LakeTable:
             else "base"
         )
         replaced = {f["path"] for f in affected}
-        paths = [os.path.join(self.root, f["path"]) for f in affected]
         df = (
-            self.spark.read.schema(self.schema)
-            .parquet(*paths)
+            self._read_entries(affected)
             .where(~condition)
             .withColumn("_bucket", bucket_col(F.col(self.key_col), self.num_buckets))
         )
@@ -2701,10 +3004,8 @@ class LakeTable:
             else "base"
         )
         replaced = {f["path"] for f in affected_files}
-        paths = [os.path.join(self.root, f["path"]) for f in affected_files]
         df = (
-            self.spark.read.schema(self.schema)
-            .parquet(*paths)
+            self._read_entries(affected_files)
             .join(F.broadcast(aff), on=key, how="left_anti")
             .withColumn("_bucket", bucket_col(F.col(key), self.num_buckets))
         )
@@ -2753,6 +3054,11 @@ class LakeTable:
                 else base["properties"]
             ),
         }
+        # schema-identity metadata rides every commit (absent on tables
+        # that never renamed/dropped a column — keeps manifests identical)
+        for extra in ("schema_id", "schema_log"):
+            if extra in base:
+                snap[extra] = base[extra]
         if epoch_id is not None and manifest is None:
             m = dict(base["manifest"])
             m["epoch_id"] = epoch_id
@@ -3291,14 +3597,11 @@ class LakeTable:
                 default=0,
             )
             statless = [
-                os.path.join(self.root, f["path"])
-                for f in self.snapshot["files"]
-                if f["max_seq"] is None
+                f for f in self.snapshot["files"] if f["max_seq"] is None
             ]
             if statless:
                 row = (
-                    self.spark.read.schema(self.schema)
-                    .parquet(*statless)
+                    self._read_entries(statless)
                     .agg(F.max(F.col(seqc)).alias("m"))
                     .collect()[0]
                 )

@@ -1217,10 +1217,21 @@ class StreamController:
             consensus.HASH_COL, consensus.PARENT_COL,
         }
         state_names = set(self.table.schema.fieldNames())
+        # old-writer name mapping: an event column the table RENAMED away
+        # still flows into its successor (resolve != name), and a column
+        # the table DROPPED is discarded (resolve is None) — neither may
+        # be re-ADDed here, or the rename/drop would silently undo itself
+        # on the next batch. Only genuinely-new names (resolve == name)
+        # are additive-evolution candidates.
+        resolve = getattr(
+            self.table, "resolve_writer_column", lambda n: n
+        )
         new_cols = [
             f
             for f in ev_schema.fields
-            if f.name not in bookkeeping and f.name not in state_names
+            if f.name not in bookkeeping
+            and f.name not in state_names
+            and resolve(f.name) == f.name
         ]
         if new_cols:
             self.table.evolve_schema(new_cols)
