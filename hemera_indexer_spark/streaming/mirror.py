@@ -204,6 +204,47 @@ class LakeMirror:
         )
         return self.dest
 
+    @staticmethod
+    def _sidecar_log(path: str) -> list[dict]:
+        p = os.path.join(path, "_schema_log.json")
+        if not os.path.exists(p):
+            return []
+        import json
+
+        with open(p) as f:
+            return json.load(f).get("schema_log", [])
+
+    def _apply_schema_log(self, dest: LakeTable, log: list[dict]) -> None:
+        """Replay the source's renames/drops onto the replica BEFORE
+        merging a directory exported after them — envelope images carry
+        head-time names, so skipping this would make the additive-evolve
+        step re-ADD a renamed column and silently fork the replica's
+        state from the source's.
+
+        Applied-ness is derived from the replica's own schema (rename
+        done iff old absent + new present; drop done iff absent), which
+        makes every entry idempotent under crash re-drives without a
+        separate cursor commit. ``add`` entries are skipped: the
+        payload-driven additive evolve handles them WITH types, and the
+        replica's own schema log then protects its files from re-add
+        resurrection independently."""
+        names = set(dest.schema.fieldNames())
+        for e in log:
+            op = e["op"]
+            if op == "rename" and e["old"] in names:
+                if e["new"] in names:
+                    raise ValueError(
+                        f"mirror: cannot replay source rename "
+                        f"{e['old']!r}->{e['new']!r}: replica already has "
+                        f"both columns (feed written by a pre-sidecar "
+                        f"exporter?) — recreate the replica from scratch"
+                    )
+                dest.rename_column(e["old"], e["new"])
+                names = set(dest.schema.fieldNames())
+            elif op == "drop" and e["col"] in names:
+                dest.drop_column(e["col"])
+                names = set(dest.schema.fieldNames())
+
     def _apply_dir(self, path: str, v_to: int) -> None:
         # Each directory is read with ITS OWN schema (never mergeSchema):
         # pre-evolution directories legitimately carry narrower images.
@@ -215,6 +256,7 @@ class LakeMirror:
                 f"feed key column {key!r} != replica key column "
                 f"{dest.key_col!r} — wrong feed for this replica?"
             )
+        self._apply_schema_log(dest, self._sidecar_log(path))
         payload = self._payload_fields(env)
         new_fields = [
             f for f in payload if f.name not in dest.schema.fieldNames()

@@ -841,10 +841,30 @@ class ChangelogExportSink:
                 .write.mode("overwrite")
                 .parquet(dest)
             )
+            self._write_schema_sidecar(dest)
         finally:
             feed.unpersist()
         self._write_cursor(to, epoch)
         return True
+
+    def _write_schema_sidecar(self, dest: str) -> None:
+        """Ship the source's schema log with the envelope directory
+        (``_schema_log.json`` — the underscore keeps it invisible to
+        Spark's directory scan). Envelope images always carry HEAD-time
+        column names, so a consumer replaying the feed must apply the
+        source's renames/drops to its replica BEFORE merging a directory
+        exported after them; each directory carrying the log as of its
+        own export time makes a from-scratch replay converge through
+        every historical schema change (LakeMirror._apply_schema_log)."""
+        log = self.table.snapshot.get("schema_log", [])
+        if not log:
+            return
+        tmp = os.path.join(dest, "_schema_log.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"schema_log": log}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(dest, "_schema_log.json"))
 
     def apply_purge(self, purged_keys: list) -> bool:
         """Fast-forward the export across a source ``purge_keys`` (RTBF).
@@ -898,6 +918,7 @@ class ChangelogExportSink:
         )
         dest = os.path.join(self.out_dir, f"chg_v{since:06d}_{to:06d}")
         env.write.mode("overwrite").parquet(dest)
+        self._write_schema_sidecar(dest)
         self._write_cursor(to, cur["epoch"])
         return True
 

@@ -354,3 +354,70 @@ def test_mirror_refuses_non_replica_dest(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not a mirror replica"):
         LakeMirror(spark, feed, str(tmp_path / "replica"))
+
+
+def test_mirror_propagates_rename_and_drop(spark, tmp_path):
+    """Law (5): source rename_column/drop_column propagate through the
+    feed. Envelope images carry head-time names, so each directory ships
+    the source's schema log (`_schema_log.json` sidecar) and the mirror
+    replays unapplied renames/drops onto the replica BEFORE merging —
+    otherwise additive evolution would re-ADD a renamed column and the
+    replica would silently fork from the source."""
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), _tiny_state_schema(),
+        num_buckets=4, key_col="doc_id", seq_col="seq",
+    )
+    feed = str(tmp_path / "feed")
+    sink = ChangelogExportSink(src, feed)
+    src.merge_upsert(_upd(spark, [(1, 10, "update", "a"), (2, 11, "update", "b")]))
+    sink.sync(epoch=0)
+    m = LakeMirror(spark, feed, str(tmp_path / "replica"))
+    m.sync()
+    _assert_same_state(src, m)
+
+    # rename mid-feed; post-rename envelopes speak the NEW name
+    src.rename_column("val", "body")
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(1, 20, "update", "a2"), (3, 21, "update", "c")],
+            "doc_id long, seq long, op string, body string",
+        )
+    )
+    sink.sync(epoch=1)
+    assert m.sync() == 1
+    assert "body" in m.dest.schema.fieldNames()
+    assert "val" not in m.dest.schema.fieldNames()
+    _assert_same_state(src, m)
+    # the pre-rename replica row reads through the replica's own mapping
+    assert m.state().where("doc_id = 2").collect()[0]["body"] == "b"
+
+    # drop propagates too, and a re-add arrives as a FRESH column
+    src.drop_column("body")
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(4, 30, "update")], "doc_id long, seq long, op string"
+        )
+    )
+    sink.sync(epoch=2)
+    m.sync()
+    assert "body" not in m.dest.schema.fieldNames()
+    _assert_same_state(src, m)
+    src.evolve_schema([T.StructField("body", T.StringType(), True)])
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(5, 40, "update", "fresh")],
+            "doc_id long, seq long, op string, body string",
+        )
+    )
+    sink.sync(epoch=3)
+    m.sync()
+    _assert_same_state(src, m)
+    got = {r["doc_id"]: r["body"] for r in m.state().collect()}
+    assert got[5] == "fresh"
+    assert got[1] is None  # dropped history never resurrects on the replica
+
+    # a FROM-SCRATCH replay of the whole feed converges through every
+    # historical schema change (each dir carries its own log prefix)
+    m2 = LakeMirror(spark, feed, str(tmp_path / "replica2"))
+    m2.sync()
+    _assert_same_state(src, m2)
