@@ -928,6 +928,67 @@ def _zonelake(spark, sf, chunks: int = 4):
     return LakeTable.load(spark, os.path.join(root, "t"))
 
 
+def q_schema_rename(spark, sf):
+    """Metadata-only schema evolution end-to-end (lake/table.py::
+    rename_column/drop_column + the schema-log name mapping): a
+    deterministic CDC stream from ``events`` merges into a state table in
+    two halves; between them the table RENAMES val->score and DROPS aux,
+    while the second half keeps writing the OLD names (old-writer
+    mapping steers val into score and discards aux); aux is then
+    re-ADDED. A green row proves: renamed old files serve through the
+    per-file-generation mapping, stale writer columns land in their
+    successor, and the re-added column resurrects NOTHING (NULL for
+    every row — pre-drop bytes stay dead, discarded post-drop writes
+    stay discarded). Built once per sf dir under /tmp (the q_secidx
+    pattern)."""
+    import hashlib as _h
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hemera_indexer_spark.lake.table import LakeTable
+
+    tag = _h.md5(f"{sf}|schemarename".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"hemera_q_rename_{tag}")
+    done = os.path.join(root, "_BUILT")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        schema = T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("seq", T.LongType()),
+                T.StructField("is_deleted", T.BooleanType(), False),
+                T.StructField("val", T.DoubleType()),
+                T.StructField("typ", T.StringType()),
+                T.StructField("aux", T.LongType()),
+            ]
+        )
+        t = LakeTable.create(
+            spark, os.path.join(root, "t"), schema, num_buckets=8,
+            key_col="k", seq_col="seq",
+        )
+        stream = _t(spark, sf, "events").select(
+            (F.col("user_id") % 200).alias("k"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_id") % 13 == 0, F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+            F.col("value").alias("val"),
+            F.col("event_type").alias("typ"),
+            F.col("user_id").alias("aux"),
+        )
+        t.merge_upsert(stream.where(F.col("seq") % 2 == 0), epoch_id=0)
+        t.rename_column("val", "score")
+        t.drop_column("aux")
+        # the second half still speaks the PRE-rename schema
+        t.merge_upsert(stream.where(F.col("seq") % 2 == 1), epoch_id=1)
+        t.evolve_schema([T.StructField("aux", T.LongType(), True)])
+        with open(done, "w") as f:
+            f.write("ok")
+    t = LakeTable.load(spark, os.path.join(root, "t"))
+    return t.current_state().select("k", "seq", "score", "typ", "aux")
+
+
 def q_zonemap_range_scan(spark, sf):
     """Zone-map pruned range scan (lake/table.py read(ranges=)): the
     middle-quintile event_id window over a chunk-loaded fact lake. The
@@ -2314,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_queries_oracle.py) runs ALL 114 entries regardless, and
     # every one is green there.
     return {
+        "schema_rename": q_schema_rename,
         "zonemap_range_scan": q_zonemap_range_scan,
         "zorder_box_scan": q_zorder_box_scan,
         "image_decode_stats": q_image_decode_stats,
@@ -4499,6 +4561,23 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ) AS rank
                 FROM orders
             ) WHERE rank <= 3
+        """,
+        "schema_rename": """
+            WITH s AS (
+                SELECT user_id % 200 AS k,
+                       event_id AS seq,
+                       (event_id % 13 = 0) AS is_del,
+                       value AS score,
+                       event_type AS typ
+                FROM events
+            ),
+            w AS (
+                SELECT *, row_number() OVER
+                         (PARTITION BY k ORDER BY seq DESC) AS rn
+                FROM s
+            )
+            SELECT k, seq, score, typ, CAST(NULL AS BIGINT) AS aux
+            FROM w WHERE rn = 1 AND NOT is_del
         """,
         "cdc_mirror": """
             WITH s AS (

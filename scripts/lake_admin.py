@@ -171,7 +171,7 @@ def main():
             "clone", "purge", "expire", "vacuum",
             "compact", "pack", "maintain", "truncate", "staged", "publish",
             "discard",
-            "widen",
+            "widen", "rename-column", "drop-column",
             "branch-create", "branch-list", "branch-ff", "branch-drop",
             "ivf-build", "ivf-sync", "ivf-drift", "ivf-retrain",
             "ivf-maintain",
@@ -182,7 +182,8 @@ def main():
     )
     ap.add_argument("arg", nargs="?", default=None,
                     help="tag NAME / clone DEST / purge KEY[,KEY...] / "
-                         "widen COL:TYPE[,COL:TYPE...]")
+                         "widen COL:TYPE[,COL:TYPE...] / "
+                         "rename-column OLD:NEW / drop-column COL")
     ap.add_argument("--version", type=int, default=None)
     ap.add_argument("--keep-last", type=int, default=None)
     ap.add_argument("--strategy", default="sql", choices=["sql", "jvm"])
@@ -473,6 +474,25 @@ def main():
         t.widen_schema(changes)
         out = {
             "widened": {c: dt.simpleString() for c, dt in changes.items()},
+            "version": t.snapshot["version"],
+        }
+    elif args.verb == "rename-column":
+        if not args.arg or ":" not in args.arg:
+            ap.error("rename-column requires OLD:NEW")
+        old, _, new = args.arg.partition(":")
+        t.rename_column(old, new)
+        out = {
+            "renamed": {old: new},
+            "schema_id": t.schema_id,
+            "version": t.snapshot["version"],
+        }
+    elif args.verb == "drop-column":
+        if not args.arg:
+            ap.error("drop-column requires a COLUMN name")
+        t.drop_column(args.arg)
+        out = {
+            "dropped": args.arg,
+            "schema_id": t.schema_id,
             "version": t.snapshot["version"],
         }
     elif args.verb == "branch-create":

@@ -52,6 +52,20 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
     seq = 0
     epoch = 0
     clones = 0
+    # the payload column's rename chain: merges may speak ANY historical
+    # name (the old-writer mapping steers them into the current one), and
+    # rollback restores the chain as of the checkpoint
+    names = ["val"]
+
+    def cur_col():
+        return names[-1]
+
+    def tstate(tt):
+        col = cur_col()
+        return {
+            r["doc_id"]: (r["seq"], r[col])
+            for r in tt.current_state().collect()
+        }
 
     def gen_rows():
         """A random batch and its would-be model delta (not yet applied)."""
@@ -70,8 +84,11 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
         return rows, delta
 
     def _df(rows):
+        # a random historical payload-column name: writers that never
+        # heard about a rename keep working through the schema log
+        col = rng.choice(names)
         return spark.createDataFrame(
-            rows, "doc_id string, seq long, val string, op string"
+            rows, f"doc_id string, seq long, {col} string, op string"
         )
 
     def merge_batch():
@@ -97,12 +114,19 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
                 out.add(("update_postimage", k, *n))
         return out
 
-    checkpoints = [(0, dict(model))]
+    def log_now():
+        return list(t.snapshot.get("schema_log", []))
+
+    checkpoints = [(0, dict(model), list(names), [])]
     ops = []
     for step in range(24):
         r = rng.random()
-        if step < 2 or r < 0.45:
+        if step == 3:
+            op = "rename"  # every seed exercises at least one rename
+        elif step < 2 or r < 0.41:
             op = "merge"
+        elif r < 0.45:
+            op = "rename"
         elif r < 0.55:
             op = "compact"
         elif r < 0.62:
@@ -128,6 +152,13 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
         ops.append(op)
         if op == "merge":
             merge_batch()
+        elif op == "rename":
+            # metadata-only rename mid-walk: the model is untouched (the
+            # payload VALUES don't move), only the column's name does;
+            # every later merge may still speak any historical name
+            new = f"val{step}"
+            t.rename_column(cur_col(), new)
+            names.append(new)
         elif op == "wap":
             # stage -> (invisible) -> audit equals model+delta -> publish
             # applies / discard leaves the world untouched
@@ -138,10 +169,10 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
             assert t.merge_upsert(_df(rows), epoch_id=nonlocal_epoch,
                                   wap_id=wid)
             epoch = nonlocal_epoch
-            assert _table_state(t) == before, (seed, step, ops)
+            assert tstate(t) == before, (seed, step, ops)
             staged_model = dict(model)
             staged_model.update(delta)
-            assert _table_state(t.audit_staged(wid)) == _model_state(
+            assert tstate(t.audit_staged(wid)) == _model_state(
                 staged_model
             ), (seed, step, ops)
             if rng.random() < 0.5:
@@ -162,8 +193,8 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
                 epoch += 1
                 br.merge_upsert(_df(rows), epoch_id=epoch)
                 staged_model.update(delta)
-            assert _table_state(t) == before, (seed, step, ops)
-            assert _table_state(br) == _model_state(staged_model), (
+            assert tstate(t) == before, (seed, step, ops)
+            assert tstate(br) == _model_state(staged_model), (
                 seed, step, ops,
             )
             if rng.random() < 0.5:
@@ -174,11 +205,20 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
                 t.drop_branch(bname)
         elif op == "cdf":
             retained = {s["version"] for s in t.snapshots()}
-            live_ckpts = [c for c in checkpoints if c[0] in retained]
+            # the feed presents CURRENT names and refuses checkpoints
+            # whose schema log diverged (rollback across a rename
+            # followed by a different rename) — filter to prefix-clean
+            # checkpoints, exactly what an incremental consumer must do
+            cl = log_now()
+            live_ckpts = [
+                c for c in checkpoints
+                if c[0] in retained and c[3] == cl[: len(c[3])]
+            ]
             if live_ckpts:
-                v0, m0 = rng.choice(live_ckpts)
+                v0, m0, _, _ = rng.choice(live_ckpts)
+                col = cur_col()
                 got = {
-                    (r2["change_op"], r2["doc_id"], r2["seq"], r2["val"])
+                    (r2["change_op"], r2["doc_id"], r2["seq"], r2[col])
                     for r2 in t.changes_since(v0, cdf=True).collect()
                 }
                 assert got == expected_cdf(m0), (seed, step, v0, ops)
@@ -190,10 +230,11 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
             retained = {s["version"] for s in t.snapshots()}
             live_ckpts = [c for c in checkpoints if c[0] in retained]
             if live_ckpts:
-                v0, m0 = rng.choice(live_ckpts)
+                v0, m0, n0, _ = rng.choice(live_ckpts)
                 t.rollback_to(v0)
                 model.clear()
                 model.update(dict(m0))
+                names[:] = list(n0)  # the restored snapshot's schema
         elif op == "maintain":
             from hemera_indexer_spark.lake import (
                 MaintenancePolicy,
@@ -215,10 +256,10 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
         elif op == "clone":
             clones += 1
             c = t.clone_to(str(tmp_path / f"clone{seed}-{clones}"))
-            assert _table_state(c) == _model_state(model), (seed, step, ops)
+            assert tstate(c) == _model_state(model), (seed, step, ops)
         elif op == "tag":
             t.tag(f"s{step}")
-            assert _table_state(t.as_of_tag(f"s{step}")) == _model_state(
+            assert tstate(t.as_of_tag(f"s{step}")) == _model_state(
                 model
             )
         else:  # purge a random LIVE key (if any)
@@ -231,7 +272,7 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
                 # the purged key need a genuinely newer seq to win
                 seq += 1
                 model[k] = (seq, None, True)
-        assert _table_state(t) == _model_state(model), (seed, step, ops)
+        assert tstate(t) == _model_state(model), (seed, step, ops)
         # interleave the bloom surface with every other verb: retunes are
         # property-only (the model is untouched), and a bloom-pruned point
         # lookup after ANY op must agree with the model — compaction
@@ -241,26 +282,30 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
         if rng.random() < 0.4:
             k = rng.choice(KEYS)
             live = _model_state(model)
+            col = cur_col()
             got = [
-                (r["doc_id"], r["seq"], r["val"])
+                (r["doc_id"], r["seq"], r[col])
                 for r in t.lookup(k).collect()
             ]
             want = [(k, *live[k])] if k in live else []
             assert got == want, (seed, step, k, ops)
-        checkpoints.append((t.snapshot["version"], dict(model)))
+        checkpoints.append(
+            (t.snapshot["version"], dict(model), list(names), log_now())
+        )
     # every seed ends with one FORCED restore (the random mix may not roll
     # the rollback verb), then a merge on top — restore + write-after-
     # restore both proven on all seeds
     retained = {s["version"] for s in t.snapshots()}
-    v0, m0 = rng.choice([c for c in checkpoints if c[0] in retained])
+    v0, m0, n0, _ = rng.choice([c for c in checkpoints if c[0] in retained])
     t.rollback_to(v0)
     model.clear()
     model.update(dict(m0))
-    assert _table_state(t) == _model_state(model), (seed, "forced-rollback")
+    names[:] = list(n0)
+    assert tstate(t) == _model_state(model), (seed, "forced-rollback")
     merge_batch()
-    assert _table_state(t) == _model_state(model), (seed, "post-restore-merge")
+    assert tstate(t) == _model_state(model), (seed, "post-restore-merge")
     # the walk must have exercised a real mix
-    assert {"merge"} < set(ops)
+    assert {"merge", "rename"} <= set(ops)
 
 
 # ===========================================================================
