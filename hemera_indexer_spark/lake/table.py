@@ -740,6 +740,23 @@ class LakeTable:
             # and exceptAll requires exact type equality across sides.
             new_side = self.resolved(strategy, buckets=touched)
             old_side = old.resolved(strategy, buckets=touched)
+            log = self._schema_log()
+            if log:
+                # the old snapshot serves ITS generation's logical names;
+                # remap renamed-since columns onto the current names before
+                # the NULL-fill below (which must only fill columns that
+                # genuinely did not exist at `version` — without the remap
+                # a renamed column would read NULL on the old side and the
+                # diff would report every old row as changed)
+                old_sid = old.snapshot.get("schema_id", 0)
+                for fld in self.schema.fields:
+                    nm = self._physical_name(fld.name, old_sid, log)
+                    if (
+                        nm is not None
+                        and nm != fld.name
+                        and nm in old_side.columns
+                    ):
+                        old_side = old_side.withColumnRenamed(nm, fld.name)
             for fld in self.schema.fields:
                 if fld.name not in old_side.columns:
                     old_side = old_side.withColumn(

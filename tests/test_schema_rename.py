@@ -378,6 +378,28 @@ def test_controller_ingest_through_mid_stream_rename(spark, tmp_path):
     assert "lang" in t.schema.fieldNames()
 
 
+def test_fact_changes_since_across_rename(spark, tmp_path):
+    """Fact-table changes_since diffs resolved old vs new snapshots; the
+    old side serves ITS generation's names and must be remapped onto the
+    current ones — otherwise a renamed column reads NULL on the old side
+    and every old row reports as changed."""
+    t = _mk_fact(spark, str(tmp_path / "f"), epochs=2)
+    v = t.snapshot["version"]
+    t.rename_column("ts", "event_ts")
+    t.insert_if_absent(
+        spark.createDataFrame(
+            [(f"n{i}", 500 + i, 5000 + i, "s5") for i in range(3)],
+            "doc_id string, seq long, event_ts long, src string",
+        ),
+        epoch_id=5,
+    )
+    ch = t.changes_since(v).collect()
+    ops = {r["change_op"] for r in ch}
+    assert ops == {"insert"}  # pre-rename rows are NOT spuriously changed
+    assert len(ch) == 3
+    assert all(r["event_ts"] >= 5000 for r in ch)
+
+
 def test_purge_keys_on_renamed_table(spark, tmp_path):
     t = _mk_state(spark, str(tmp_path / "t"))
     t.rename_column("val", "body")
