@@ -201,6 +201,22 @@ def _validate_stats_cols(schema: T.StructType, cols) -> None:
             )
 
 
+def resolve_source_column(source: "LakeTable", name: str, what: str) -> str:
+    """Shared by every derived-index sync: the CURRENT source column for a
+    configured/passed column ``name`` that may predate a source
+    ``rename_column``. Raises loudly if the column was DROPPED on the
+    source — a derived index over a deleted column can only be rebuilt."""
+    resolve = getattr(source, "resolve_writer_column", None)
+    cur = name if resolve is None else resolve(name)
+    if cur is None or cur not in source.schema.fieldNames():
+        raise ValueError(
+            f"{what}: source column {name!r} no longer exists on "
+            f"{source.root} (dropped, or never present) — drop and "
+            f"rebuild the index"
+        )
+    return cur
+
+
 def _atomic_write(path: str, data: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:

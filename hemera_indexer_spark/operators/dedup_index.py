@@ -429,8 +429,13 @@ class SignatureIndex:
         # snapshot diff and the md5 shingle pass run 3x/2x per sync (the
         # dominant cost of the index sink, scripts/profile_sinks.py)
         ch = source.changes_since(since).persist()
+        from hemera_indexer_spark.lake.table import resolve_source_column
+
+        src_text = resolve_source_column(
+            source, text_col, "SignatureIndex sync"
+        )
         ups = ch.where(F.col("change_op") != "delete").select(
-            F.col(id_col), F.col(text_col)
+            F.col(id_col), F.col(src_text).alias(text_col)
         )
         seq_lit = F.lit(target).cast("long").alias("seq")
         wide = band_buckets_wide(

@@ -183,8 +183,13 @@ class IVFIndex:
         vec_col: str,
         epoch_id: int | None,
     ) -> bool:
+        from hemera_indexer_spark.lake.table import resolve_source_column
+
+        src_vec = resolve_source_column(source, vec_col, "IVFIndex train")
         emb = self._valid(
-            source.current_state().select(F.col(id_col), F.col(vec_col)),
+            source.current_state().select(
+                F.col(id_col), F.col(src_vec).alias(vec_col)
+            ),
             id_col,
             vec_col,
         ).persist()  # training + assignment + count: 3 passes over it
@@ -254,8 +259,11 @@ class IVFIndex:
             return False
         ch = source.changes_since(since).persist()
         try:
+            from hemera_indexer_spark.lake.table import resolve_source_column
+
+            src_vec = resolve_source_column(source, vec_col, "IVFIndex sync")
             ups = ch.where(F.col("change_op") != "delete").select(
-                F.col(id_col), F.col(vec_col)
+                F.col(id_col), F.col(src_vec).alias(vec_col)
             )
             refined = centroids_df(self.table.spark, self.centroids())
             seq_lit = (

@@ -170,8 +170,13 @@ class PQIndex:
         epoch_id: int | None,
     ) -> bool:
         iters = int(self.table.snapshot["properties"]["pq_iters"])
+        from hemera_indexer_spark.lake.table import resolve_source_column
+
+        src_vec = resolve_source_column(source, vec_col, "PQIndex train")
         emb = self._valid(
-            source.current_state().select(F.col(id_col), F.col(vec_col)),
+            source.current_state().select(
+                F.col(id_col), F.col(src_vec).alias(vec_col)
+            ),
             vec_col,
         ).persist()  # training passes + encode + count re-read it
         try:
@@ -242,8 +247,11 @@ class PQIndex:
             return False
         ch = source.changes_since(since).persist()
         try:
+            from hemera_indexer_spark.lake.table import resolve_source_column
+
+            src_vec = resolve_source_column(source, vec_col, "PQIndex sync")
             ups = ch.where(F.col("change_op") != "delete").select(
-                F.col(id_col), F.col(vec_col)
+                F.col(id_col), F.col(src_vec).alias(vec_col)
             )
             seq_lit = (
                 F.lit(self._seq_for(target, trained=False))

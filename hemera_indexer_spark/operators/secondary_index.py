@@ -156,9 +156,16 @@ class SecondaryIndex:
             return False
         ch = source.changes_since(since)
         key, vc = self.key_col, self.value_col
+        # the index's own column name stays stable even if the SOURCE
+        # renamed the indexed column — resolve the feed-side name through
+        # the source's schema log (drop = loud rebuild-me error)
+        from hemera_indexer_spark.lake.table import resolve_source_column
+
+        src_vc = resolve_source_column(source, vc, "SecondaryIndex sync")
         seq_lit = F.lit(target).cast("long").alias("seq")
         ups = ch.where(F.col("change_op") != "delete").select(
-            F.col(key), seq_lit, F.lit("update").alias("op"), F.col(vc)
+            F.col(key), seq_lit, F.lit("update").alias("op"),
+            F.col(src_vc).alias(vc),
         )
         dels = ch.where(F.col("change_op") == "delete").select(
             F.col(key),

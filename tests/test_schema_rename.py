@@ -400,6 +400,107 @@ def test_fact_changes_since_across_rename(spark, tmp_path):
     assert all(r["event_ts"] >= 5000 for r in ch)
 
 
+def test_secondary_index_follows_source_rename(spark, tmp_path):
+    """A derived index configured by source column NAME keeps syncing
+    after the source renames that column (the feed-side name resolves
+    through the source's schema log; the index's own column name stays
+    stable), and a source DROP raises the rebuild-me error instead of
+    silently corrupting the index."""
+    from hemera_indexer_spark.operators.secondary_index import SecondaryIndex
+
+    src_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("is_deleted", T.BooleanType(), False),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), src_schema, num_buckets=4,
+        key_col="doc_id", seq_col="seq",
+    )
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(i, i, 100 + i, "upsert") for i in range(20)],
+            "doc_id long, seq long, n_chars long, op string",
+        ),
+        epoch_id=0,
+    )
+    idx = SecondaryIndex.build_from_table(
+        spark, str(tmp_path / "idx"), src, "n_chars", num_buckets=4
+    )
+    src.rename_column("n_chars", "char_count")
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(1, 1000, 500, "upsert"), (50, 1001, 501, "upsert")],
+            "doc_id long, seq long, char_count long, op string",
+        ),
+        epoch_id=1,
+    )
+    assert idx.update_from_changes(src)
+    got = {tuple(r) for r in idx.lookup(500, 501).collect()}
+    want = {
+        (r["doc_id"], r["char_count"])
+        for r in src.current_state()
+        .where(F.col("char_count").between(500, 501))
+        .collect()
+    }
+    # index serves its OWN stable column name; values must match
+    assert {g[0] for g in got} == {w[0] for w in want} == {1, 50}
+    assert {g[1] for g in got} == {500, 501}
+    # a source DROP of the indexed column raises the rebuild-me error
+    src.drop_column("char_count")
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(2, 2000, "upsert")], "doc_id long, seq long, op string"
+        ),
+        epoch_id=2,
+    )
+    with pytest.raises(ValueError, match="no longer exists"):
+        idx.update_from_changes(src)
+
+
+def test_signature_index_follows_source_rename(spark, tmp_path):
+    from hemera_indexer_spark.operators.dedup_index import SignatureIndex
+
+    src_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("is_deleted", T.BooleanType(), False),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), src_schema, num_buckets=4,
+        key_col="doc_id", seq_col="seq",
+    )
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(i, i, f"the quick brown fox jumps over dog {i}", "upsert")
+             for i in range(8)],
+            "doc_id long, seq long, text string, op string",
+        ),
+        epoch_id=0,
+    )
+    idx = SignatureIndex.build_from_table(
+        spark, str(tmp_path / "sig"), src, text_col="text",
+        id_col="doc_id", num_buckets=4,
+    )
+    src.rename_column("text", "body")
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(100, 1000, "the quick brown fox jumps over dog 0", "upsert")],
+            "doc_id long, seq long, body string, op string",
+        ),
+        epoch_id=1,
+    )
+    # sync still configured with the OLD name resolves through the log
+    assert idx.update_from_changes(src)
+    assert idx.synced_version() == src.snapshot["version"]
+
+
 def test_purge_keys_on_renamed_table(spark, tmp_path):
     t = _mk_state(spark, str(tmp_path / "t"))
     t.rename_column("val", "body")
