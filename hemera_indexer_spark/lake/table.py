@@ -477,6 +477,23 @@ class LakeTable:
         return name
 
     @staticmethod
+    def _map_field(col: str, sid: int, log: list[dict]):
+        """(physical_name, initial_default) for logical ``col`` in a file
+        of generation ``sid``: same walk as ``_physical_name``, but when
+        the column postdates the file the matching add entry's DEFAULT
+        (if any) is returned so pre-add rows read it instead of NULL."""
+        name = col
+        for e in reversed(log):
+            if e["sid"] <= sid:
+                break
+            op = e["op"]
+            if op == "rename" and e["new"] == name:
+                name = e["old"]
+            elif op == "add" and name in e["cols"]:
+                return None, e.get("defaults", {}).get(name)
+        return name, None
+
+    @staticmethod
     def _resolve_stale(name: str, log: list[dict]) -> str | None:
         """Forward walk: what became of a column a WRITER still calls
         ``name``? Chases rename chains to the current name, goes None on a
@@ -773,10 +790,16 @@ class LakeTable:
                         and nm in old_side.columns
                     ):
                         old_side = old_side.withColumnRenamed(nm, fld.name)
+            old_sid0 = old.snapshot.get("schema_id", 0)
             for fld in self.schema.fields:
                 if fld.name not in old_side.columns:
+                    # columns added since `version`: the old side must read
+                    # the same INITIAL default the new side's grouped read
+                    # serves for pre-add files, or unchanged rows would
+                    # diff as changed
+                    _, dflt = self._map_field(fld.name, old_sid0, log)
                     old_side = old_side.withColumn(
-                        fld.name, F.lit(None).cast(fld.dataType)
+                        fld.name, F.lit(dflt).cast(fld.dataType)
                     )
             new_types = {f.name: f.dataType for f in new_side.schema.fields}
             old_side = old_side.select(
@@ -1429,9 +1452,11 @@ class LakeTable:
             sel: list = []
             identity = True
             for fld in cur.fields:
-                phys = self._physical_name(fld.name, sid, log)
+                phys, dflt = self._map_field(fld.name, sid, log)
                 if phys is None:
-                    sel.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+                    # the column postdates this file: its add-time INITIAL
+                    # default (None when the add carried no default)
+                    sel.append(F.lit(dflt).cast(fld.dataType).alias(fld.name))
                     identity = False
                 else:
                     phys_fields.append(
@@ -1773,11 +1798,47 @@ class LakeTable:
         )
 
     # ------------------------------------------------------------ schema evo
-    def evolve_schema(self, new_fields: list[T.StructField]) -> None:
-        """Additive ALTER TABLE ADD COLUMN. Existing rows read as NULL."""
+    def evolve_schema(
+        self,
+        new_fields: list[T.StructField],
+        defaults: dict | None = None,
+    ) -> None:
+        """Additive ALTER TABLE ADD COLUMN. Existing rows read as NULL —
+        unless the column is added with a DEFAULT (Iceberg V3's
+        initial/write default, SQL's ADD COLUMN ... DEFAULT), metadata-only
+        on both sides:
+
+        - INITIAL default: rows in files written before the add read the
+          default instead of NULL (the per-file-generation read maps
+          them; nothing is rewritten).
+        - WRITE default: a writer that omits the column entirely gets the
+          default filled at every write entry point EXCEPT ``merge_patch``
+          (there a missing column means "unchanged" — a default would
+          silently overwrite live values).
+        - A writer that explicitly supplies NULL stores NULL — presence
+          of the column always wins over the default.
+
+        ``defaults`` maps added column names to JSON-safe scalars matching
+        the declared type. A defaulted add activates the schema-generation
+        log (same machinery as rename/drop) because distinguishing
+        "file predates the column" from "stored NULL" requires the
+        per-file ``sid`` stamp."""
         cur = self.schema
         names = set(cur.fieldNames())
         added = [f for f in new_fields if f.name not in names]
+        defaults = dict(defaults or {})
+        unknown = set(defaults) - {f.name for f in added}
+        if unknown:
+            raise ValueError(
+                f"evolve_schema: defaults for non-added columns "
+                f"{sorted(unknown)}"
+            )
+        for c, v in defaults.items():
+            if not isinstance(v, (int, float, str, bool)) or v is None:
+                raise ValueError(
+                    f"evolve_schema: default for {c!r} must be a plain "
+                    f"scalar (int/float/str/bool), got {type(v).__name__}"
+                )
         if not added:
             return
         snap = dict(self.snapshot)
@@ -1788,16 +1849,21 @@ class LakeTable:
         snap["version"] = self.snapshot["version"] + 1
         snap["parent"] = self.snapshot["version"]
         snap["schema"] = json.loads(new_schema.json())
-        if snap.get("schema_log"):
+        if snap.get("schema_log") or defaults:
             # once the rename/drop log is live, adds must be recorded too:
             # a column re-ADDED after a drop shares its name with stale
             # physical data in pre-drop files, and only the add's sid tells
-            # the read to NULL-fill those instead of resurrecting it
+            # the read to NULL-fill those instead of resurrecting it. A
+            # DEFAULTED add activates the log for the same reason (the
+            # initial default applies exactly to files older than the add).
             sid = snap.get("schema_id", 0) + 1
             snap["schema_id"] = sid
-            snap["schema_log"].append(
-                {"sid": sid, "op": "add", "cols": [f.name for f in added]}
-            )
+            entry = {"sid": sid, "op": "add", "cols": [f.name for f in added]}
+            if defaults:
+                entry["defaults"] = defaults
+            snap.setdefault("schema_log", []).append(entry)
+        if defaults:
+            snap["defaults"] = {**snap.get("defaults", {}), **defaults}
         self._write_snapshot(snap, expected_parent=self.snapshot["version"])
 
     def widen_schema(self, changes: dict[str, T.DataType]) -> None:
@@ -1954,6 +2020,10 @@ class LakeTable:
             snap["properties"]["stats_cols"] = ",".join(
                 new if c == old else c for c in sc
             )
+        if old in snap.get("defaults", {}):
+            # the WRITE default follows the logical column; historical add
+            # entries keep the add-time name (the read walk chains names)
+            snap["defaults"][new] = snap["defaults"].pop(old)
         self._write_snapshot(snap, expected_parent=self.snapshot["version"])
 
     def drop_column(self, name: str) -> None:
@@ -1989,10 +2059,13 @@ class LakeTable:
             snap["properties"]["stats_cols"] = ",".join(
                 c for c in sc if c != name
             )
+        snap.get("defaults", {}).pop(name, None)
         self._write_snapshot(snap, expected_parent=self.snapshot["version"])
 
     # ------------------------------------------------------------ MERGE
-    def _fill_missing_columns(self, df: DataFrame) -> DataFrame:
+    def _fill_missing_columns(
+        self, df: DataFrame, use_defaults: bool = True
+    ) -> DataFrame:
         """Align ``df`` to the state schema at every write entry point
         (merge, patch, fact insert, bulk load): NULL-fill absent payload
         columns (the additive schema-evolution law) and up-cast columns a
@@ -2020,9 +2093,16 @@ class LakeTable:
                     df = df.drop(c) if tgt in df.columns \
                         else df.withColumnRenamed(c, tgt)
         df_types = {f.name: f.dataType for f in df.schema.fields}
+        # WRITE defaults for columns the writer omitted entirely; a writer
+        # that supplies the column (even as NULL) always wins. merge_patch
+        # passes use_defaults=False — there a missing column means
+        # "unchanged", and a default would overwrite live values.
+        dflts = self.snapshot.get("defaults", {}) if use_defaults else {}
         for c in schema.fieldNames():
             if c not in df.columns:
-                df = df.withColumn(c, F.lit(None).cast(schema[c].dataType))
+                df = df.withColumn(
+                    c, F.lit(dflts.get(c)).cast(schema[c].dataType)
+                )
             elif _is_widening(df_types[c], schema[c].dataType):
                 df = df.withColumn(c, F.col(c).cast(schema[c].dataType))
         return df
@@ -2217,7 +2297,9 @@ class LakeTable:
                 f"ops are refused loudly"
             )
 
-        batch = self._fill_missing_columns(updates.drop("is_deleted")).select(
+        batch = self._fill_missing_columns(
+            updates.drop("is_deleted"), use_defaults=False
+        ).select(
             key, seqc, "op", *payload_cols
         )
         # NULL-passes semantics fit patches naturally: NULL means
@@ -3089,7 +3171,7 @@ class LakeTable:
         }
         # schema-identity metadata rides every commit (absent on tables
         # that never renamed/dropped a column — keeps manifests identical)
-        for extra in ("schema_id", "schema_log"):
+        for extra in ("schema_id", "schema_log", "defaults"):
             if extra in base:
                 snap[extra] = base[extra]
         if epoch_id is not None and manifest is None:
