@@ -675,9 +675,34 @@ class LakeTable:
                     "epoch_id": s["manifest"]["epoch_id"],
                     "n_files": len(s["files"]),
                     "rows": sum(f["rows"] for f in s["files"]),
+                    "committed_at": s.get("committed_at"),
                 }
             )
         return out
+
+    def as_of_time(self, ts: float) -> "LakeTable":
+        """TIMESTAMP AS OF time travel: a pinned handle on the newest
+        RETAINED snapshot committed at or before unix time ``ts``
+        (Iceberg's timestamp-based snapshot lookup). Snapshots written
+        before commit stamps existed fall back to the snapshot file's
+        mtime. Raises if every retained snapshot postdates ``ts`` (the
+        one you wanted has been expired — or never existed)."""
+        best = None
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if not (fn.startswith("snap-") and fn.endswith(".json")):
+                continue
+            p = os.path.join(self.meta_dir, fn)
+            s = self._load_snap_file(p)
+            at = s.get("committed_at") or os.path.getmtime(p)
+            if at <= ts and (best is None or at >= best[0]):
+                best = (at, s["version"])
+        if best is None:
+            raise ValueError(
+                f"as_of_time: no retained snapshot committed at or "
+                f"before {ts} (earliest retained postdates it, or the "
+                f"table is empty)"
+            )
+        return self.as_of(best[1])
 
     def as_of(self, version: int) -> "LakeTable":
         """Time travel: a READ-ONLY handle pinned to a retained snapshot
@@ -997,6 +1022,11 @@ class LakeTable:
                 "this handle is pinned to a historical snapshot (as_of); "
                 "mutations must go through a live handle"
             )
+        # wall-clock commit stamp: powers TIMESTAMP-AS-OF time travel
+        # (as_of_time) and age-based retention (expire_snapshots
+        # older_than_s). For WAP this is the STAGE time; publish flips the
+        # pointer without rewriting the staged snapshot.
+        snap["committed_at"] = round(time.time(), 3)
         br = getattr(self, "_branch", None)
         if br is not None:
             if wap_id is not None:
@@ -4065,23 +4095,42 @@ class LakeTable:
                 os.remove(p)
         return ref["head_seq"]
 
-    def expire_snapshots(self, keep_last: int = 10) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 10, older_than_s: float | None = None
+    ) -> int:
         """Drop snapshot metadata older than the newest ``keep_last``
         versions (Iceberg's ``expireSnapshots`` analog). Without this the
         one-json-per-commit metadata grows unboundedly at the 10^10-event
         design point (thousands of epochs x compactions). The current
-        snapshot is always retained. Returns the number removed."""
+        snapshot is always retained. Returns the number removed.
+
+        ``older_than_s``: age floor (Iceberg's ``older_than`` shape) —
+        a snapshot outside the ``keep_last`` window is still RETAINED
+        until its commit stamp is at least this many seconds old, so
+        time-travel readers get a guaranteed wall-clock horizon no
+        version-count policy can cut short. Pre-stamp snapshots fall back
+        to file mtime."""
         self._require_main("expire_snapshots")
         cur = self.snapshot["version"]
         cutoff = cur - max(keep_last, 1) + 1
+        min_age_at = (
+            time.time() - older_than_s if older_than_s is not None else None
+        )
         removed = 0
         for fn in os.listdir(self.meta_dir):
             if not (fn.startswith("snap-") and fn.endswith(".json")):
                 continue
             v = int(fn[5:-5])
-            if v < cutoff and v != cur:
-                os.remove(os.path.join(self.meta_dir, fn))
-                removed += 1
+            if v >= cutoff or v == cur:
+                continue
+            if min_age_at is not None:
+                p = os.path.join(self.meta_dir, fn)
+                s = self._load_snap_file(p)
+                at = s.get("committed_at") or os.path.getmtime(p)
+                if at > min_age_at:
+                    continue  # too young: the wall-clock horizon keeps it
+            os.remove(os.path.join(self.meta_dir, fn))
+            removed += 1
         return removed
 
     def vacuum_orphans(self, grace_seconds: float = 0.0) -> int:

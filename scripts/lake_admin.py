@@ -186,6 +186,10 @@ def main():
                          "rename-column OLD:NEW / drop-column COL")
     ap.add_argument("--version", type=int, default=None)
     ap.add_argument("--keep-last", type=int, default=None)
+    ap.add_argument("--older-than-s", type=float, default=None,
+                    help="expire: age floor in seconds — snapshots younger "
+                         "than this are retained even outside keep_last "
+                         "(wall-clock time-travel horizon)")
     ap.add_argument("--strategy", default="sql", choices=["sql", "jvm"])
     ap.add_argument("--max-files", type=int, default=1)
     ap.add_argument("--small-rows", type=int, default=None)
@@ -527,7 +531,8 @@ def main():
         out = {"discarded": args.arg}
     elif args.verb == "expire":
         out = {"snapshots_expired": t.expire_snapshots(
-            keep_last=args.keep_last if args.keep_last is not None else 10)}
+            keep_last=args.keep_last if args.keep_last is not None else 10,
+            older_than_s=args.older_than_s)}
     elif args.verb == "vacuum":
         out = {"files_vacuumed": t.vacuum_orphans()}
     elif args.verb == "compact":
