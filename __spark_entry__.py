@@ -989,6 +989,70 @@ def q_schema_rename(spark, sf):
     return t.current_state().select("k", "seq", "score", "typ", "aux")
 
 
+def q_schema_defaults(spark, sf):
+    """Column DEFAULT values end-to-end (lake/table.py::evolve_schema
+    defaults=): merge half the stream, ADD a defaulted column, merge the
+    rest WITHOUT the column (write default) plus a final explicit batch.
+    Green proves: pre-add rows read the INITIAL default through the
+    per-generation mapping, omitted-column writers get the WRITE
+    default, and an explicit value beats both."""
+    import hashlib as _h
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hemera_indexer_spark.lake.table import LakeTable
+
+    tag = _h.md5(f"{sf}|schemadefaults".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"hemera_q_dflt_{tag}")
+    done = os.path.join(root, "_BUILT")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        schema = T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("seq", T.LongType()),
+                T.StructField("is_deleted", T.BooleanType(), False),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+        t = LakeTable.create(
+            spark, os.path.join(root, "t"), schema, num_buckets=8,
+            key_col="k", seq_col="seq",
+        )
+        stream = _t(spark, sf, "events").select(
+            (F.col("user_id") % 200).alias("k"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_id") % 13 == 0, F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+            F.col("value").alias("val"),
+        )
+        t.merge_upsert(stream.where(F.col("seq") % 2 == 0), epoch_id=0)
+        t.evolve_schema(
+            [T.StructField("tier", T.StringType(), True)],
+            defaults={"tier": "std"},
+        )
+        # second half omits `tier` entirely -> write default
+        t.merge_upsert(stream.where(F.col("seq") % 2 == 1), epoch_id=1)
+        # explicit batch: keys 0..9 upgraded at a seq above the stream
+        top = stream.groupBy().agg(F.max("seq").alias("m")).collect()[0]["m"]
+        t.merge_upsert(
+            spark.range(10).select(
+                F.col("id").alias("k"),
+                (F.lit(top) + 1 + F.col("id")).alias("seq"),
+                F.lit("update").alias("op"),
+                F.lit(-1.0).alias("val"),
+                F.lit("vip").alias("tier"),
+            ),
+            epoch_id=2,
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    t = LakeTable.load(spark, os.path.join(root, "t"))
+    return t.current_state().select("k", "seq", "val", "tier")
+
+
 def q_zonemap_range_scan(spark, sf):
     """Zone-map pruned range scan (lake/table.py read(ranges=)): the
     middle-quintile event_id window over a chunk-loaded fact lake. The
@@ -2376,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every one is green there.
     return {
         "schema_rename": q_schema_rename,
+        "schema_defaults": q_schema_defaults,
         "zonemap_range_scan": q_zonemap_range_scan,
         "zorder_box_scan": q_zorder_box_scan,
         "image_decode_stats": q_image_decode_stats,
@@ -4561,6 +4626,33 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ) AS rank
                 FROM orders
             ) WHERE rank <= 3
+        """,
+        "schema_defaults": """
+            WITH s AS (
+                SELECT user_id % 200 AS k,
+                       event_id AS seq,
+                       (event_id % 13 = 0) AS is_del,
+                       value AS val
+                FROM events
+            ),
+            mx AS (SELECT max(seq) AS m FROM s),
+            vip AS (
+                SELECT range AS k,
+                       (SELECT m FROM mx) + 1 + range AS seq,
+                       CAST(-1.0 AS DOUBLE) AS val
+                FROM range(10)
+            ),
+            base AS (
+                SELECT k, seq, is_del, val, 'std' AS tier FROM s
+                UNION ALL
+                SELECT k, seq, FALSE, val, 'vip' FROM vip
+            ),
+            w AS (
+                SELECT *, row_number() OVER
+                         (PARTITION BY k ORDER BY seq DESC) AS rn
+                FROM base
+            )
+            SELECT k, seq, val, tier FROM w WHERE rn = 1 AND NOT is_del
         """,
         "schema_rename": """
             WITH s AS (
