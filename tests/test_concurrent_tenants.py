@@ -265,3 +265,107 @@ def test_snapshot_claim_is_exclusive_and_head_probes_forward(spark, tmp_path):
     assert t.snapshot["version"] == v + 2
     docs = {r["doc_id"] for r in t.current_state().collect()}
     assert docs == {"d1", "d2"}
+
+
+def test_rename_races_ingesting_controller(spark, tmp_path):
+    """A schema op (rename_column) from an admin PROCESS races a live
+    tenant-mode ingest in another process. The exclusive snapshot claim
+    serializes them: whichever loses a version retries (the controller
+    via its tenant CAS budget, the admin via a refresh loop), and the
+    final table must hold the full oracle under the NEW column name —
+    events kept speaking the old name throughout (old-writer mapping),
+    and the controller must not have re-ADDed it."""
+    from hemera_indexer_spark.oracle import expected_live_rows
+    from hemera_indexer_spark.sources.generator import (
+        ChangelogSpec,
+        generate_changelog,
+    )
+
+    gen = generate_changelog(
+        str(tmp_path / "log"),
+        ChangelogSpec(
+            n_docs=150,
+            n_epochs=8,
+            events_per_epoch=200,
+            n_partitions=2,
+            seed=901,
+            rollback_epochs=(5,),
+        ),
+    )
+    root = str(tmp_path / "lake")
+    LakeTable.create(spark, root, SEQUENCES_SCHEMA, num_buckets=8)
+
+    ingest = subprocess.Popen(
+        [
+            sys.executable, "scripts/run_ingest.py",
+            "--log-dir", gen.out_dir,
+            "--table-root", root,
+            "--partitions", "2",
+            "--num-buckets", "8",
+            "--cores", "2",
+            "--tenant-col", "chain_id",
+            "--tenant-id", "1",
+        ],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
+    )
+    renamer = subprocess.Popen(
+        [
+            sys.executable, "-c",
+            f"""
+import sys, time
+sys.path.insert(0, {REPO!r})
+from hemera_indexer_spark.session import get_spark
+from hemera_indexer_spark.lake import LakeTable
+from hemera_indexer_spark.lake.table import ConcurrentCommitError
+spark = get_spark("renamer", cores=2, shuffle_partitions=4)
+time.sleep(12)  # let the ingest get going; any interleaving is legal
+t = LakeTable.load(spark, {root!r})
+for attempt in range(60):
+    try:
+        t.rename_column("source", "origin")
+        break
+    except ConcurrentCommitError:
+        time.sleep(0.3)
+        t.refresh()
+else:
+    raise SystemExit("rename never won a commit")
+print("RENAMED at version", t.snapshot["version"])
+""",
+        ],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
+    )
+    out_i, err_i = ingest.communicate(timeout=600)
+    out_r, err_r = renamer.communicate(timeout=600)
+    assert ingest.returncode == 0, err_i[-3000:]
+    assert renamer.returncode == 0, err_r[-3000:]
+    assert "RENAMED" in out_r
+
+    table = LakeTable.load(spark, root)
+    names = table.schema.fieldNames()
+    assert "origin" in names and "source" not in names, names
+    exp = expected_live_rows(gen.out_dir, 2)
+    got = sorted(
+        (r.asDict(recursive=True) for r in table.current_state().collect()),
+        key=lambda d: d["doc_id"],
+    )
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert g["tokens"] == e["tokens"], g["doc_id"]
+        assert g["origin"] == e["source"], g["doc_id"]
+    # fenced re-drive stays a no-op on the renamed table
+    rerun = subprocess.run(
+        [
+            sys.executable, "scripts/run_ingest.py",
+            "--log-dir", gen.out_dir,
+            "--table-root", root,
+            "--partitions", "2",
+            "--num-buckets", "8",
+            "--cores", "2",
+            "--tenant-col", "chain_id",
+            "--tenant-id", "1",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert rerun.returncode == 0, rerun.stderr[-3000:]
+    assert LakeTable.load(spark, root).snapshot["version"] == \
+        table.snapshot["version"]
