@@ -989,6 +989,57 @@ def q_schema_rename(spark, sf):
     return t.current_state().select("k", "seq", "score", "typ", "aux")
 
 
+def q_cdc_changefeed(spark, sf):
+    """The raw CDF surface (lake/table.py::changes_since(cdf=True), the
+    one-pass snapshot diff): two committed epochs, then the Delta-CDF-
+    shaped NET feed from the first commit — inserts, deletes carrying
+    the OLD row, and update pre/post image pairs. The oracle replays the
+    diff as two LWW folds full-outer-joined in DuckDB."""
+    import hashlib as _h
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hemera_indexer_spark.lake.table import LakeTable
+
+    tag = _h.md5(f"{sf}|cdcfeed".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"hemera_q_cdf_{tag}")
+    done = os.path.join(root, "_BUILT")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        schema = T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("seq", T.LongType()),
+                T.StructField("is_deleted", T.BooleanType(), False),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+        t = LakeTable.create(
+            spark, os.path.join(root, "t"), schema, num_buckets=8,
+            key_col="k", seq_col="seq",
+        )
+        stream = _t(spark, sf, "events").select(
+            (F.col("user_id") % 200).alias("k"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_id") % 13 == 0, F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+            F.col("value").alias("val"),
+        )
+        t.merge_upsert(stream.where(F.col("seq") % 2 == 0), epoch_id=0)
+        v0 = t.snapshot["version"]
+        t.merge_upsert(stream.where(F.col("seq") % 2 == 1), epoch_id=1)
+        with open(done, "w") as f:
+            f.write(str(v0))
+    with open(done) as f:
+        v0 = int(f.read().strip())
+    t = LakeTable.load(spark, os.path.join(root, "t"))
+    return t.changes_since(v0, cdf=True).select(
+        "change_op", "k", "seq", "val"
+    )
+
+
 def q_schema_defaults(spark, sf):
     """Column DEFAULT values end-to-end (lake/table.py::evolve_schema
     defaults=): merge half the stream, ADD a defaulted column, merge the
@@ -2441,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "schema_rename": q_schema_rename,
         "schema_defaults": q_schema_defaults,
+        "cdc_changefeed": q_cdc_changefeed,
         "zonemap_range_scan": q_zonemap_range_scan,
         "zorder_box_scan": q_zorder_box_scan,
         "image_decode_stats": q_image_decode_stats,
@@ -4626,6 +4678,49 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ) AS rank
                 FROM orders
             ) WHERE rank <= 3
+        """,
+        "cdc_changefeed": """
+            WITH s AS (
+                SELECT user_id % 200 AS k,
+                       event_id AS seq,
+                       (event_id % 13 = 0) AS is_del,
+                       value AS val
+                FROM events
+            ),
+            old_w AS (
+                SELECT *, row_number() OVER
+                         (PARTITION BY k ORDER BY seq DESC) AS rn
+                FROM s WHERE seq % 2 = 0
+            ),
+            old_live AS (
+                SELECT k, seq, val FROM old_w WHERE rn = 1 AND NOT is_del
+            ),
+            new_w AS (
+                SELECT *, row_number() OVER
+                         (PARTITION BY k ORDER BY seq DESC) AS rn
+                FROM s
+            ),
+            new_live AS (
+                SELECT k, seq, val FROM new_w WHERE rn = 1 AND NOT is_del
+            ),
+            j AS (
+                SELECT coalesce(o.k, n.k) AS k,
+                       o.seq AS oseq, o.val AS oval,
+                       n.seq AS nseq, n.val AS nval
+                FROM old_live o FULL OUTER JOIN new_live n ON o.k = n.k
+            )
+            SELECT 'insert' AS change_op, k, nseq AS seq, nval AS val
+            FROM j WHERE oseq IS NULL
+            UNION ALL
+            SELECT 'delete', k, oseq, oval FROM j WHERE nseq IS NULL
+            UNION ALL
+            SELECT 'update_preimage', k, oseq, oval
+            FROM j WHERE oseq IS NOT NULL AND nseq IS NOT NULL
+                    AND oseq != nseq
+            UNION ALL
+            SELECT 'update_postimage', k, nseq, nval
+            FROM j WHERE oseq IS NOT NULL AND nseq IS NOT NULL
+                    AND oseq != nseq
         """,
         "schema_defaults": """
             WITH s AS (
