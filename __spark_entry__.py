@@ -48,6 +48,24 @@ def _dec(c, scale: int = 6):
     )
 
 
+def _dbl(df: DataFrame, *cols: str) -> DataFrame:
+    """Driver-canonical final projection: cast the named columns to double
+    in place (order and names preserved). The per-round driver hashes
+    pandas frames — Spark decimals arrive as object-dtype Decimals while
+    DuckDB's .df() yields float64, so a decimal FINAL column can never
+    hash-match even when every value is numerically identical (22 round-5
+    rows proved this). Decimal stays the INTERNAL fold type (that is what
+    makes the aggregates order-independent); only the last projection
+    changes representation. decimal(18,6) -> double is exact (53-bit
+    mantissa ≫ 6dp values here), so the oracle values are untouched."""
+    return df.select(
+        *[
+            F.col(c).cast("double").alias(c) if c in cols else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 # --------------------------------------------------------------------------
 # flagship: the CDC replay itself
 # --------------------------------------------------------------------------
@@ -1621,7 +1639,10 @@ def q_mixture_sample(spark, sf):
     return kept.groupBy("source").agg(
         F.round(F.first("rate"), 6).alias("rate"),
         F.count("*").alias("n_kept"),
-        F.sum("n_chars").alias("kept_chars"),
+        # double: the oracle's SUM(int) is a DuckDB HUGEINT -> float64 in
+        # the driver's pandas canon; bigint vs float64 hash-mismatched in
+        # round 5. Sums here are far below 2^53, so double is exact.
+        F.sum("n_chars").cast("double").alias("kept_chars"),
     )
 
 
@@ -1673,7 +1694,9 @@ def q_temperature_mixture(spark, sf):
         .agg(
             F.round(F.first("rate"), 6).alias("rate"),
             F.count("*").alias("n_kept"),
-            F.sum("n_chars").alias("kept_chars"),
+            # double to match the oracle HUGEINT -> float64 (see
+            # q_mixture_sample); exact below 2^53
+            F.sum("n_chars").cast("double").alias("kept_chars"),
         )
     )
 
@@ -1718,9 +1741,11 @@ def q_repetition_ratio(spark, sf):
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     out = repetition_stats(docs, "doc_id", "text", n=2)
+    # driver-canonical dtype: quantize through decimal(18,6) as before,
+    # then REPRESENT as double (see _dbl) — values unchanged
     return out.select(
         "doc_id", "n_ngrams", "n_uniq",
-        F.col("rep_ratio").cast("decimal(18,6)").alias("rep_ratio"),
+        F.col("rep_ratio").cast("decimal(18,6)").cast("double").alias("rep_ratio"),
     )
 
 
@@ -1802,9 +1827,11 @@ def q_dedup_keep_best(spark, sf):
     cc = connected_components_auto(pairs)
     scores = docs.select("doc_id", quality_score(F.col("text")).alias("q"))
     out = keep_best_from_cc(cc, scores, "q")
+    # driver-canonical dtype: quantize through decimal(18,6) as before,
+    # then REPRESENT as double (see _dbl) — values unchanged
     return out.select(
         "doc_id", "cluster_id",
-        F.col("q").cast("decimal(18,6)").alias("q"), "keep",
+        F.col("q").cast("decimal(18,6)").cast("double").alias("q"), "keep",
     )
 
 
@@ -1842,8 +1869,11 @@ def q_unigram_logprob(spark, sf):
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),
+            # decimal quantization kept; double is the driver-canonical
+            # final representation (see _dbl)
             F.round((F.sum("lp") / F.count("*")).cast("double"), 6)
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("avg_logprob"),
         )
         .where(F.col("doc_id") < 200)
@@ -1871,6 +1901,9 @@ def q_label_centroids(spark, sf):
             # opposite directions); exact sums sidestep rounding entirely
             F.sum(F.col("v").cast("double").cast("decimal(18,6)"))
             .cast("decimal(18,6)")
+            # double final representation (driver-canonical, see _dbl);
+            # the exact-decimal fold above is unchanged
+            .cast("double")
             .alias("sum_v"),
         )
         .where(F.col("dim") < 8)
@@ -1911,7 +1944,7 @@ def q_bigram_pmi(spark, sf):
     from hemera_indexer_spark.operators.corpus import bigram_pmi
 
     docs = _t(spark, sf, "documents")
-    return bigram_pmi(docs, "text", min_count=5, top_k=40)
+    return _dbl(bigram_pmi(docs, "text", min_count=5, top_k=40), "pmi")
 
 
 def q_vocab_coverage(spark, sf):
@@ -1920,7 +1953,9 @@ def q_vocab_coverage(spark, sf):
     from hemera_indexer_spark.operators.corpus import vocab_coverage
 
     docs = _t(spark, sf, "documents")
-    return vocab_coverage(docs, "text", thresholds=(0.5, 0.9, 0.99))
+    return _dbl(
+        vocab_coverage(docs, "text", thresholds=(0.5, 0.9, 0.99)), "threshold"
+    )
 
 
 def q_source_kl(spark, sf):
@@ -1930,7 +1965,7 @@ def q_source_kl(spark, sf):
     from hemera_indexer_spark.operators.corpus import source_kl
 
     docs = _t(spark, sf, "documents")
-    return source_kl(docs, "source", "text")
+    return _dbl(source_kl(docs, "source", "text"), "kl")
 
 
 def q_zipf_slope(spark, sf):
@@ -1940,7 +1975,7 @@ def q_zipf_slope(spark, sf):
     from hemera_indexer_spark.operators.corpus import zipf_slope
 
     docs = _t(spark, sf, "documents")
-    return zipf_slope(docs, "text", group_col="lang")
+    return _dbl(zipf_slope(docs, "text", group_col="lang"), "slope")
 
 
 def q_source_sample(spark, sf):
@@ -1962,7 +1997,10 @@ def q_bigram_logprob(spark, sf):
     from hemera_indexer_spark.operators.corpus import bigram_logprob
 
     docs = _t(spark, sf, "documents")
-    return bigram_logprob(docs, "doc_id", "text").where(F.col("doc_id") < 200)
+    return _dbl(
+        bigram_logprob(docs, "doc_id", "text").where(F.col("doc_id") < 200),
+        "avg_logprob",
+    )
 
 
 def q_source_overlap(spark, sf):
@@ -1972,7 +2010,7 @@ def q_source_overlap(spark, sf):
     from hemera_indexer_spark.operators.corpus import source_overlap
 
     docs = _t(spark, sf, "documents")
-    return source_overlap(docs, "source", "text", n=3)
+    return _dbl(source_overlap(docs, "source", "text", n=3), "jaccard")
 
 
 def q_dim_stats(spark, sf):
@@ -1982,7 +2020,7 @@ def q_dim_stats(spark, sf):
     from hemera_indexer_spark.operators.embeddings import dim_stats
 
     emb = _t(spark, sf, "embeddings")
-    return dim_stats(emb, "embedding")
+    return _dbl(dim_stats(emb, "embedding"), "sum_v", "sum_sq", "min_v", "max_v")
 
 
 def q_quantize_embeddings(spark, sf):
@@ -2025,7 +2063,7 @@ def q_event_transitions(spark, sf):
     (plans/aggregates.py ``event_transitions``)."""
     from hemera_indexer_spark.plans.aggregates import event_transitions
 
-    return event_transitions(_t(spark, sf, "events"))
+    return _dbl(event_transitions(_t(spark, sf, "events")), "prob")
 
 
 def q_jl_projection(spark, sf):
@@ -2037,8 +2075,8 @@ def q_jl_projection(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     out = jl_project(emb, in_dim=64, out_dim=8)
-    return out.select(
-        "vec_id", F.posexplode("proj").alias("j", "val")
+    return _dbl(
+        out.select("vec_id", F.posexplode("proj").alias("j", "val")), "val"
     )
 
 
@@ -2090,7 +2128,7 @@ def q_doc_entropy(spark, sf):
     from hemera_indexer_spark.operators.corpus import doc_entropy
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
-    return doc_entropy(docs, "doc_id", "text")
+    return _dbl(doc_entropy(docs, "doc_id", "text"), "entropy")
 
 
 def q_hapax_ratio(spark, sf):
@@ -2100,7 +2138,7 @@ def q_hapax_ratio(spark, sf):
     from hemera_indexer_spark.operators.corpus import hapax_ratio
 
     docs = _t(spark, sf, "documents")
-    return hapax_ratio(docs, "source", "text")
+    return _dbl(hapax_ratio(docs, "source", "text"), "hapax_ratio")
 
 
 def q_source_exclusivity(spark, sf):
@@ -2111,7 +2149,7 @@ def q_source_exclusivity(spark, sf):
     from hemera_indexer_spark.operators.corpus import source_exclusivity
 
     docs = _t(spark, sf, "documents")
-    return source_exclusivity(docs, "source", "text", n=3)
+    return _dbl(source_exclusivity(docs, "source", "text", n=3), "excl_ratio")
 
 
 def q_dist_drift(spark, sf):
@@ -2123,7 +2161,9 @@ def q_dist_drift(spark, sf):
     from hemera_indexer_spark.operators.corpus import dist_drift
 
     docs = _t(spark, sf, "documents")
-    return dist_drift(docs, (F.col("doc_id") % 2) == 0, "text", "lang")
+    return _dbl(
+        dist_drift(docs, (F.col("doc_id") % 2) == 0, "text", "lang"), "l1_dist"
+    )
 
 
 def q_dedup_containment(spark, sf):
@@ -2135,8 +2175,11 @@ def q_dedup_containment(spark, sf):
 
     docs = _t(spark, sf, "documents")
     max_df = max(5, _t_rows(sf, "documents") // 100)
-    return containment_pairs(
-        docs, "doc_id", "text", n=2, threshold=0.5, max_df=max_df
+    return _dbl(
+        containment_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.5, max_df=max_df
+        ),
+        "containment",
     )
 
 
@@ -2386,7 +2429,7 @@ def q_dsir_topk(spark, sf):
     docs = _t(spark, sf, "documents")
     target = docs.where(F.col("source") == "src0")
     raw = docs.where(F.col("source") != "src0")
-    return dsir_topk(raw, target, k=20, n_features=64)
+    return _dbl(dsir_topk(raw, target, k=20, n_features=64), "log_weight")
 
 
 def q_quality_classifier(spark, sf):
@@ -2413,8 +2456,11 @@ def q_quality_classifier(spark, sf):
             F.lit(False).alias("y"),
         )
     )
-    return quality_filter(
-        docs.unionByName(parts), "y", n_features=32, iters=2, lr="0.05"
+    return _dbl(
+        quality_filter(
+            docs.unionByName(parts), "y", n_features=32, iters=2, lr="0.05"
+        ),
+        "score",
     )
 
 

@@ -352,8 +352,14 @@ def adc_topk_from_codes(
         .select(
             "qid",
             F.col(id_col),
+            # 6dp quantization through decimal (order-independent law
+            # unchanged), then double as the FINAL representation — the
+            # driver's pandas canon hashes dtypes, and a decimal final
+            # (object-dtype Decimal) can never match DuckDB's float64
+            # even when numerically identical (round-5 red row).
             F.round(F.col("d2").cast("double"), 6)
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("adc_d2"),
         )
     )
