@@ -1024,8 +1024,10 @@ class LakeTable:
             )
         # wall-clock commit stamp: powers TIMESTAMP-AS-OF time travel
         # (as_of_time) and age-based retention (expire_snapshots
-        # older_than_s). For WAP this is the STAGE time; publish flips the
-        # pointer without rewriting the staged snapshot.
+        # older_than_s). publish_staged re-writes the staged snapshot
+        # through here, so a WAP snapshot carries its PUBLISH time — the
+        # monotone-with-version-order property as_of_time/older_than_s
+        # depend on (a stage-time stamp could predate its parent).
         snap["committed_at"] = round(time.time(), 3)
         br = getattr(self, "_branch", None)
         if br is not None:
@@ -1863,11 +1865,36 @@ class LakeTable:
                 f"evolve_schema: defaults for non-added columns "
                 f"{sorted(unknown)}"
             )
+        added_types = {f.name: f.dataType for f in added}
         for c, v in defaults.items():
             if not isinstance(v, (int, float, str, bool)) or v is None:
                 raise ValueError(
                     f"evolve_schema: default for {c!r} must be a plain "
                     f"scalar (int/float/str/bool), got {type(v).__name__}"
+                )
+            # the default is applied via F.lit(v).cast(declared type) at
+            # both the initial-default read and the write-default fill; a
+            # type-incompatible value (e.g. a string on a LongType
+            # column) silently becomes NULL there. Evaluate the EXACT
+            # fill expression once on a local 1-row frame and fail
+            # loudly at evolve time instead.
+            try:
+                fill = (
+                    self.spark.range(1)
+                    .select(F.lit(v).cast(added_types[c]).alias("v"))
+                    .first()["v"]
+                )
+            except Exception as e:
+                raise ValueError(
+                    f"evolve_schema: default {v!r} for {c!r} is not "
+                    f"castable to {added_types[c].simpleString()}: {e}"
+                ) from None
+            if fill is None:
+                raise ValueError(
+                    f"evolve_schema: default {v!r} for {c!r} casts to "
+                    f"NULL under declared type "
+                    f"{added_types[c].simpleString()} — the column would "
+                    f"silently lose its default"
                 )
         if not added:
             return

@@ -214,6 +214,14 @@ class LakeMirror:
         with open(p) as f:
             return json.load(f).get("schema_log", [])
 
+    #: replica property holding the highest SOURCE schema-log sid already
+    #: replayed — the replay fence. Presence-of-column inference alone is
+    #: wrong across drop-then-re-add (the stale drop entry would re-drop
+    #: the re-added column on every later sync, NULL-filling its replica
+    #: history) and rename-then-re-add-of-the-old-name (the rename branch
+    #: would see both names and refuse forever).
+    SCHEMA_SID_PROP = "mirror_schema_sid"
+
     def _apply_schema_log(self, dest: LakeTable, log: list[dict]) -> None:
         """Replay the source's renames/drops onto the replica BEFORE
         merging a directory exported after them — envelope images carry
@@ -221,15 +229,26 @@ class LakeMirror:
         step re-ADD a renamed column and silently fork the replica's
         state from the source's.
 
-        Applied-ness is derived from the replica's own schema (rename
-        done iff old absent + new present; drop done iff absent), which
-        makes every entry idempotent under crash re-drives without a
-        separate cursor commit. ``add`` entries are skipped: the
-        payload-driven additive evolve handles them WITH types, and the
-        replica's own schema log then protects its files from re-add
-        resurrection independently."""
+        Replay is FENCED by the source schema-log ``sid`` watermark
+        persisted as a replica property: entries at or below it are
+        already applied and never re-examined, which is what keeps a
+        later drop-then-re-add (or rename-then-re-add of the old name)
+        of the same column from replaying the stale entry against the
+        re-added column. Within the unfenced suffix, applied-ness still
+        falls back to schema presence (rename done iff old absent; drop
+        done iff absent) so a crash between an applied entry and the
+        watermark commit re-drives as a clean no-op. ``add`` entries are
+        skipped (the payload-driven additive evolve handles them WITH
+        types) but still advance the watermark."""
+        if not log:
+            return
+        props = dest.snapshot.get("properties", {}) or {}
+        fence = int(props.get(self.SCHEMA_SID_PROP, -1))
+        todo = [e for e in log if int(e.get("sid", 0)) > fence]
+        if not todo:
+            return
         names = set(dest.schema.fieldNames())
-        for e in log:
+        for e in todo:
             op = e["op"]
             if op == "rename" and e["old"] in names:
                 if e["new"] in names:
@@ -244,6 +263,9 @@ class LakeMirror:
             elif op == "drop" and e["col"] in names:
                 dest.drop_column(e["col"])
                 names = set(dest.schema.fieldNames())
+        dest.update_properties(
+            {self.SCHEMA_SID_PROP: str(max(int(e.get("sid", 0)) for e in todo))}
+        )
 
     def _apply_dir(self, path: str, v_to: int) -> None:
         # Each directory is read with ITS OWN schema (never mergeSchema):

@@ -421,3 +421,82 @@ def test_mirror_propagates_rename_and_drop(spark, tmp_path):
     m2 = LakeMirror(spark, feed, str(tmp_path / "replica2"))
     m2.sync()
     _assert_same_state(src, m2)
+
+
+def test_mirror_schema_replay_fenced_by_sid(spark, tmp_path):
+    """Regression: schema-log replay must be fenced by the source sid
+    watermark, not inferred from column presence. Two histories break
+    presence inference, both only AFTER the sync that re-adds a name:
+
+    1. drop-then-re-add of the same column: the stale drop entry (still
+       in every later sidecar) would re-drop the re-added replica column
+       on the NEXT sync, NULL-filling its whole replica history;
+    2. rename-then-re-add of the OLD name: the stale rename entry would
+       see both names present and refuse with 'recreate the replica'.
+    """
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), _tiny_state_schema(),
+        num_buckets=4, key_col="doc_id", seq_col="seq",
+    )
+    feed = str(tmp_path / "feed")
+    sink = ChangelogExportSink(src, feed)
+    src.merge_upsert(_upd(spark, [(1, 10, "update", "a")]))
+    sink.sync(epoch=0)
+    m = LakeMirror(spark, feed, str(tmp_path / "replica"))
+    m.sync()
+
+    # --- case 1: drop then re-add 'val', then KEEP SYNCING ---
+    src.drop_column("val")
+    src.evolve_schema([T.StructField("val", T.StringType(), True)])
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(2, 20, "update", "fresh")],
+            "doc_id long, seq long, op string, val string",
+        )
+    )
+    sink.sync(epoch=1)
+    m.sync()
+    got = {r["doc_id"]: r["val"] for r in m.state().collect()}
+    assert got[2] == "fresh"
+    # the sync AFTER the re-add: the stale drop entry must stay fenced
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(3, 30, "update", "later")],
+            "doc_id long, seq long, op string, val string",
+        )
+    )
+    sink.sync(epoch=2)
+    m.sync()
+    got = {r["doc_id"]: r["val"] for r in m.state().collect()}
+    assert got[2] == "fresh", "stale drop entry replayed — re-added column lost"
+    assert got[3] == "later"
+    _assert_same_state(src, m)
+
+    # --- case 2: rename val->body, then re-add the OLD name 'val' ---
+    src.rename_column("val", "body")
+    src.evolve_schema([T.StructField("val", T.StringType(), True)])
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(4, 40, "update", "b4", "v4")],
+            "doc_id long, seq long, op string, body string, val string",
+        )
+    )
+    sink.sync(epoch=3)
+    m.sync()  # old code: ValueError('recreate the replica from scratch')
+    src.merge_upsert(
+        spark.createDataFrame(
+            [(5, 50, "update", "b5", "v5")],
+            "doc_id long, seq long, op string, body string, val string",
+        )
+    )
+    sink.sync(epoch=4)
+    m.sync()
+    _assert_same_state(src, m)
+    got = {r["doc_id"]: (r["body"], r["val"]) for r in m.state().collect()}
+    assert got[4] == ("b4", "v4")
+    assert got[5] == ("b5", "v5")
+
+    # from-scratch replay still converges (fresh replica, fresh fence)
+    m2 = LakeMirror(spark, feed, str(tmp_path / "replica2"))
+    m2.sync()
+    _assert_same_state(src, m2)

@@ -203,6 +203,20 @@ def test_validation(spark, tmp_path):
             [T.StructField("tag", T.ArrayType(T.LongType()), True)],
             defaults={"tag": [1, 2]},
         )
+    # a type-incompatible default would silently cast to NULL at every
+    # fill site — rejected at evolve time instead
+    # ANSI mode surfaces the bad cast as an error ("not castable"),
+    # non-ANSI as a NULL ("casts to NULL") — both rejected
+    with pytest.raises(ValueError, match="casts to NULL|not castable"):
+        t.evolve_schema(
+            [T.StructField("n", T.LongType(), True)],
+            defaults={"n": "not-a-number"},
+        )
+    # numeric widening stays allowed (int default on a double column)
+    t.evolve_schema(
+        [T.StructField("w", T.DoubleType(), True)], defaults={"w": 1}
+    )
+    assert "w" in t.schema.fieldNames()
 
 
 def test_lww_across_default_boundary(spark, tmp_path):
