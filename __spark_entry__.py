@@ -29,17 +29,46 @@ TABLES = (
 ).split()
 
 
+_META_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _t_meta(sf_dir: str, name: str) -> tuple[int, int]:
+    """(num_rows, num_row_groups) from the parquet footer — metadata
+    only, cached per file."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if path not in _META_CACHE:
+        m = pq.read_metadata(path)
+        _META_CACHE[path] = (m.num_rows, m.num_row_groups)
+    return _META_CACHE[path]
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Parquet scans parallelize at ROW-GROUP granularity: a fixture file
+    # written as one row group scans as ONE task, so every map-side pass
+    # (shingle/md5 explodes, decimal vector math, mapInPandas codecs)
+    # would run single-threaded no matter the core count — measured 5x+
+    # on the span-hash queries. Fan the scan out ONCE right after the
+    # read, but only when the file genuinely cannot feed the cores
+    # (guide §2.5 "input skew: unsplittable file -> repartition after
+    # the read"): at larger scale factors the generator writes 50k-row
+    # groups and at production scale there are thousands, so the
+    # condition goes false and the plan is untouched — this is NOT a
+    # local[32] tuning constant, cores come from the session.
+    rows, groups = _t_meta(sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if groups < cores and rows >= 4 * cores:
+        df = df.repartition(cores)
+    return df
 
 
 def _t_rows(sf_dir: str, name: str) -> int:
     """Metadata-only row count from the parquet footer — scalar query
     config (max_df thresholds, IDF N) must not cost a table scan per
     query build (the LakeTable.stats_row_count analog for raw files)."""
-    import pyarrow.parquet as pq
-
-    return pq.read_metadata(os.path.join(sf_dir, f"{name}.parquet")).num_rows
+    return _t_meta(sf_dir, name)[0]
 
 
 def _dec(c, scale: int = 6):

@@ -125,20 +125,29 @@ def train_classifier(
         w = [Decimal(0).quantize(Decimal("1e-9"))] * (n_features + 1)
         lr_d = Decimal(lr)
         q9 = Decimal("1e-9")
+        # the bias gradient is the residual sum over ALL docs — fold it
+        # into the same aggregate as the per-bucket sums via a sentinel
+        # bucket (-1) every doc carries, so each GD round is ONE Spark
+        # action instead of two (and the residual subplan evaluates once,
+        # not twice). Exact-decimal sums are order-independent, so the
+        # merged aggregate is bit-identical to the split form.
+        ext = docb.unionByName(
+            labels.select(F.col(id_col), F.lit(-1).cast("int").alias("b"))
+        )
         for _ in range(iters):
             scored = _z_scores(docb, labels, w, id_col)
             r = scored.select(
                 F.col(id_col),
                 (F.col("_y").cast(_P) - _probs(F.col("_z"))).alias("_r"),
             )
-            grad_b = (
-                docb.join(r, id_col)
+            rows = (
+                ext.join(r, id_col)
                 .groupBy("b")
                 .agg(F.sum("_r").cast(_P).alias("g"))
                 .collect()
             )
-            grad_bias = r.agg(F.sum("_r").cast(_P).alias("g")).collect()[0]["g"]
-            g = {row["b"]: row["g"] for row in grad_b}
+            g = {row["b"]: row["g"] for row in rows}
+            grad_bias = g.get(-1, 0)
             w = [
                 (w[b] + lr_d * Decimal(g.get(b, 0))).quantize(
                     q9, rounding=ROUND_HALF_UP

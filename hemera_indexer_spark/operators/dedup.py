@@ -813,34 +813,43 @@ def bloom_span_decontaminate(
         .select("_p.i", "_p.pos")
         .distinct()
     )
-    # one map-only training pass; occurrences collapse to (span, n_occ)
-    # BEFORE the k-way position explode so the join input is k rows per
-    # DISTINCT span per doc, not per occurrence
-    spans = (
-        _span_hash_arrays(train, id_col, text_col, window, stride)
-        .select(
-            "doc_id",
-            F.size("_spans").alias("n_spans"),
-            F.explode("_spans").alias("span_hash"),
-        )
-        .groupBy("doc_id", "n_spans", "span_hash")
-        .agg(F.count("*").alias("n_occ"))
+    # ONE map-only training pass straight into the (broadcast) semi-join:
+    # spans explode per OCCURRENCE and the k-way position explode rides
+    # the same map stage, so the only rows that ever reach a shuffle are
+    # the semi-join SURVIVORS — O(contaminated spans · k), not the corpus.
+    # (An earlier form pre-collapsed occurrences to (span, n_occ) with a
+    # corpus-wide groupBy before probing; 8-word spans are almost never
+    # repeated inside one doc, so that full span-stream shuffle bought a
+    # ~1x dedup — it was the single biggest exchange in the whole query,
+    # guide §2.4's "remove shuffles outright".) Occurrence counts are
+    # recovered exactly from the survivors: an occurrence whose span is
+    # bloom-positive contributes exactly k hit rows (one per position),
+    # one with only j < k positions hit contributes j rows and is
+    # filtered by the k_hit == k test — so n_occ = hit_rows / k.
+    occ = _span_hash_arrays(train, id_col, text_col, window, stride).select(
+        "doc_id",
+        F.size("_spans").alias("n_spans"),
+        F.explode("_spans").alias("span_hash"),
     )
     probed = (
-        spans.select(
-            "doc_id", "n_spans", "span_hash", "n_occ",
+        occ.select(
+            "doc_id", "n_spans", "span_hash",
             F.explode(positions(F.col("span_hash"))).alias("_p"),
         )
-        .select("doc_id", "n_spans", "span_hash", "n_occ", "_p.i", "_p.pos")
+        .select("doc_id", "n_spans", "span_hash", "_p.i", "_p.pos")
         .join(bench_pos, ["i", "pos"], "left_semi")
-        .groupBy("doc_id", "n_spans", "span_hash", "n_occ")
-        .agg(F.countDistinct("i").alias("_k_hit"))
+        .groupBy("doc_id", "n_spans", "span_hash")
+        .agg(
+            F.count("*").alias("_rows_hit"),
+            F.countDistinct("i").alias("_k_hit"),
+        )
         .where(F.col("_k_hit") == k)
     )
     return (
         probed.groupBy("doc_id")
         .agg(
-            F.sum("n_occ").alias("n_hits"),
+            # exact: every positive span occurrence contributed k rows
+            (F.sum("_rows_hit") / F.lit(k)).cast("long").alias("n_hits"),
             F.first("n_spans").alias("n_spans"),
         )
         .select(

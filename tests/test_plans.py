@@ -141,10 +141,11 @@ def test_asof_join_is_single_exchange_no_nested_loop(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    tree = plan.split("\n\n")[0]
-    # union feeds one hashpartitioning exchange on the key, then the window
-    assert tree.count("Exchange") == 1, tree
-    assert "Window" in tree
+    # union feeds one hashpartitioning exchange on the key, then the
+    # window. The scan-side round-robin fan-out (_t's one-row-group
+    # parallelizer) is NOT a key shuffle — count hash exchanges only.
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Window" in plan
 
 
 def test_range_join_avoids_nested_loop(spark):
