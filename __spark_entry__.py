@@ -45,18 +45,26 @@ def _t_meta(sf_dir: str, name: str) -> tuple[int, int]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Parquet scans parallelize at ROW-GROUP granularity: a fixture file
-    # written as one row group scans as ONE task, so every map-side pass
-    # (shingle/md5 explodes, decimal vector math, mapInPandas codecs)
-    # would run single-threaded no matter the core count — measured 5x+
-    # on the span-hash queries. Fan the scan out ONCE right after the
-    # read, but only when the file genuinely cannot feed the cores
-    # (guide §2.5 "input skew: unsplittable file -> repartition after
-    # the read"): at larger scale factors the generator writes 50k-row
-    # groups and at production scale there are thousands, so the
-    # condition goes false and the plan is untouched — this is NOT a
-    # local[32] tuning constant, cores come from the session.
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _t_fan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` plus a scale-adaptive scan fan-out — for queries whose MAP
+    side is genuinely CPU-heavy (the window-8 span pipelines: O(len *
+    window) slice+concat plus an md5 per position). Parquet scans split
+    at ROW-GROUP granularity, and a fixture file written as one row
+    group scans as ONE task, so those passes run single-threaded no
+    matter the core count. The round-robin repartition costs a measured
+    ~1s (single-task sort+serialize of the input plus a 32-task stage),
+    which only pays for itself on the span-hash queries (decontaminate
+    6.0->4.1s, bloom 6.7->4.8s best-of-3 warm); every lighter query
+    measured FLAT TO SLOWER with a blanket fan-out, so ``_t`` stays
+    plain. The guard is scale-adaptive, not a local[32] constant: at
+    larger scale factors the generator writes 50k-row groups, at
+    production scale there are thousands, and the condition goes false
+    (guide §2.5 "input skew: unsplittable file -> repartition after the
+    read")."""
+    df = _t(spark, sf_dir, name)
     rows, groups = _t_meta(sf_dir, name)
     cores = spark.sparkContext.defaultParallelism
     if groups < cores and rows >= 4 * cores:
@@ -1400,7 +1408,7 @@ def q_duplicated_spans(spark, sf):
     from hemera_indexer_spark.operators.dedup import duplicated_spans
 
     return duplicated_spans(
-        _t(spark, sf, "documents"), "doc_id", "text", window=8
+        _t_fan(spark, sf, "documents"), "doc_id", "text", window=8
     )
 
 
@@ -1411,7 +1419,7 @@ def q_decontaminate(spark, sf):
     map-only."""
     from hemera_indexer_spark.operators.dedup import cross_corpus_span_overlap
 
-    docs = _t(spark, sf, "documents")
+    docs = _t_fan(spark, sf, "documents")
     train = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
     bench = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
     return cross_corpus_span_overlap(train, bench, "doc_id", "text", window=8)
@@ -1427,7 +1435,7 @@ def q_bloom_decontaminate(spark, sf):
     cross_corpus_span_overlap is property-tested separately)."""
     from hemera_indexer_spark.operators.dedup import bloom_span_decontaminate
 
-    docs = _t(spark, sf, "documents")
+    docs = _t_fan(spark, sf, "documents")
     train = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
     bench = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
     return bloom_span_decontaminate(
