@@ -678,10 +678,18 @@ def bm25_scores(
     words = word_stream(df, text_col, id_col).cache()
     try:
         dl = words.groupBy(id_col).agg(F.count("*").alias("_dl"))
-        n_docs = df.count()
-        avgdl = (
-            dl.agg(F.sum("_dl").alias("s")).collect()[0]["s"] / float(n_docs)
-        )
+        # ONE bounded action for both scalars (doc count + total words)
+        # instead of a count plus a dl-aggregate collect: the array-form
+        # word count (size of the empty-filtered split) equals the
+        # exploded stream's count by construction, and dl itself stays
+        # lazy until the scoring join needs it.
+        tok = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+        n_words_arr = F.size(F.filter(tok, lambda w: w != ""))
+        hdr = df.agg(
+            F.count("*").alias("n"), F.sum(n_words_arr).alias("s")
+        ).collect()[0]
+        n_docs = hdr["n"]
+        avgdl = hdr["s"] / float(n_docs)
         tf = (
             words.where(F.col("w").isin(list(query_terms)))
             .groupBy(id_col, "w")

@@ -548,12 +548,17 @@ def connected_components_auto(
         .distinct()
         .cache()
     )
-    n_edges = edges.count()
-    if n_edges > driver_threshold:
+    # ONE action decides AND fetches: take(threshold + 1) returns every
+    # edge when the graph is driver-sized and over-fills by exactly one
+    # row when it is not — the earlier count-then-collect pair cost two
+    # Spark actions over the (cached) pair pipeline for the same
+    # information. The over-fetch bound is the threshold itself, which
+    # was always the stated driver-memory budget.
+    rows = edges.take(driver_threshold + 1)
+    if len(rows) > driver_threshold:
         out = connected_components(edges, "a", "b", max_iter=max_iter)
         edges.unpersist()
         return out
-    rows = edges.collect()
     edges.unpersist()
     parent: dict = {}
 

@@ -124,6 +124,7 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _base: DataFrame | None = None,
 ) -> Codebook:
     """Train the m×ks codebook with deterministic per-subspace Lloyd's:
 
@@ -135,8 +136,18 @@ def pq_train(
 
     All m subspaces train in the SAME iters+1 corpus passes: one
     map-only assignment + one (sub, code, dim) groupBy per round whose
-    ks×in_dim rows are the only driver-side collect."""
-    base = _sub_slices(df, in_dim, m, id_col, vec_col).persist()
+    ks×in_dim rows are the only driver-side collect.
+
+    ``_base``: a caller-owned persisted ``_sub_slices`` frame — the
+    inline ``pq_adc_topk`` builds the slice table ONCE and shares it
+    across training, the query distance tables and the encode pass
+    (otherwise each re-derives the decimal slicing from source). When
+    supplied, this function neither persists nor unpersists it."""
+    base = (
+        _base
+        if _base is not None
+        else _sub_slices(df, in_dim, m, id_col, vec_col).persist()
+    )
     dsub = in_dim // m
     try:
         init_rows = base.orderBy(id_col).limit(ks).collect()
@@ -186,7 +197,8 @@ def pq_train(
                 ] = r["mn"]
         return book
     finally:
-        base.unpersist()
+        if _base is None:
+            base.unpersist()
 
 
 def pq_encode(
@@ -220,6 +232,7 @@ def _query_tables(
     query_ids: list,
     id_col: str,
     vec_col: str,
+    _base: DataFrame | None = None,
 ) -> dict:
     """Per-query ADC distance tables, computed BY SPARK over the (few)
     query rows so the decimal chain is bit-identical to the assignment
@@ -228,8 +241,13 @@ def _query_tables(
     m = len(book)
     if any(not book[s] for s in range(m)):
         return {}
-    q = _sub_slices(
-        df.where(F.col(id_col).isin(query_ids)), in_dim, m, id_col, vec_col
+    q = (
+        _base.where(F.col(id_col).isin(query_ids))
+        if _base is not None
+        else _sub_slices(
+            df.where(F.col(id_col).isin(query_ids)), in_dim, m, id_col,
+            vec_col,
+        )
     )
     cells = q.select(
         F.col(id_col).alias("qid"),
@@ -276,14 +294,35 @@ def pq_adc_topk(
     m table lookups via ``zip_with``/``element_at`` over literal
     tables) + one per-query top-k window partitioned by qid. Ties break
     (d2, vec_id) — deterministic across engines."""
+    # ONE persisted slice table feeds training, the query distance
+    # tables and the encode pass — uncached, each re-derived the decimal
+    # slicing from source (train already persisted internally; the other
+    # two were fresh scans + fresh codegen). Lifecycle: the returned
+    # frame references the cache; Spark's ContextCleaner reclaims it
+    # when the result goes out of scope. At corpus scale run encode
+    # separately against a frozen ``book`` (the documented production
+    # path) rather than through this inline trainer.
+    if book is not None:
+        # a caller-trained book fixes the subspace count — the slice
+        # table must match IT, not the parameter default
+        m = len(book)
+    base = _sub_slices(df, in_dim, m, id_col, vec_col).persist()
     if book is None:
         book = pq_train(
             df, in_dim, m=m, ks=ks, iters=iters,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, _base=base,
         )
     m = len(book)
-    tables = _query_tables(df, book, in_dim, query_ids, id_col, vec_col)
-    encoded = pq_encode(df, book, in_dim, id_col=id_col, vec_col=vec_col)
+    tables = _query_tables(
+        df, book, in_dim, query_ids, id_col, vec_col, _base=base
+    )
+    if any(not book[s] for s in range(m)):
+        encoded = pq_encode(df, book, in_dim, id_col=id_col, vec_col=vec_col)
+    else:
+        encoded = _assign_codes(base, book, m).select(
+            F.col(id_col),
+            F.array(*[F.col(f"_code_{s}") for s in range(m)]).alias("codes"),
+        )
     return adc_topk_from_codes(encoded, tables, m, k, id_col=id_col)
 
 
