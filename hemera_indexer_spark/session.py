@@ -92,6 +92,21 @@ def get_spark(
         # the transactional boundary, and half-written commit dirs are
         # unreachable orphans by design (see lake/table.py).
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # InferFiltersFromGenerate copies a Generate's input expression into
+        # an inferred `size(e) > 0 AND isnotnull(e)` filter, which pushdown
+        # then moves below any exchange. For the span/shingle pipelines the
+        # generator input is a transform(...) -> md5 array over the whole
+        # document, so the corpus pays that array THREE times (twice in the
+        # single-task pre-exchange filter, once post-exchange) — measured
+        # 2.6s -> 0.24s on the sf0.1 span explode with the rule excluded.
+        # Excluding an optimizer rule never changes results (the rule only
+        # ADDS inferred filters); the cost is losing scan-level pruning for
+        # explodes of STORED array columns that are often null/empty, which
+        # no table in this engine has.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     if executors is not None:
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
