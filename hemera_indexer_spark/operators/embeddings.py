@@ -184,16 +184,42 @@ def _assign_clusters(base: DataFrame, cents: dict[int, list[float]]) -> DataFram
     """One map-only assignment pass: per-centroid exact-decimal squared
     distance over the pre-materialized ``_dec`` array, argmin via
     ``array_min`` over (dist, cid) structs (lexicographic struct order =
-    smallest distance, ties to the smallest cluster id)."""
-    structs = []
-    for cid in sorted(cents):
-        lit = F.array(
-            *[F.lit(x).cast("decimal(18,6)") for x in cents[cid]]
-        )
+    smallest distance, ties to the smallest cluster id).
+
+    The centroid matrix rides in as a SINGLE-ROW BROADCAST cross-join
+    (array<struct<c, cent>>), not as k×dim inlined literals: the decimal
+    chain is identical (centroids enter as doubles and cast element-wise
+    to decimal(18,6), exactly what ``F.lit(x).cast`` did), but the plan
+    stays constant-size in k, so each Lloyd round stops re-paying
+    O(k·dim) analysis/codegen per action."""
+    from pyspark.sql import types as T
+
+    spark = base.sparkSession
+    data = ([(int(cid), [float(x) for x in cents[cid]])
+             for cid in sorted(cents)],)
+    schema = T.StructType([
+        T.StructField("_cb", T.ArrayType(T.StructType([
+            T.StructField("c", T.IntegerType()),
+            T.StructField("cent", T.ArrayType(T.DoubleType())),
+        ]))),
+    ])
+    cb = spark.createDataFrame([data], schema).select(
+        F.transform(
+            "_cb",
+            lambda e: F.struct(
+                e["c"].alias("c"),
+                F.transform(
+                    e["cent"], lambda x: x.cast("decimal(18,6)")
+                ).alias("cent"),
+            ),
+        ).alias("_cb")
+    )
+
+    def _score(e):
         d = F.aggregate(
             F.zip_with(
                 F.col("_dec"),
-                lit,
+                e["cent"],
                 lambda x, y: (
                     (x - y).cast("decimal(15,6)")
                     * (x - y).cast("decimal(15,6)")
@@ -202,10 +228,13 @@ def _assign_clusters(base: DataFrame, cents: dict[int, list[float]]) -> DataFram
             F.lit(0).cast("decimal(38,12)"),
             lambda acc, x: (acc + x).cast("decimal(38,12)"),
         )
-        structs.append(
-            F.struct(d.alias("d"), F.lit(cid).alias("c"))
-        )
-    return base.withColumn("cluster", F.array_min(F.array(*structs))["c"])
+        return F.struct(d.alias("d"), e["c"].alias("c"))
+
+    return (
+        base.crossJoin(F.broadcast(cb))
+        .withColumn("cluster", F.array_min(F.transform("_cb", _score))["c"])
+        .drop("_cb")
+    )
 
 
 def kmeans_lloyd(

@@ -18,9 +18,11 @@ corpus in cluster RAM. Scale shape:
   pass per round (one map-only assignment + one map-side-combined
   (sub, code, dim) groupBy whose ks×d result rows are collected) —
   the same iters+1-corpus-pass budget as ``kmeans_lloyd``, not m× it.
-- ENCODING is map-only: the m×ks×(d/m) = ks×d codebook ships as
-  literals (broadcast-small-side rule), argmin per subspace happens in
-  whole-stage codegen, no shuffle, no Python.
+- ENCODING is map-only: the m×ks×(d/m) = ks×d codebook rides in as a
+  single-row BROADCAST (broadcast-small-side rule; a broadcast column
+  keeps the plan constant-size in ks where inlined literals made every
+  action re-pay O(ks·d) analysis/codegen), argmin per subspace is
+  map-side, no shuffle of the corpus, no Python.
 - ADC SEARCH is map-only per candidate: per-query distance tables are
   m×ks literals computed by a bounded Spark job over the (few) query
   rows; the corpus pass is one scan of the codes column + a per-query
@@ -78,14 +80,15 @@ def _sub_slices(
     )
 
 
-def _d2(sub_col: Column, cent: list[float]) -> Column:
-    """Exact squared distance between a 6dp-decimal subvector column and
-    a literal sub-centroid: diffs quantized to 6dp, squares exact."""
-    lit = F.array(*[F.lit(x).cast("decimal(18,6)") for x in cent])
+def _d2_cols(sub_col: Column, cent_col: Column) -> Column:
+    """Exact squared distance between two decimal(18,6)-array columns:
+    diffs quantized to 6dp, squares exact. The centroid side arrives as
+    a broadcast column off ``_codebook_by_s`` — identical
+    Cast/CheckOverflow chain to the earlier inlined-literal form."""
     return F.aggregate(
         F.zip_with(
             sub_col,
-            lit,
+            cent_col,
             lambda x, y: (
                 (x - y).cast("decimal(15,6)")
                 * (x - y).cast("decimal(15,6)")
@@ -96,24 +99,122 @@ def _d2(sub_col: Column, cent: list[float]) -> Column:
     )
 
 
-def _assign_codes(base: DataFrame, book: Codebook, m: int) -> DataFrame:
-    """Map-only: add ``_code_{s}`` per subspace — argmin over that
-    subspace's codebook via ``array_min`` of (d2, code) structs
-    (lexicographic struct order = smallest distance, ties to the
-    smallest code id)."""
-    out = base
-    for s in range(m):
-        structs = [
-            F.struct(
-                _d2(F.col(f"_s{s}"), cent).alias("d"),
-                F.lit(cid).alias("c"),
+def _codebook_by_s(spark, book: Codebook, m: int) -> DataFrame:
+    """The codebook as an m-row broadcastable table (s, cb:
+    array<struct<c:int, cent:array<decimal(18,6)>>>). Centroids enter as
+    doubles and are cast element-wise to decimal(18,6) — the same
+    double->decimal cast `F.lit(x).cast(...)` performs, so distances off
+    this table are bit-identical to the literal form. Shipping the book
+    as a broadcast COLUMN instead of m×ks inlined literal arrays keeps
+    the expression tree (and its per-action analysis/codegen cost)
+    constant in ks — measured 2x on the sf0.1 train round."""
+    from pyspark.sql import types as T
+
+    rows = [
+        (s, [(int(cid), [float(x) for x in cent])
+             for cid, cent in sorted(book[s].items())])
+        for s in range(m)
+    ]
+    schema = T.StructType([
+        T.StructField("s", T.IntegerType()),
+        T.StructField("cb", T.ArrayType(T.StructType([
+            T.StructField("c", T.IntegerType()),
+            T.StructField("cent", T.ArrayType(T.DoubleType())),
+        ]))),
+    ])
+    return spark.createDataFrame(rows, schema).select(
+        "s",
+        F.transform(
+            "cb",
+            lambda e: F.struct(
+                e["c"].alias("c"),
+                F.transform(
+                    e["cent"], lambda x: x.cast("decimal(18,6)")
+                ).alias("cent"),
+            ),
+        ).alias("cb"),
+    )
+
+
+def _assign_long(base: DataFrame, book: Codebook, m: int) -> DataFrame:
+    """(id, s, sv, cid): chosen code per (vector, subspace). One inline
+    to long form + a broadcast join against the m-row codebook table +
+    a map-side ``array_min`` argmin over (d2, code) structs — no per-row
+    blowup beyond m, no argmin shuffle, and a plan whose size does not
+    grow with ks (unlike the earlier inlined-literal tree). Distances
+    and tie-breaks are the exact decimal chain of ``_d2_cols``."""
+    id_col = base.columns[0]
+    long_ = base.select(
+        F.col(id_col),
+        F.inline(F.array(*[
+            F.struct(F.lit(s).alias("s"), F.col(f"_s{s}").alias("sv"))
+            for s in range(m)
+        ])),
+    )
+    cd = _codebook_by_s(base.sparkSession, book, m)
+    return long_.join(F.broadcast(cd), "s").select(
+        F.col(id_col),
+        "s",
+        "sv",
+        F.array_min(
+            F.transform(
+                F.col("cb"),
+                lambda e: F.struct(
+                    _d2_cols(F.col("sv"), e["cent"]).alias("d"),
+                    e["c"].alias("c"),
+                ),
             )
-            for cid, cent in sorted(book[s].items())
-        ]
-        out = out.withColumn(
-            f"_code_{s}", F.array_min(F.array(*structs))["c"]
-        )
-    return out
+        )["c"].alias("cid"),
+    )
+
+
+def _assign_wide(base: DataFrame, book: Codebook, m: int) -> DataFrame:
+    """base + ``_code_{s}`` columns, MAP-ONLY: the codebook rides in as a
+    single-row broadcast (one array<struct<c,cent>> column per subspace,
+    cross-joined), argmin per subspace via ``array_min`` of (d2, code)
+    structs. No shuffle of the corpus — the encode-path contract — and
+    the plan stays constant-size in ks. Same decimal chain and tie-break
+    as ``_assign_long``."""
+    from pyspark.sql import types as T
+
+    spark = base.sparkSession
+    data = tuple(
+        [(int(cid), [float(x) for x in cent])
+         for cid, cent in sorted(book[s].items())]
+        for s in range(m)
+    )
+    schema = T.StructType([
+        T.StructField(f"_cb{s}", T.ArrayType(T.StructType([
+            T.StructField("c", T.IntegerType()),
+            T.StructField("cent", T.ArrayType(T.DoubleType())),
+        ]))) for s in range(m)
+    ])
+    cb = spark.createDataFrame([data], schema).select(*[
+        F.transform(
+            f"_cb{s}",
+            lambda e: F.struct(
+                e["c"].alias("c"),
+                F.transform(
+                    e["cent"], lambda x: x.cast("decimal(18,6)")
+                ).alias("cent"),
+            ),
+        ).alias(f"_cb{s}")
+        for s in range(m)
+    ])
+    def _argmin(s: int):
+        # single-arg lambda (F.transform passes the index to 2-arg ones)
+        def scorer(e):
+            return F.struct(
+                _d2_cols(F.col(f"_s{s}"), e["cent"]).alias("d"),
+                e["c"].alias("c"),
+            )
+
+        return F.array_min(F.transform(F.col(f"_cb{s}"), scorer))["c"]
+
+    out = base.crossJoin(F.broadcast(cb))
+    for s in range(m):
+        out = out.withColumn(f"_code_{s}", _argmin(s))
+    return out.drop(*[f"_cb{s}" for s in range(m)])
 
 
 def pq_train(
@@ -164,21 +265,9 @@ def pq_train(
             for s in range(m)
         }
         for _ in range(iters):
-            assigned = _assign_codes(base, book, m)
-            long = assigned.select(
-                F.inline(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(s).alias("s"),
-                                F.col(f"_code_{s}").alias("cid"),
-                                F.col(f"_s{s}").alias("sv"),
-                            )
-                            for s in range(m)
-                        ]
-                    )
-                )
-            ).select("s", "cid", F.posexplode("sv").alias("i", "v"))
+            long = _assign_long(base, book, m).select(
+                "s", "cid", F.posexplode("sv").alias("i", "v")
+            )
             stats = (
                 long.groupBy("s", "cid", "i")
                 .agg(
@@ -218,8 +307,7 @@ def pq_encode(
             F.col(id_col),
             F.lit(None).cast("array<int>").alias("codes"),
         )
-    assigned = _assign_codes(base, book, m)
-    return assigned.select(
+    return _assign_wide(base, book, m).select(
         F.col(id_col),
         F.array(*[F.col(f"_code_{s}") for s in range(m)]).alias("codes"),
     )
@@ -249,22 +337,32 @@ def _query_tables(
             vec_col,
         )
     )
-    cells = q.select(
+    q_long = q.select(
         F.col(id_col).alias("qid"),
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.lit(cid).alias("cid"),
-                        _d2(F.col(f"_s{s}"), cent).alias("d2"),
-                    )
-                    for s in range(m)
-                    for cid, cent in sorted(book[s].items())
-                ]
-            )
-        ),
-    ).collect()
+        F.inline(F.array(*[
+            F.struct(F.lit(s).alias("s"), F.col(f"_s{s}").alias("sv"))
+            for s in range(m)
+        ])),
+    )
+    cd = _codebook_by_s(q.sparkSession, book, m)
+    cells = (
+        q_long.join(F.broadcast(cd), "s")
+        .select(
+            "qid", "s",
+            F.explode(
+                F.transform(
+                    F.col("cb"),
+                    lambda e: F.struct(
+                        e["c"].alias("cid"),
+                        _d2_cols(F.col("sv"), e["cent"]).alias("d2"),
+                    ),
+                )
+            ).alias("_cell"),
+        )
+        .select("qid", "s", F.col("_cell.cid").alias("cid"),
+                F.col("_cell.d2").alias("d2"))
+        .collect()
+    )
     tables: dict = {}
     for r in cells:
         tables.setdefault(r["qid"], {}).setdefault(r["s"], {})[
@@ -319,7 +417,7 @@ def pq_adc_topk(
     if any(not book[s] for s in range(m)):
         encoded = pq_encode(df, book, in_dim, id_col=id_col, vec_col=vec_col)
     else:
-        encoded = _assign_codes(base, book, m).select(
+        encoded = _assign_wide(base, book, m).select(
             F.col(id_col),
             F.array(*[F.col(f"_code_{s}") for s in range(m)]).alias("codes"),
         )
