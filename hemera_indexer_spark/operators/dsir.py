@@ -17,13 +17,14 @@ training subset. The hashed-feature trick is what makes this scale: the
 model is ``n_features`` numbers regardless of corpus size — no
 vocabulary pass, no dictionary broadcast.
 
-Scale shape (100 TB pool): TWO map-only gram streams each reduced by a
-map-side-combined ``n_features``-ary groupBy (the two count tables —
-2·n_features longs — are the only driver-side collects), then ONE
-map-only scoring pass over the raw pool whose shuffle is bounded by
-O(docs × n_features) (per-doc bucket counts, then a doc-keyed sum of
-exact decimals). The log-ratio table ships as a literal array — the
-broadcast-small-side rule. No Python in any pass.
+Scale shape (100 TB pool): ONE map-only gram pass per corpus (unigrams
+and bigrams concat off a single split — never a two-stream union that
+re-reads the text), the raw pool's pass reduced ONCE to the persisted
+per-doc (id, bucket, count) table from which both the corpus histogram
+(its per-bucket sum — the only driver-side collect besides the target's
+n_features longs) and the scoring sum derive. The scoring shuffle is
+bounded by O(docs × n_features); the log-ratio table ships as a literal
+array — the broadcast-small-side rule. No Python in any pass.
 
 Determinism: buckets are md5-prefix mod ``n_features`` (engine-portable,
 the ``dataset_split`` rule); per-bucket log-ratios are rounded to 9dp
@@ -43,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hemera_indexer_spark.operators.corpus import bigram_stream, word_stream
+from hemera_indexer_spark.operators.corpus import word_stream
 
 _W_DEC = "decimal(28,9)"
 
@@ -52,17 +53,37 @@ def _gram_stream(
     df: DataFrame, id_col: str, text_col: str, use_bigrams: bool
 ) -> DataFrame:
     """Map-only (id, gram) stream: unigrams plus (optionally) adjacent
-    bigrams joined with a single space — the DSIR featurization."""
-    uni = word_stream(df, text_col, id_col).select(
-        F.col(id_col), F.col("w").alias("gram")
-    )
+    bigrams joined with a single space — the DSIR featurization.
+
+    ONE pass: the earlier ``word_stream UNION bigram_stream`` form read
+    and re-split the corpus twice per consumer; here the split array
+    materializes once and both gram families concat into a single
+    explode. The per-family expressions are verbatim
+    ``word_stream``/``bigram_stream`` normal form (lowercase, \\s+ split,
+    empties dropped, bigrams = adjacent pairs with both sides non-empty),
+    so the gram MULTISET — all any consumer aggregates — is identical."""
     if not use_bigrams:
-        return uni
-    bi = bigram_stream(df, text_col, F.col(id_col)).select(
-        F.col(id_col),
-        F.concat_ws(" ", F.col("x"), F.col("y")).alias("gram"),
+        return word_stream(df, text_col, id_col).select(
+            F.col(id_col), F.col("w").alias("gram")
+        )
+    w = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    base = df.select(F.col(id_col), w.alias("_w"))
+    arr = F.col("_w")
+    sz = F.size(arr)
+    unis = F.filter(arr, lambda t: t != "")
+    bigr = F.filter(
+        F.zip_with(
+            F.slice(arr, 1, sz - 1),
+            F.slice(arr, 2, sz - 1),
+            lambda a, b: F.when(
+                (a != "") & (b != ""), F.concat_ws(" ", a, b)
+            ),
+        ),
+        lambda g: g.isNotNull(),
     )
-    return uni.unionByName(bi)
+    return base.select(
+        F.col(id_col), F.explode(F.concat(unis, bigr)).alias("gram")
+    )
 
 
 def _bucket(n_features: int):
@@ -111,7 +132,25 @@ def dsir_weights(
     order-independent."""
     B = n_features
     ct = _bucket_counts(target, id_col, text_col, B, use_bigrams)
-    cr = _bucket_counts(raw, id_col, text_col, B, use_bigrams)
+    # ONE raw-corpus gram pass, not two: the per-doc (id, bucket, count)
+    # table persists, the corpus histogram `cr` is its per-bucket sum
+    # (identical longs — sum of per-doc counts), and the scoring pass
+    # below re-reads the cache instead of re-splitting + re-hashing the
+    # whole pool. The returned frame references the cache; Spark's
+    # ContextCleaner reclaims it when the result goes out of scope.
+    per_bucket = (
+        _gram_stream(raw, id_col, text_col, use_bigrams)
+        .select(F.col(id_col), _bucket(B).alias("b"))
+        .groupBy(id_col, "b")
+        .count()
+        .persist()
+    )
+    cr = {
+        r["b"]: r["n"]
+        for r in per_bucket.groupBy("b")
+        .agg(F.sum("count").alias("n"))
+        .collect()
+    }
     tt = sum(ct.values())
     tr = sum(cr.values())
     # lr entries are decimal(19,9) and the per-doc count decimal(9,0):
@@ -134,12 +173,6 @@ def dsir_weights(
             ).cast("decimal(19,9)")
             for b in range(B)
         ]
-    )
-    per_bucket = (
-        _gram_stream(raw, id_col, text_col, use_bigrams)
-        .select(F.col(id_col), _bucket(B).alias("b"))
-        .groupBy(id_col, "b")
-        .count()
     )
     contrib = (
         F.col("count").cast("decimal(9,0)")

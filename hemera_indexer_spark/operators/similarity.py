@@ -54,16 +54,28 @@ def brute_force_topk(
     """Exact cosine top-k neighbors for each query id (queries drawn from the
     same table; self-matches excluded). Returns (query_id, rank, neighbor_id,
     cos_sim rounded to 4dp); rank ties broken by neighbor_id."""
+    # norms factored out of the per-pair cosine: norm over the same double
+    # array is the same double wherever evaluated, so carrying it as a
+    # column is bit-identical and removes 2 of the 3 O(dim) folds per pair
     q = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        emb.select(
+            F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")
+        )
+        .crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col(vec_col), F.col("_qv")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col(vec_col), F.col("_qv"))
+                / (F.col("_n") * F.col("_qn")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -175,16 +187,23 @@ def embedding_dup_pairs(
     per-bucket candidate sets stay small; pipe the output through
     ``dedup.connected_components`` for keep/drop sets."""
     buckets = anchor_lsh_buckets(emb, n_anchors, id_col, vec_col)
+    # per-vector norm computed ONCE here (n rows), not once per PAIR in
+    # the bucket self-join below: cosine(a,b) = dot/(norm(a)*norm(b)), and
+    # norm over the same double array is the same double wherever it is
+    # evaluated, so carrying it as a column is bit-identical while cutting
+    # 2/3 of the per-pair element ops (dot + 2 norms -> dot).
     embb = (
         emb.select(F.col(id_col).alias("_eid"), F.col(vec_col).alias("_v"))
         .join(buckets, F.col("_eid") == F.col("vec_id"))
-        .select("vec_id", "_v", "bucket")
+        .select("vec_id", "_v", norm(F.col("_v")).alias("_n"), "bucket")
     )
     a = embb.select(
-        F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "bucket"
     )
     b = embb.select(
-        F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb"), "bucket"
+        F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "bucket"
     )
     return (
         a.join(b, "bucket")
@@ -192,7 +211,11 @@ def embedding_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                4,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -211,14 +234,16 @@ def anchor_lsh_topk(
     cos_sim). Recall < 1 by construction; the win is that the join is
     bucket-equi (shuffle on bucket) instead of a cross join."""
     buckets = anchor_lsh_buckets(emb, n_anchors, id_col, vec_col)
+    # per-vector norm once (see embedding_dup_pairs) — bit-identical
     embb = (
         emb.select(F.col(id_col).alias("_eid"), F.col(vec_col).alias("_v"))
         .join(buckets, F.col("_eid") == F.col("vec_id"))
-        .select("vec_id", "_v", "bucket")
+        .select("vec_id", "_v", norm(F.col("_v")).alias("_n"), "bucket")
     )
     q = embb.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
         F.col("bucket").alias("qbucket"),
     )
     scored = (
@@ -227,7 +252,11 @@ def anchor_lsh_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("_v"), F.col("_qv")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("_v"), F.col("_qv"))
+                / (F.col("_n") * F.col("_qn")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -250,10 +279,24 @@ def _argmax_cell(
     smallest cell id). Centroids are broadcast; the argmax is a map-side
     combinable ``max_by`` groupBy — ONE shuffle of N pre-reduced rows, no
     window over the N x ncells cross product."""
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col).alias("vec_id"),
-        F.col("_cell"),
-        cosine(F.col(vec_col), F.col("_cv")).alias("_cos"),
+    # vector norm once per ROW, centroid norm once per CELL (on the tiny
+    # broadcast side) — not once per (row, cell) pair; bit-identical
+    cents_n = cents.select(
+        "_cell", "_cv", norm(F.col("_cv")).alias("_cn")
+    )
+    scored = (
+        emb.select(
+            F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vn")
+        )
+        .crossJoin(F.broadcast(cents_n))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("_cell"),
+            (
+                dot(F.col(vec_col), F.col("_cv"))
+                / (F.col("_vn") * F.col("_cn"))
+            ).alias("_cos"),
+        )
     )
     return scored.groupBy("vec_id").agg(
         F.max_by(
@@ -354,33 +397,52 @@ def ivf_probe_topk(
     centroids), candidates are the vectors ASSIGNED to those cells
     (equi-join on cell — never all-pairs), exact cosine re-ranks top-k.
     ``assigned`` is (vec_id, cell); ``refined`` is (_cell, _cv)."""
+    # query/vector/centroid norms factored out of the per-pair cosines
+    # (same doubles, see embedding_dup_pairs) — bit-identical
     q = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    refined_n = refined.select(
+        "_cell", "_cv", norm(F.col("_cv")).alias("_cn")
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("_pcos").desc(), F.col("_cell").asc()
     )
     probes = (
-        q.crossJoin(F.broadcast(refined))
+        q.crossJoin(F.broadcast(refined_n))
         .select(
             "query_id",
             "_qv",
+            "_qn",
             F.col("_cell"),
-            cosine(F.col("_qv"), F.col("_cv")).alias("_pcos"),
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("_pcos"),
         )
         .withColumn("_pr", F.row_number().over(probe_w))
         .where(F.col("_pr") <= nprobe)
-        .select("query_id", "_qv", F.col("_cell").alias("cell"))
+        .select("query_id", "_qv", "_qn", F.col("_cell").alias("cell"))
     )
     cands = (
-        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_v"),
+            norm(F.col(vec_col)).alias("_vn"),
+        )
         .join(assigned, F.col("neighbor_id") == assigned["vec_id"])
         .join(F.broadcast(probes), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_v"), F.col("_qv")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("_v"), F.col("_qv"))
+                / (F.col("_vn") * F.col("_qn")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
