@@ -60,13 +60,20 @@ def pagerank(
         .cache()  # re-read every round by the teleport left join
     )
     n = nodes.count()  # bounded: one count over the node set
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # out-degrees attach to the edge table ONCE (cached) — the earlier
+    # per-round `join(deg)` re-ran the degree aggregate and its join
+    # every iteration over the same cached edges; same rows, same
+    # per-edge values, one join+agg per round removed
+    ed = (
+        e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
+        .select("src", "dst", "outdeg")
+        .cache()
+    )
     teleport = (1.0 - damping) / float(n)
     ranks = nodes.select("v", F.round(F.lit(1.0 / float(n)), 6).alias("r"))
     for _ in range(iters):
         contrib = (
-            e.join(ranks, e.src == ranks.v)
-            .join(deg, "src")
+            ed.join(ranks, ed.src == ranks.v)
             .select(
                 F.col("dst").alias("v"),
                 F.round(F.col("r") / F.col("outdeg"), 9)
