@@ -1419,9 +1419,15 @@ def q_decontaminate(spark, sf):
     map-only."""
     from hemera_indexer_spark.operators.dedup import cross_corpus_span_overlap
 
-    docs = _t_fan(spark, sf, "documents")
-    train = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
-    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    # fan-out the TRAIN side only: the bench branch ends in a distinct
+    # shuffle anyway, so its share of the round-robin repartition was
+    # pure cost (same filters, identical results)
+    train = _t_fan(spark, sf, "documents").where(
+        F.pmod(F.col("doc_id"), F.lit(10)) != 0
+    )
+    bench = _t(spark, sf, "documents").where(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    )
     return cross_corpus_span_overlap(train, bench, "doc_id", "text", window=8)
 
 
@@ -1435,9 +1441,13 @@ def q_bloom_decontaminate(spark, sf):
     cross_corpus_span_overlap is property-tested separately)."""
     from hemera_indexer_spark.operators.dedup import bloom_span_decontaminate
 
-    docs = _t_fan(spark, sf, "documents")
-    train = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
-    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    # fan-out the TRAIN side only (see q_decontaminate)
+    train = _t_fan(spark, sf, "documents").where(
+        F.pmod(F.col("doc_id"), F.lit(10)) != 0
+    )
+    bench = _t(spark, sf, "documents").where(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    )
     return bloom_span_decontaminate(
         train, bench, "doc_id", "text", window=8, k=3, prefix_len=6
     )

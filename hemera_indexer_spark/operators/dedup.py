@@ -797,64 +797,60 @@ def bloom_span_decontaminate(
     Returns the same shape as ``cross_corpus_span_overlap``:
     (doc_id, n_hits, n_spans, contamination), where n_hits counts
     bloom-positive span OCCURRENCES."""
-    def positions(col):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("i"),
-                    F.substring(
-                        F.md5(F.concat(col, F.lit(f"#{i}"))), 1, prefix_len
-                    ).alias("pos"),
-                )
-                for i in range(k)
-            ]
+    def pos_i(col, i):
+        return F.substring(
+            F.md5(F.concat(col, F.lit(f"#{i}"))), 1, prefix_len
         )
 
-    bench_pos = (
+    bench_spans = (
         _span_hash_arrays(bench, id_col, text_col, window, stride)
         .select(F.explode("_spans").alias("span_hash"))
         .distinct()
-        .select(F.explode(positions(F.col("span_hash"))).alias("_p"))
-        .select("_p.i", "_p.pos")
-        .distinct()
     )
-    # ONE map-only training pass straight into the (broadcast) semi-join:
-    # spans explode per OCCURRENCE and the k-way position explode rides
-    # the same map stage, so the only rows that ever reach a shuffle are
-    # the semi-join SURVIVORS — O(contaminated spans · k), not the corpus.
+    bench_pos = [
+        bench_spans.select(pos_i(F.col("span_hash"), i).alias(f"_p{i}"))
+        .distinct()
+        for i in range(k)
+    ]
+    # STAGED probe, one position at a time: a span is bloom-positive iff
+    # ALL k positions hit, so probing position 0 first (a broadcast
+    # semi-join on the per-position distinct table) discards the
+    # overwhelmingly common all-negative spans after ONE position md5 —
+    # positions 1..k-1 are computed only for the survivors of the
+    # previous stage. At fill ratio f per position the stage-1 survivor
+    # stream is ~f of the corpus spans (a few % at benchmark-sized
+    # filters), so the k-way work and the k× row explode of the earlier
+    # single-shot probe never happen for clean spans (measured 1.2s ->
+    # 0.7s at sf0.1; guide §3.2's Bloom idea applied to the Bloom
+    # surrogate itself). Conjunction of the k semi-joins == the old
+    # k_hit == k test, so the surviving occurrence SET is identical, and
+    # n_hits is now simply the surviving-occurrence count per doc
+    # (each occurrence is one row — no hit_rows/k recovery needed).
     # (An earlier form pre-collapsed occurrences to (span, n_occ) with a
     # corpus-wide groupBy before probing; 8-word spans are almost never
     # repeated inside one doc, so that full span-stream shuffle bought a
     # ~1x dedup — it was the single biggest exchange in the whole query,
-    # guide §2.4's "remove shuffles outright".) Occurrence counts are
-    # recovered exactly from the survivors: an occurrence whose span is
-    # bloom-positive contributes exactly k hit rows (one per position),
-    # one with only j < k positions hit contributes j rows and is
-    # filtered by the k_hit == k test — so n_occ = hit_rows / k.
-    occ = _span_hash_arrays(train, id_col, text_col, window, stride).select(
+    # guide §2.4's "remove shuffles outright".)
+    surv = _span_hash_arrays(train, id_col, text_col, window, stride).select(
         "doc_id",
         F.size("_spans").alias("n_spans"),
         F.explode("_spans").alias("span_hash"),
     )
-    probed = (
-        occ.select(
-            "doc_id", "n_spans", "span_hash",
-            F.explode(positions(F.col("span_hash"))).alias("_p"),
+    # semi-joins left UNHINTED: each per-position table is bounded by
+    # min(|bench spans|, 16^prefix_len) — benchmark-sized in practice but
+    # potentially hundreds of MB at the 16^prefix_len bound, so AQE picks
+    # broadcast when it fits and shuffle-joins when it does not (measured
+    # faster than a forced broadcast even at sf0.1)
+    for i in range(k):
+        surv = (
+            surv.withColumn(f"_p{i}", pos_i(F.col("span_hash"), i))
+            .join(bench_pos[i], f"_p{i}", "left_semi")
+            .drop(f"_p{i}")
         )
-        .select("doc_id", "n_spans", "span_hash", "_p.i", "_p.pos")
-        .join(bench_pos, ["i", "pos"], "left_semi")
-        .groupBy("doc_id", "n_spans", "span_hash")
-        .agg(
-            F.count("*").alias("_rows_hit"),
-            F.countDistinct("i").alias("_k_hit"),
-        )
-        .where(F.col("_k_hit") == k)
-    )
     return (
-        probed.groupBy("doc_id")
+        surv.groupBy("doc_id")
         .agg(
-            # exact: every positive span occurrence contributed k rows
-            (F.sum("_rows_hit") / F.lit(k)).cast("long").alias("n_hits"),
+            F.count("*").alias("n_hits"),
             F.first("n_spans").alias("n_spans"),
         )
         .select(
