@@ -313,7 +313,7 @@ def pq_encode(
     )
 
 
-def _query_tables(
+def _query_cells(
     df: DataFrame,
     book: Codebook,
     in_dim: int,
@@ -321,14 +321,25 @@ def _query_tables(
     id_col: str,
     vec_col: str,
     _base: DataFrame | None = None,
-) -> dict:
-    """Per-query ADC distance tables, computed BY SPARK over the (few)
-    query rows so the decimal chain is bit-identical to the assignment
-    pass (no Python float/decimal re-derivation to drift). Returns
-    {qid: {s: {cid: Decimal d2}}}; size nq×m×ks — bounded."""
+) -> DataFrame:
+    """Per-query ADC distance table as a DATAFRAME: (qid, s, cid, d2),
+    nq×m×ks rows, computed BY SPARK over the (few) query rows so the
+    decimal chain is bit-identical to the assignment pass (no Python
+    float/decimal re-derivation to drift). The table stays distributed
+    and BROADCASTS into the scoring join — the earlier form collected it
+    to the driver and re-inlined it as literal arrays, costing a whole
+    action per lookup batch plus an O(nq·m·ks) expression tree.
+
+    Raises on an empty codebook (index built on an empty corpus —
+    retrain after data arrives); query ids that match no source row
+    simply contribute no cells (the scoring join then yields no rows
+    for them)."""
     m = len(book)
     if any(not book[s] for s in range(m)):
-        return {}
+        raise ValueError(
+            "empty codebook (index built on an empty corpus — retrain "
+            "after data arrives)"
+        )
     q = (
         _base.where(F.col(id_col).isin(query_ids))
         if _base is not None
@@ -345,7 +356,7 @@ def _query_tables(
         ])),
     )
     cd = _codebook_by_s(q.sparkSession, book, m)
-    cells = (
+    return (
         q_long.join(F.broadcast(cd), "s")
         .select(
             "qid", "s",
@@ -361,14 +372,7 @@ def _query_tables(
         )
         .select("qid", "s", F.col("_cell.cid").alias("cid"),
                 F.col("_cell.d2").alias("d2"))
-        .collect()
     )
-    tables: dict = {}
-    for r in cells:
-        tables.setdefault(r["qid"], {}).setdefault(r["s"], {})[
-            r["cid"]
-        ] = r["d2"]
-    return tables
 
 
 def pq_adc_topk(
@@ -388,10 +392,10 @@ def pq_adc_topk(
     reuse a trained codebook (the production path); otherwise trains on
     ``df`` first.
 
-    The corpus-side pass is ONE map-only scan of the codes (score =
-    m table lookups via ``zip_with``/``element_at`` over literal
-    tables) + one per-query top-k window partitioned by qid. Ties break
-    (d2, vec_id) — deterministic across engines."""
+    The corpus-side pass is ONE scan of the codes joined (broadcast)
+    against the nq×m×ks distance-cell table + one per-query top-k
+    window partitioned by qid. Ties break (d2, vec_id) — deterministic
+    across engines."""
     # ONE persisted slice table feeds training, the query distance
     # tables and the encode pass — uncached, each re-derived the decimal
     # slicing from source (train already persisted internally; the other
@@ -411,76 +415,45 @@ def pq_adc_topk(
             id_col=id_col, vec_col=vec_col, _base=base,
         )
     m = len(book)
-    tables = _query_tables(
+    cells = _query_cells(
         df, book, in_dim, query_ids, id_col, vec_col, _base=base
     )
-    if any(not book[s] for s in range(m)):
-        encoded = pq_encode(df, book, in_dim, id_col=id_col, vec_col=vec_col)
-    else:
-        encoded = _assign_wide(base, book, m).select(
-            F.col(id_col),
-            F.array(*[F.col(f"_code_{s}") for s in range(m)]).alias("codes"),
-        )
-    return adc_topk_from_codes(encoded, tables, m, k, id_col=id_col)
+    encoded = _assign_wide(base, book, m).select(
+        F.col(id_col),
+        F.array(*[F.col(f"_code_{s}") for s in range(m)]).alias("codes"),
+    )
+    return adc_topk_from_codes(encoded, cells, m, k, id_col=id_col)
 
 
 def adc_topk_from_codes(
     encoded: DataFrame,
-    tables: dict,
+    cells: DataFrame,
     m: int,
     k: int,
     id_col: str = "vec_id",
     codes_col: str = "codes",
 ) -> DataFrame:
-    """Score persisted/derived PQ codes against per-query distance tables
-    ({qid: {s: {cid: Decimal}}}) — the shared ADC tail both the inline
-    ``pq_adc_topk`` and the persisted ``PQIndex.topk`` run, so their
-    equality law is one code path, not two implementations agreeing.
+    """Score persisted/derived PQ codes against the per-query distance
+    CELL table ((qid, s, cid, d2) from ``_query_cells``) — the shared
+    ADC tail both the inline ``pq_adc_topk`` and the persisted
+    ``PQIndex.topk`` run, so their equality law is one code path, not
+    two implementations agreeing.
 
-    Map-only per candidate (m ``element_at`` lookups via ``zip_with``
-    over literal tables) + one per-query top-k window. Codes for dropped
-    centroids never occur (encoding used the same final book), but a
-    sparse cid space still needs dense literal arrays — gaps fill with a
-    sentinel larger than any real d2 so they can never win."""
-    if not tables:
-        raise ValueError(
-            "no query distance tables: the codebook is empty (index "
-            "built on an empty corpus — retrain after data arrives) or "
-            "no query ids matched"
-        )
-    sentinel = "99999999999999999999999999.999999999999"
-    per_q = []
-    for qid, subtabs in sorted(tables.items()):
-        tbl = F.array(
-            *[
-                F.array(
-                    *[
-                        F.lit(
-                            str(subtabs[s][cid])
-                            if cid in subtabs[s]
-                            else sentinel
-                        ).cast(_ACC)
-                        for cid in range(
-                            max(subtabs[s].keys()) + 1
-                        )
-                    ]
-                )
-                for s in range(m)
-            ]
-        )
-        score = F.aggregate(
-            F.zip_with(
-                F.col(codes_col),
-                tbl,
-                lambda code, trow: F.element_at(trow, code + 1),
-            ),
-            F.lit(0).cast(_ACC),
-            lambda acc, x: (acc + x).cast(_ACC),
-        )
-        per_q.append(F.struct(F.lit(qid).alias("qid"), score.alias("d2")))
-
-    scored = encoded.select(
-        F.col(id_col), F.inline(F.array(*per_q))
+    The codes explode to (id, s, cid) and broadcast-join the cell table
+    (every (s, code) matches exactly one cell per qid — encoding used
+    the same final book, so dropped-centroid codes never occur), then a
+    (id, qid)-keyed exact-decimal sum replaces the earlier sequential
+    literal-table fold: decimal addition here is exact (no rounding,
+    values far under the 38-digit cap), so the order-independent sum is
+    bit-identical to the fold, without collecting the tables to the
+    driver or inlining nq·m·ks literals into the plan."""
+    enc_long = encoded.select(
+        F.col(id_col), F.posexplode(F.col(codes_col)).alias("s", "cid")
+    )
+    scored = (
+        enc_long.join(F.broadcast(cells), ["s", "cid"])
+        .groupBy(id_col, "qid")
+        .agg(F.sum("d2").alias("d2"))
     )
     w = Window.partitionBy("qid").orderBy("d2", id_col)
     return (

@@ -45,7 +45,7 @@ from hemera_indexer_spark.operators.dedup_index import IndexFamilyError
 from hemera_indexer_spark.operators.pq import (
     PQ_FAMILY_VERSION,
     adc_topk_from_codes,
-    _query_tables,
+    _query_cells,
     pq_encode,
     pq_train,
 )
@@ -397,9 +397,9 @@ class PQIndex:
             .select(F.col(id_col), F.col(vec_col)),
             vec_col,
         )
-        tables = _query_tables(
+        cells = _query_cells(
             q, self.codebook(), self.in_dim, query_ids, id_col, vec_col
         )
         return adc_topk_from_codes(
-            self.codes(), tables, self.m, k, id_col="vec_id"
+            self.codes(), cells, self.m, k, id_col="vec_id"
         )
