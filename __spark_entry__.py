@@ -21,6 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hemera_indexer_spark.functions.rounding import round_double as _round_dd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TABLES = (
@@ -1588,7 +1590,7 @@ def q_moving_avg(spark, sf):
     return daily.select(
         "d",
         F.col("_rev").cast("double").alias("revenue"),
-        F.round(
+        _round_dd(
             F.sum("_rev").over(w).cast("double") / F.count("*").over(w), 6
         ).alias("ma7"),
         F.count("*").over(w).alias("n7"),
@@ -1918,7 +1920,11 @@ def q_unigram_logprob(spark, sf):
             F.count("*").alias("n_words"),
             # decimal quantization kept; double is the driver-canonical
             # final representation (see _dbl)
-            F.round((F.sum("lp") / F.count("*")).cast("double"), 6)
+            # duck divides the decimal sum by the count in the DOUBLE
+            # domain and rounds the BINARY value; replicate both (the
+            # sf0.001 tie row -26.624889/18 = -1.4791605 exposed the
+            # repr-based F.round divergence — functions/rounding.py)
+            _round_dd(F.sum("lp").cast("double") / F.count("*"), 6)
             .cast("decimal(18,6)")
             .cast("double")
             .alias("avg_logprob"),

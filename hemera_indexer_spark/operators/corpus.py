@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hemera_indexer_spark.functions.rounding import round_double
+
 __all__ = [
     "word_stream",
     "bigram_stream",
@@ -424,10 +426,9 @@ def bigram_logprob(
     )
     return scored.groupBy("doc_id").agg(
         F.sum("c_dxy").cast("long").alias("n_bigrams"),
-        F.round(
-            (F.sum(F.col("c_dxy") * F.col("lp")) / F.sum("c_dxy")).cast(
-                "double"
-            ),
+        round_double(
+            F.sum(F.col("c_dxy") * F.col("lp")).cast("double")
+            / F.sum("c_dxy"),
             6,
         )
         .cast("decimal(18,6)")
@@ -475,7 +476,7 @@ def source_overlap(
             "src_a",
             "src_b",
             "n_common",
-            F.round(
+            round_double(
                 F.col("n_common")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                 6,
@@ -546,7 +547,7 @@ def hapax_ratio(
     return uni.groupBy(F.col("_g").alias(group_col)).agg(
         F.count("*").alias("n_types"),
         F.sum((F.col("c") == 1).cast("bigint")).alias("n_hapax"),
-        F.round(
+        round_double(
             F.sum((F.col("c") == 1).cast("bigint")) / F.count("*"), 6
         )
         .cast("decimal(18,6)")
@@ -581,7 +582,7 @@ def source_exclusivity(
     return tagged.groupBy(F.col("doc_id").alias(group_col)).agg(
         F.count("*").alias("n_shingles"),
         F.sum((F.col("_ns") == 1).cast("bigint")).alias("n_exclusive"),
-        F.round(
+        round_double(
             F.sum((F.col("_ns") == 1).cast("bigint")) / F.count("*"), 6
         )
         .cast("decimal(18,6)")
@@ -639,7 +640,7 @@ def dist_drift(
         "_g",
         na.alias("_na"),
         nb.alias("_nb"),
-        F.round(F.abs(p_a - p_b), 6).cast("decimal(18,6)").alias("_t"),
+        round_double(F.abs(p_a - p_b), 6).cast("decimal(18,6)").alias("_t"),
     )
     return term.groupBy(F.col("_g").alias(group_col)).agg(
         F.count("*").alias("n_types"),

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hemera_indexer_spark.functions.rounding import round_double
+
 from hemera_indexer_spark.operators.text import fingerprint
 
 
@@ -142,7 +144,7 @@ def jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            round_double(
                 F.col("n_common")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                 6,
@@ -326,7 +328,7 @@ def lsh_candidate_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            round_double(
                 F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                 6,
             ).alias("jaccard"),
@@ -756,7 +758,7 @@ def cross_corpus_span_overlap(
             "doc_id",
             "n_hits",
             "n_spans",
-            F.round(F.col("n_hits") / F.col("n_spans"), 6).alias("contamination"),
+            round_double(F.col("n_hits") / F.col("n_spans"), 6).alias("contamination"),
         )
     )
 
@@ -857,7 +859,7 @@ def bloom_span_decontaminate(
             "doc_id",
             "n_hits",
             "n_spans",
-            F.round(F.col("n_hits") / F.col("n_spans"), 6).alias("contamination"),
+            round_double(F.col("n_hits") / F.col("n_spans"), 6).alias("contamination"),
         )
     )
 
@@ -1111,7 +1113,7 @@ def containment_pairs(
             "doc_a",
             "doc_b",
             "n_common",
-            F.round(F.col("n_common") / F.col("n_a"), 6)
+            round_double(F.col("n_common") / F.col("n_a"), 6)
             .cast("decimal(18,6)")
             .alias("containment"),
         )

@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from hemera_indexer_spark.functions.rounding import round_double
 from pyspark.sql import types as T
 
 from hemera_indexer_spark.lake.table import LakeTable
@@ -158,7 +160,7 @@ def _verify_pairs(
         .select(
             "new_id",
             "base_id",
-            F.round(
+            round_double(
                 F.col("n_common")
                 / (F.col("n_new") + F.col("n_base") - F.col("n_common")),
                 6,

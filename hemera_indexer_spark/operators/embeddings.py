@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hemera_indexer_spark.functions.rounding import round_double
+
 __all__ = [
     "dim_stats",
     "quantize_embeddings",
@@ -293,10 +295,14 @@ def kmeans_lloyd(
                 )
                 .groupBy("cluster", "dim")
                 .agg(
-                    # mean quantization happens JVM-side (F.round = the same
-                    # rounding every green oracle pairs with DuckDB's ROUND);
-                    # the collected double IS the quantized value
-                    F.round(
+                    # mean quantization happens JVM-side; the mean is a
+                    # RATIONAL double (decimal sum / count) so it can land
+                    # exactly on a 6dp tie, where Spark's repr-based
+                    # F.round and DuckDB's binary ROUND disagree —
+                    # round_double replicates DuckDB bit-for-bit
+                    # (functions/rounding.py; the collected double IS the
+                    # quantized value)
+                    round_double(
                         F.sum("v").cast("double") / F.count("*"), 6
                     ).alias("m")
                 )

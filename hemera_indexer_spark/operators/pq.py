@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hemera_indexer_spark.functions.rounding import round_double
+
 # exact accumulator type for sums of squared 6dp-decimal differences
 _ACC = "decimal(38,12)"
 
@@ -271,9 +273,10 @@ def pq_train(
             stats = (
                 long.groupBy("s", "cid", "i")
                 .agg(
-                    # mean quantization JVM-side; the collected double IS
-                    # the 6dp value (same rule the green kmeans oracle pairs)
-                    F.round(
+                    # mean quantization JVM-side; DuckDB-exact binary
+                    # rounding — the rational mean can land on a 6dp tie
+                    # where F.round diverges (see functions/rounding.py)
+                    round_double(
                         F.sum("v").cast("double") / F.count("*"), 6
                     ).alias("mn")
                 )

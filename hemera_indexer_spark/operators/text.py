@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hemera_indexer_spark.functions.rounding import round_double
+
 # BPE-ish token pattern: runs of lowercase alphanumerics (text is lowercased
 # first). Deliberately simple so the DuckDB oracle can share it verbatim.
 BPE_TOKEN_RE = "[a-z0-9]+"
@@ -46,18 +48,18 @@ def token_count_bpe(text: Column) -> Column:
 def stopword_ratio(text: Column) -> Column:
     w = words(F.lower(text))
     stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
-    return F.round(stop / F.greatest(F.size(w), F.lit(1)), 6)
+    return round_double(stop / F.greatest(F.size(w), F.lit(1)), 6)
 
 
 def punct_ratio(text: Column) -> Column:
     n_punct = F.length(text) - F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
-    return F.round(n_punct / F.greatest(F.length(text), F.lit(1)), 6)
+    return round_double(n_punct / F.greatest(F.length(text), F.lit(1)), 6)
 
 
 def avg_word_len(text: Column) -> Column:
     w = words(text)
     total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
-    return F.round(total / F.greatest(F.size(w), F.lit(1)), 6)
+    return round_double(total / F.greatest(F.size(w), F.lit(1)), 6)
 
 
 def quality_score(text: Column) -> Column:
@@ -67,7 +69,7 @@ def quality_score(text: Column) -> Column:
     length_term = F.least(n / F.lit(20.0), F.lit(1.0))
     stop_term = F.lit(1.0) - stopword_ratio(text)
     punct_term = F.lit(1.0) - punct_ratio(text)
-    return F.round(
+    return round_double(
         F.lit(0.4) * length_term + F.lit(0.3) * stop_term + F.lit(0.3) * punct_term,
         6,
     )
@@ -119,7 +121,7 @@ def repetition_stats(
     return sh.groupBy("doc_id").agg(
         F.count("*").alias("n_ngrams"),
         F.countDistinct("shingle").alias("n_uniq"),
-        F.round(
+        round_double(
             F.lit(1.0) - F.countDistinct("shingle") / F.count("*"), 6
         ).alias("rep_ratio"),
     )

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hemera_indexer_spark.functions.rounding import round_double
+
 
 def daily_user_aggregates(events: DataFrame) -> DataFrame:
     """Per (user_id, day): txn-count / distinct-actions / sums / conditional
@@ -189,7 +191,7 @@ def event_transitions(
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n") / row_total, 6)
+        round_double(F.col("n") / row_total, 6)
         .cast("decimal(18,6)")
         .alias("prob"),
     )
