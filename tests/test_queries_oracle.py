@@ -40,7 +40,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
 
-SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+# Both small SFs by default: round 6 found a cross-engine rounding
+# divergence that only sf0.001 exposed (an exact 6dp tie in a doc
+# average — see functions/rounding.py), so a single-SF gate is blind to
+# an entire failure class the driver can hit at ITS scale factor.
+# ORACLE_SF_DIR pins a single dir (used for targeted repros).
+SF_DIRS = (
+    [os.environ["ORACLE_SF_DIR"]]
+    if os.environ.get("ORACLE_SF_DIR")
+    else ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+)
 
 # Outputs with array columns: the driver canon errs on these (round 5).
 # Kept for value-correctness here; the oracle SQL is frozen, so they
@@ -53,14 +62,15 @@ ARRAY_QUERIES = {
 }
 
 
-@pytest.fixture(scope="module")
-def ducks():
+@pytest.fixture(scope="module", params=SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
+def sf_ducks(request):
     con = duckdb.connect()
     for t in entry.TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{request.param}/{t}.parquet')"
         )
-    return con
+    return request.param, con
 
 
 def _canon(df: pd.DataFrame, name: str, side: str) -> pd.DataFrame:
@@ -103,8 +113,9 @@ QUERIES = entry.queries()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, ducks, name):
-    df = QUERIES[name](spark, SF_DIR)
+def test_query_matches_oracle(spark, sf_ducks, name):
+    sf_dir, ducks = sf_ducks
+    df = QUERIES[name](spark, sf_dir)
     got = _canon(df.toPandas(), name, "spark")
     if name not in ORACLES:
         # rows-only check (non-SQL-expressible op)
